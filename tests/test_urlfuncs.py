@@ -1,0 +1,181 @@
+"""Unit tests for T1-T8 URL semantics (SURVEY.md §2.4) including the
+reference quirks documented in url.py / core.js."""
+
+from __future__ import annotations
+
+from tspider_spark.functions.psl import get_public_suffix
+from tspider_spark.functions.urlpure import (
+    block_names,
+    js_normalize,
+    js_valid_scheme,
+    normalize_url,
+    parse_url,
+)
+
+
+class TestNormalizeUrl:  # T1, url.py:37-60
+    def test_bare_host(self):
+        assert normalize_url("www.test.com") == "http://www.test.com"
+
+    def test_bare_host_with_path(self):
+        assert normalize_url("www.test.com/index.php") == "http://www.test.com/index.php"
+
+    def test_bare_path_rejected(self):
+        assert normalize_url("/xxxxx/index.php") == ""
+
+    def test_protocol_relative(self):
+        assert (
+            normalize_url("//mat1.gtimg.com/www/icon/favicon2.ico")
+            == "http://mat1.gtimg.com/www/icon/favicon2.ico"
+        )
+
+    def test_protocol_relative_no_path(self):
+        assert normalize_url("//www.test.com") == "http://www.test.com/"
+
+    def test_urlunparse_quirk_query_becomes_params(self):
+        # url.py:58-59 passes query in the params slot: ?a=1 -> ;a=1
+        assert normalize_url("//host.com/p?a=1#f") == "http://host.com/p;a=1#f"
+
+    def test_schemeful_untouched(self):
+        u = "https://h.com/p?a=1#frag"
+        assert normalize_url(u) == u
+
+
+class TestParseUrl:
+    def test_reference_smoke_case(self):
+        # url.py:141-147 __main__ smoke
+        u = parse_url("http://www.test.com/fuck/kjskdjf.php?args=kjsdfu&k=kuc&ii=ksc#skdf")
+        assert u.pattern == "http://www.test.com/fuck/kjskdjf.php?args<>ii<>k"
+        # redis_utils.py:118: '{netloc}/{pqs_pattern}' — pqs_pattern
+        # already starts with '/', so the key has a double slash.
+        assert u.scan_key == "www.test.com//fuck/kjskdjf.php?args<>ii<>k"
+
+    def test_digit_pattern(self):  # T2, url.py:131
+        a = parse_url("http://h.com/item/1")
+        b = parse_url("http://h.com/item/2")
+        assert a.pattern == b.pattern == "http://h.com/item/{digit}"
+
+    def test_query_key_sort(self):  # T2, url.py:132
+        a = parse_url("http://h.com/p?a=1&b=2")
+        b = parse_url("http://h.com/p?b=9&a=0")
+        assert a.pattern == b.pattern == "http://h.com/p?a<>b"
+
+    def test_blank_query_values_dropped(self):  # url.py:106-108
+        u = parse_url("http://h.com/Common/common/captcha?0.610851539997384")
+        assert u.pattern == "http://h.com/Common/common/captcha"
+
+    def test_extension(self):  # T6, url.py:92-98
+        assert parse_url("http://h.com/a/b.PhP").ext == "PhP"
+        assert parse_url("http://h.com/a/b").ext == ""
+        assert parse_url("http://h.com/").ext == ""
+
+    def test_blocked_extension(self):  # F1
+        assert parse_url("http://h.com/x.jpg").blocked
+        assert parse_url("http://h.com/x.JPG").blocked
+        assert parse_url("http://h.com/x.php").blocked is False
+
+    def test_blocked_host(self):  # F3, url.py:26
+        assert parse_url("http://mirrors.aliyun.com/x.php").blocked
+
+    def test_alicdn(self):  # F7, redis_utils.py:178-182
+        u = parse_url("http://m.alicdn.com/home-node/4.0.18/??css/reset.css,css/a.css")
+        assert u.alicdn
+        assert parse_url("http://h.com/p/?a=1").alicdn is False
+
+    def test_index_page(self):  # T8, url.py:114-116
+        assert parse_url("http://h.com/a/b?c=1").index_page == "http://h.com/"
+        assert parse_url("http://h.com:8080/a").index_page == "http://h.com:8080/"
+
+    def test_netloc_keeps_port_hostname_does_not(self):
+        u = parse_url("http://H.com:8080/a")
+        assert u.netloc == "H.com:8080"
+        assert u.hostname == "h.com"
+
+    def test_invalid(self):
+        assert parse_url("/bare/path").valid is False
+        assert parse_url(None).valid is False
+
+    def test_pattern_on_quirk_normalized_url(self):
+        # //host/p?a=1 normalizes to http://host/p;a=1 — params are not
+        # part of path/query, so the pattern has no query keys.
+        u = parse_url("//host.com/p?a=1")
+        assert u.url == "http://host.com/p;a=1"
+        assert u.pattern == "http://host.com/p"
+        assert u.querystring == ""
+
+
+class TestPSL:  # T5
+    def test_basic(self):
+        assert get_public_suffix("www.test.com") == "test.com"
+        assert get_public_suffix("test.com") == "test.com"
+        assert get_public_suffix("a.b.c.d.test.com") == "test.com"
+
+    def test_two_level_suffix(self):
+        assert get_public_suffix("www.shop.co.uk") == "shop.co.uk"
+        assert get_public_suffix("x.y.gov.cn") == "y.gov.cn"
+
+    def test_suffix_itself(self):
+        assert get_public_suffix("com") == "com"
+        assert get_public_suffix("co.uk") == "co.uk"
+
+    def test_unknown_tld_default_rule(self):
+        assert get_public_suffix("a.b.weirdtld") == "b.weirdtld"
+
+
+class TestBlockNames:  # F10, redis_utils.py:198-216
+    def test_suffix_walk(self):
+        names = block_names("a.b.c.d.test.com", "test.com")
+        assert names == [
+            "test.com",
+            "a.b.c.d.test.com",
+            "b.c.d.test.com",
+            "c.d.test.com",
+            "d.test.com",
+        ]
+
+    def test_host_equals_domain(self):
+        assert block_names("test.com", "test.com") == ["test.com"]
+
+
+class TestJsHelpers:  # core.js:115-131
+    def test_valid_scheme(self):
+        assert js_valid_scheme("http://a.com")
+        assert js_valid_scheme("https://a.com")
+        assert js_valid_scheme("//a.com")
+        assert not js_valid_scheme("javascript:alert(1)")
+        assert not js_valid_scheme("relative/path")
+        assert not js_valid_scheme("")
+
+    def test_normalize(self):
+        assert js_normalize("//a.com/x#frag", "https") == "https://a.com/x"
+        assert js_normalize("http://a.com/x#frag", "http") == "http://a.com/x"
+
+
+def test_derive_url_udf(spark):
+    """The pandas UDF must agree with the pure function (sanity of the
+    Arrow plumbing, not of the semantics)."""
+    from pyspark.sql import functions as F
+
+    from tspider_spark.functions.urlfuncs import with_url_info
+
+    urls = [
+        "http://www.test.com/fuck/kjskdjf.php?args=kjsdfu&k=kuc&ii=ksc#skdf",
+        "//host.com/p?a=1#f",
+        "www.test.com",
+        "/bare/path",
+        "http://a.b.c.d.test.com/i/1.jpg",
+        None,
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = with_url_info(df).select("url", "u.*").collect()
+    by_url = {r["url"]: r for r in rows}
+    for u in urls:
+        info = parse_url(u)
+        r = by_url[u]
+        assert r["valid"] == info.valid
+        if info.valid:
+            assert r["pattern"] == info.pattern
+            assert r["scan_key"] == info.scan_key
+            assert r["domain"] == info.domain
+            assert r["block_names"] == info.block_names
+            assert r["blocked"] == info.blocked

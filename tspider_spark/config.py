@@ -1,0 +1,50 @@
+"""Crawl configuration (reference: settings.py + CLI flags).
+
+Defaults replicate the reference exactly:
+- ``max_per_host`` = 100 with a strict ``>`` check, so up to 101 tasks
+  per hostname are admitted (settings.py:22, redis_utils.py:188-190).
+- ``tld`` = False: scope whitelist keyed by hostname; True keys it by
+  registered (public-suffix) domain (redis_utils.py:129-147).
+- ``robots`` is an extension beyond the reference (north_rule); an
+  empty robots table preserves reference-parity behaviour.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    tld: bool = False
+    max_per_host: int = 100
+    blocklist: list[str] = field(default_factory=list)
+    # robots extension (A4 fixture); empty => reference parity
+    robots_enabled: bool = False
+    # performance knobs
+    use_bloom_prefilter: bool = False
+    bloom_shards: int = 8
+    bloom_fpp: float = 0.01
+    # pre-reduce candidates to first-occurrence per (host, scan_key,
+    # synth) before the budget window; exact (see operators/schedule.py)
+    # and acts as the map-side combine for hot hosts.
+    reduce_first: bool = True
+    shuffle_partitions: int = 32
+    max_waves: int | None = None
+
+    def to_meta(self) -> dict:
+        return {
+            "tld": self.tld,
+            "max_per_host": self.max_per_host,
+            "blocklist": list(self.blocklist),
+            "robots_enabled": self.robots_enabled,
+        }
+
+    @staticmethod
+    def from_meta(meta: dict) -> "CrawlConfig":
+        return CrawlConfig(
+            tld=bool(meta.get("tld", False)),
+            max_per_host=int(meta.get("max_per_host", 100)),
+            blocklist=list(meta.get("blocklist", [])),
+            robots_enabled=bool(meta.get("robots_enabled", False)),
+        )
