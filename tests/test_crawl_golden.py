@@ -1,0 +1,111 @@
+"""Milestone-3 gate (north_rule): the distributed wave-loop engine must
+match the sequential reference oracle EXACTLY — crawl order, seen
+sets, per-host budgets, and saved results — on the synthetic corpus,
+under several scope configurations."""
+
+from __future__ import annotations
+
+import pytest
+
+from tspider_spark.config import CrawlConfig
+from tspider_spark.plans.crawl import CrawlEngine
+from tspider_spark.plans.oracle import ReferenceOracle
+from tspider_spark.sources.corpus import CorpusSpec, corpus_to_spark, generate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(
+        CorpusSpec(seed=42, n_domains=4, hosts_per_domain=2, hot_host_pages=30)
+    )
+
+
+def run_both(spark, tmp_path, corpus, cfg: CrawlConfig, seeds=None, max_waves=None):
+    docs, default_seeds = corpus
+    seeds = seeds if seeds is not None else default_seeds
+    oracle = ReferenceOracle(docs, cfg).run(seeds)
+
+    engine = CrawlEngine(
+        spark, corpus_to_spark(spark, docs), str(tmp_path / "state"), cfg
+    )
+    engine.seed(seeds)
+    engine.run(max_waves=max_waves)
+    return oracle, engine
+
+
+def assert_parity(oracle, engine):
+    got_order = [
+        (r["url"], r["depth"], r["rank"])
+        for r in engine.crawl_order().collect()
+    ]
+    assert got_order == oracle.crawl_order
+
+    got_scanned = {
+        r["scan_key"] for r in engine.store.read("seen_scanned").collect()
+    }
+    assert got_scanned == oracle.seen_scanned
+
+    got_saved = {r["saved_key"] for r in engine.store.read("seen_saved").collect()}
+    assert got_saved == oracle.seen_saved
+
+    got_budget = {
+        r["hostname"]: r["reqcount"]
+        for r in engine.store.read("host_budget").collect()
+    }
+    assert got_budget == oracle.host_budget
+
+    got_results = [
+        (
+            r["method"], r["url"], r["postdata"], r["type"], r["pattern"],
+            r["hostname"], r["domain"], r["is_target"],
+        )
+        for r in engine.results().collect()
+    ]
+    assert got_results == oracle.results
+
+
+def test_default_scope(spark, tmp_path, corpus):
+    cfg = CrawlConfig(tld=False, max_per_host=10)
+    oracle, engine = run_both(spark, tmp_path, corpus, cfg)
+    assert len(oracle.crawl_order) > 20, "corpus too inert to be a real test"
+    assert_parity(oracle, engine)
+
+
+def test_tld_scope_and_budget_cap(spark, tmp_path, corpus):
+    """tld=True widens scope to whole registered domains; a small cap
+    forces the F9 budget window to bite on the hot host."""
+    cfg = CrawlConfig(tld=True, max_per_host=5)
+    oracle, engine = run_both(spark, tmp_path, corpus, cfg)
+    assert max(oracle.host_budget.values()) == 6  # strict '>' => cap+1
+    assert_parity(oracle, engine)
+
+
+def test_blocklist_suffix_walk(spark, tmp_path):
+    # needs hosts_per_domain >= 3 so the a.b.c.d.<domain> hosts exist
+    corpus = generate_corpus(
+        CorpusSpec(seed=43, n_domains=3, hosts_per_domain=3, hot_host_pages=15)
+    )
+    docs, seeds = corpus
+    hosts = {d.split("/")[2] for d, _ in docs}
+    deep = next(h for h in hosts if h.startswith("a.b.c.d."))
+    # block 'c.d.<domain>' — must block a.b.c.d.<domain> via the walk
+    blocked_entry = "c.d." + deep.split(".", 4)[4]
+    cfg = CrawlConfig(tld=True, max_per_host=10, blocklist=[blocked_entry])
+    oracle, engine = run_both(spark, tmp_path, corpus, cfg)
+    assert all(deep not in u for u, _, _ in oracle.crawl_order)
+    assert_parity(oracle, engine)
+
+
+def test_bloom_prefilter_is_transparent(spark, tmp_path, corpus):
+    cfg = CrawlConfig(tld=True, max_per_host=8, use_bloom_prefilter=True)
+    oracle, engine = run_both(spark, tmp_path, corpus, cfg)
+    assert_parity(oracle, engine)
+
+
+def test_noncanonical_seed(spark, tmp_path, corpus):
+    """Bare-host seed exercises T1 at seed time (S1)."""
+    docs, seeds = corpus
+    assert any("://" not in s for s in seeds)  # corpus guarantees one
+    cfg = CrawlConfig(tld=False, max_per_host=10)
+    oracle, engine = run_both(spark, tmp_path, corpus, cfg)
+    assert_parity(oracle, engine)

@@ -1,0 +1,80 @@
+"""Unit tests for the seen-set library: bloom shards, cuckoo deletion,
+anti-join transparency (SURVEY.md §4 custom-lite component)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tspider_spark.operators.dedupe import (
+    BloomFilter,
+    CuckooFilter,
+    anti_join_seen,
+    build_bloom_shards,
+)
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        bf = BloomFilter(1000, 0.01)
+        keys = [f"http://h{i}.com/p/{i}" for i in range(1000)]
+        for k in keys:
+            bf.add(k)
+        assert all(k in bf for k in keys)
+
+    def test_fpp_reasonable(self):
+        bf = BloomFilter(1000, 0.01)
+        for i in range(1000):
+            bf.add(f"key-{i}")
+        fp = sum(f"other-{i}" in bf for i in range(10000))
+        assert fp < 300  # ~1% nominal, generous bound
+
+    def test_roundtrip(self):
+        bf = BloomFilter(100, 0.01)
+        bf.add("x")
+        bf2 = BloomFilter.from_bytes(bf.to_bytes(), bf.m, bf.k)
+        assert "x" in bf2 and "y" not in bf2
+
+
+class TestCuckoo:
+    def test_add_contains_delete(self):
+        cf = CuckooFilter(5000)
+        keys = [f"http://h/{i}" for i in range(3000)]
+        ok = [cf.add(k) for k in keys]
+        assert all(ok)
+        assert all(k in cf for k in keys)
+        # delete half, they must disappear; others must remain
+        for k in keys[::2]:
+            assert cf.delete(k)
+        assert all(k in cf for k in keys[1::2])
+        missing = sum(k not in cf for k in keys[::2])
+        assert missing > len(keys[::2]) * 0.95  # fp collisions allowed
+
+    def test_deterministic(self):
+        a, b = CuckooFilter(100), CuckooFilter(100)
+        for i in range(80):
+            a.add(f"k{i}")
+            b.add(f"k{i}")
+        assert (a.table == b.table).all()
+
+
+def test_bloom_shards_and_anti_join(spark):
+    seen = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(500)], "scan_key string"
+    )
+    cands = spark.createDataFrame(
+        [(f"key-{i}", i) for i in range(400, 900)], "scan_key string, v int"
+    )
+    shards = build_bloom_shards(seen, "scan_key", 4, 0.01)
+    assert set(shards) <= {0, 1, 2, 3}
+
+    exact = {
+        r["scan_key"]
+        for r in anti_join_seen(cands, seen, "scan_key", use_bloom=False).collect()
+    }
+    with_bloom = {
+        r["scan_key"]
+        for r in anti_join_seen(
+            cands, seen, "scan_key", use_bloom=True, shards=4
+        ).collect()
+    }
+    assert exact == with_bloom == {f"key-{i}" for i in range(500, 900)}

@@ -1,0 +1,71 @@
+"""Stateless filter predicates F1-F7, F10, F13 (SURVEY.md §2.3) as
+composable Column expressions over the derived-URL struct.
+
+These are *pure* predicates — in the reference they sit interleaved
+with stateful checks inside ``valid_task_url`` (redis_utils.py:168-196)
+but have no side effects, so hoisting them ahead of the stateful
+scanned/budget fold is semantics-preserving (a row they reject never
+mutates Redis in the reference either). Catalyst then pushes them
+down to the scan/extraction side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def valid_url(u: str = "u") -> Column:
+    """F4 — canonicalization produced a usable URL."""
+    return F.col(f"{u}.valid")
+
+
+def not_blocked_ext_or_host(u: str = "u") -> Column:
+    """F1 + F3 (url.py:136-138) — extension/host blocklists, computed
+    inside the derive UDF as ``blocked``."""
+    return ~F.col(f"{u}.blocked")
+
+
+def not_alicdn(u: str = "u") -> Column:
+    """F7 (redis_utils.py:178-182) — ``.../??css/a.css,b.css`` files."""
+    return ~F.col(f"{u}.alicdn")
+
+
+def not_blocklisted(blocklist: list, u: str = "u") -> Column:
+    """F10 (redis_utils.py:198-216) — registered domain or any
+    subdomain-suffix in the blocklist. ``block_names`` already holds
+    the full suffix walk, so membership is one arrays_overlap against
+    a literal (broadcast-sized) list."""
+    if not blocklist:
+        return F.lit(True)
+    lit = F.array(*[F.lit(x) for x in sorted(set(blocklist))])
+    return ~F.arrays_overlap(F.col(f"{u}.block_names"), lit)
+
+
+def method_is_get(method_col: str = "method") -> Column:
+    """F13 (producer.py:98-108) — only GET is ever scheduled."""
+    return F.col(method_col) == "GET"
+
+
+def stateless_valid(blocklist: list, u: str = "u") -> Column:
+    """F1/F3 -> F7 -> F10 conjunction (the F14 ordering matters only
+    through side effects, which these don't have)."""
+    return (
+        valid_url(u)
+        & not_blocked_ext_or_host(u)
+        & not_alicdn(u)
+        & not_blocklisted(blocklist, u)
+    )
+
+
+def is_target(df: DataFrame, whitelist_df: DataFrame, tld: bool, u: str = "u") -> DataFrame:
+    """F11 (redis_utils.py:129-137) — scope membership on registered
+    domain (tld mode) or hostname, via broadcast semi-join; adds an
+    ``is_target`` boolean column."""
+    key = F.col(f"{u}.domain") if tld else F.col(f"{u}.hostname")
+    wl = F.broadcast(whitelist_df.select(F.col("scope_key")).distinct())
+    return df.join(
+        wl.withColumn("_wl", F.lit(True)), key == F.col("scope_key"), "left"
+    ).withColumn("is_target", F.coalesce(F.col("_wl"), F.lit(False))).drop(
+        "scope_key", "_wl"
+    )

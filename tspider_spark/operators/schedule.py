@@ -1,0 +1,137 @@
+"""The wave scheduler: TSpider's sequential, side-effectful admission
+pipeline (scanned-dedupe F8, per-host budget F9, new-host index seeding
+A2) re-derived as pure JVM window functions — no Python, no loops.
+
+Why this is exact
+-----------------
+In the reference, candidates are admitted one at a time
+(redis_utils.py:149-196); admitting a task marks its scan-key and
+increments its host's reqcount, which changes later decisions. That
+sequential fold collapses to closed-form window expressions because of
+three monotonicity facts:
+
+1. *Scanned keys only grow*, and only admissions add them — so within
+   a wave only the FIRST candidate per (host, scan_key) can ever be
+   admitted; later duplicates are rejected no matter what
+   (row_number over (hostname, scan_key) == 1).
+2. *reqcount only grows*, and the budget check is a strict ``>``
+   against a cap (redis_utils.py:188) — so per host, rejection by
+   budget is suffix-closed: the admitted set is exactly the first
+   ``C = max_per_host + 1 - reqcount_prior`` dedupe-survivors
+   (a running count over the host window).
+3. *Index-page seeding (A2, producer.py:101-103) only fires while
+   reqcount == 0.* The first fold row of a fresh host is always
+   admitted (its key survived the global anti-join, the wave has seen
+   nothing yet, and budget 0 <= cap) — after which reqcount > 0, so
+   every later synthetic row is a guaranteed no-op. Hence: keep a
+   synthetic row iff it is row 1 of a host whose prior count is 0;
+   drop all others *before* ranking.
+
+Rejected rows have no side effects in the reference, so pre-filtering
+(stateless predicates, prior-scanned anti-join, doomed synthetics)
+never changes later decisions.
+
+Scale notes (10^10-frontier): the dedupe window and the budget window
+both shuffle by hostname — the designated skew point. ``reduce_first``
+pre-aggregates candidates to min-order per (host, key) with a
+map-side-combinable groupBy *before* the host window, so a hot host
+contributes at most its distinct-key count to the window sort, and AQE
+skew handling covers the rest. Admitted rows per host per wave are
+bounded by cap+1, so everything downstream of the fold is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# global candidate order: parent task rank, per-page emission rank,
+# synthetic-index-rows-first tiebreak (A2 fires before create_task(url))
+ORDER_COLS = ("task_rank", "seq", "synth_rank")
+
+
+def admit_wave(
+    cands: DataFrame,
+    host_budget: DataFrame,
+    max_per_host: int,
+    reduce_first: bool = True,
+) -> DataFrame:
+    """Admission fold over one wave of candidates.
+
+    ``cands`` columns: ``hostname, scan_key, url, task_rank, seq,
+    synth_rank`` (+ passthrough). Must already be stateless-filtered
+    and anti-joined against the committed seen_scanned set.
+    ``host_budget``: (hostname, reqcount) committed state.
+
+    Returns admitted rows with an ``admit_rank``: their within-wave
+    admission order (dense over ORDER_COLS), plus ``hostname``.
+    """
+    if reduce_first:
+        # map-side-combinable pre-reduction: only the earliest
+        # occurrence per (host, key, synthflag) can ever be admitted
+        # (monotonicity facts 1 & 2 above).
+        others = [c for c in cands.columns
+                  if c not in ("hostname", "scan_key", "synth_rank")]
+        # struct min compares fields left-to-right: order keys first
+        ordered = ["task_rank", "seq"] + [
+            c for c in others if c not in ("task_rank", "seq")
+        ]
+        cands = (
+            cands.groupBy("hostname", "scan_key", "synth_rank")
+            .agg(F.min(F.struct(*[F.col(c) for c in ordered])).alias("_m"))
+            .select("hostname", "scan_key", "synth_rank", "_m.*")
+        )
+
+    cp = F.coalesce(F.col("reqcount"), F.lit(0))
+    # AQE picks broadcast vs shuffle for the budget join by size
+    df = cands.join(host_budget, "hostname", "left")
+
+    w_host = Window.partitionBy("hostname").orderBy(
+        *[F.col(c) for c in ORDER_COLS]
+    )
+    w_key = Window.partitionBy("hostname", "scan_key").orderBy(
+        *[F.col(c) for c in ORDER_COLS]
+    )
+    w_run = w_host.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    df = df.withColumn("_rn", F.row_number().over(w_host))
+    # fact 3: synthetic rows survive only as row 1 of a fresh host
+    df = df.filter((F.col("synth_rank") == 1) | ((F.col("_rn") == 1) & (cp == 0)))
+
+    # ranks must be recomputed after the synthetic prune
+    df = (
+        df.withColumn("_rn", F.row_number().over(w_host))
+        .withColumn("_dup_rn", F.row_number().over(w_key))
+        .withColumn("_row0", (F.col("_rn") == 1) & (cp == 0))
+        .withColumn("_survivor", (F.col("_dup_rn") == 1) & ~F.col("_row0"))
+        .withColumn(
+            "_sidx",
+            F.sum(F.when(F.col("_survivor"), 1).otherwise(0)).over(w_run),
+        )
+    )
+    # budget: C = cap + 1 - cp - (1 if the fresh-host row-0 admit used a slot)
+    cap = F.lit(max_per_host + 1) - cp - F.when(cp == 0, 1).otherwise(0)
+    admitted = df.filter(
+        F.col("_row0") | (F.col("_survivor") & (F.col("_sidx") <= cap))
+    )
+    return admitted.drop("_rn", "_dup_rn", "_row0", "_survivor", "_sidx", "reqcount")
+
+
+def assign_discovery_order(
+    admitted: DataFrame, start: int, out: str = "discovery_order"
+) -> DataFrame:
+    """Global FIFO enqueue rank for admitted tasks, continuing from
+    ``start``. Admitted rows are bounded by (active hosts x cap+1) per
+    wave, so a single-partition window is acceptable here; at extreme
+    host counts swap in a range-partitioned two-phase rank (the order
+    key is already a total order)."""
+    w = Window.orderBy(*[F.col(c) for c in ORDER_COLS])
+    return admitted.withColumn(out, F.row_number().over(w) + F.lit(start))
+
+
+def politeness_slots(tasks: DataFrame, out: str = "slot") -> DataFrame:
+    """Q2 politeness: within a wave, the k-th task of a host gets slot
+    k — executors pace same-host fetches by slot (with robots
+    crawl_delay as the spacing when present)."""
+    w = Window.partitionBy("hostname").orderBy("discovery_order")
+    return tasks.withColumn(out, F.row_number().over(w).cast("int"))

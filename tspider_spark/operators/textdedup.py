@@ -1,0 +1,215 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard — all over the ``documents``
+table shape (doc_id, text).
+
+Scale design: every pairwise step goes through a bucket equi-join
+(shingle, LSH band, or simhash chunk) — never a cross join. The
+verify step re-checks candidates exactly, so bucketing parameters
+trade recall for cost but can never introduce false positives.
+
+Hash portability: MinHash permutation hashes are derived from
+``md5`` hex (bigint of the first 15 hex chars), which DuckDB can
+reproduce exactly (``('0x' || substring(md5(s),1,15))::BIGINT``) —
+so the whole MinHash pipeline is oracle-checkable, not just the
+final pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tspider_spark.operators.textstats import doc_fingerprint, simhash64
+
+# ---------------------------------------------------------------------------
+# exact dedupe
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedupe: one row per duplicated content with
+    the keeper (min id) and group size."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def dedupe_exact(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Keep the min-id doc per distinct normalized content."""
+    w = Window.partitionBy(doc_fingerprint(text)).orderBy(id_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact jaccard (the verification primitive)
+
+
+def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc — pure JVM (split +
+    sequence + transform), exploded."""
+    words = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(trim(lower({text})), '\\\\s+')) - {n} + 1, 0)), "
+        f"i -> concat_ws(' ', slice(split(trim(lower({text})), '\\\\s+'), i, {n})))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, tau: float, id_col: str = "doc_id") -> DataFrame:
+    """Exact word-shingle Jaccard >= tau for every pair sharing >=1
+    shingle. ``sh`` = output of :func:`shingles`. Shuffles by shingle
+    (skew note: a stopword-only shingle can be hot; n>=3 shingles keep
+    fan-out tame) then by pair."""
+    a = sh.select(F.col(id_col).alias("ia"), "shingle")
+    b = sh.select(F.col(id_col).alias("ib"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "ia").withColumnRenamed("sz", "sza"), "ia")
+        .join(sizes.withColumnRenamed(id_col, "ib").withColumnRenamed("sz", "szb"), "ib")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("ia", "ib", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_dups(
+    df: DataFrame, n: int = 3, tau: float = 0.8, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Direct n-gram Jaccard dedupe (the brute-ish baseline; the scale
+    path is minhash_lsh_dups which prefilters candidate pairs)."""
+    return jaccard_pairs(shingles(df, n, id_col, text), tau, id_col)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def _portable_hash64(col, salt: int):
+    """Deterministic 60-bit int hash reproducible in DuckDB:
+    conv(substring(md5(salt || ':' || s), 1, 15), 16, 10)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    sh: DataFrame, k: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: k column-wise min
+    aggregations over the shingle set (map-side combinable)."""
+    hashed = sh.select(
+        id_col, *[_portable_hash64(F.col("shingle"), j).alias(f"h{j}") for j in range(k)]
+    )
+    return hashed.groupBy(id_col).agg(
+        F.array(*[F.min(f"h{j}") for j in range(k)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, rows: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature (bands x rows == len(sig)); docs sharing a
+    full band land in the same bucket -> candidate pair."""
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("ia"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("ib"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+
+
+def minhash_lsh_dups(
+    df: DataFrame,
+    n: int = 3,
+    tau: float = 0.8,
+    k: int = 32,
+    bands: int = 16,
+    rows: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """The scale path: shingle -> minhash -> band-bucket join ->
+    exact-Jaccard verification of candidates only. With bands=16,
+    rows=2 the probability of missing a tau=0.8 pair is
+    (1 - 0.8^2)^16 ≈ 5e-8 per pair; the verify step guarantees zero
+    false positives."""
+    sh = shingles(df, n, id_col, text)
+    sh.cache()
+    cand = lsh_candidate_pairs(minhash_signatures(sh, k, id_col), bands, rows, id_col)
+    # verify candidates exactly: semi-join the shingle table down to
+    # candidate docs, then exact jaccard restricted to those pairs
+    exact = jaccard_pairs(sh, tau, id_col)
+    out = exact.join(cand, ["ia", "ib"], "left_semi")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_dups(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """SimHash near-dup pairs: 4x16-bit chunk bucketing (a pair within
+    hamming distance 3 must agree on >=1 of 4 chunks), verified with
+    an exact popcount."""
+    s = df.select(F.col(id_col), simhash64(F.col(text)).alias("sim"))
+    chunks = s.select(
+        id_col,
+        "sim",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("sim"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                )
+                for c in range(4)
+            ])
+        ).alias("cc"),
+    ).select(id_col, "sim", "cc.chunk", "cc.v")
+    a = chunks.select(F.col(id_col).alias("ia"), F.col("sim").alias("sa"), "chunk", "v")
+    b = chunks.select(F.col(id_col).alias("ib"), F.col("sim").alias("sb"), "chunk", "v")
+    pairs = (
+        a.join(b, ["chunk", "v"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", "sa", "sb")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("ia", "ib", "hamming")
+    )

@@ -1,0 +1,144 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+Every operator here is expressed with JVM built-ins (codegen'd,
+shuffle-free projections) except simhash, which is a vectorized
+pandas UDF. All the JVM ones are DuckDB-oracle-checkable: the same
+expression semantics exist on both engines (__spark_entry__ pairs
+them 1:1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+# stopword votes per language — deliberately tiny & deterministic so
+# the same CASE logic is expressible in ANSI SQL for the oracle.
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def words_col(text: str = "text") -> Column:
+    return F.split(F.trim(F.lower(F.col(text))), r"\s+")
+
+
+def token_count(text: str = "text") -> Column:
+    """Whitespace tokenization count (the training-pipeline 'token
+    count' baseline; BPE-ish subword counting is ``bpeish_token_count``)."""
+    return F.size(words_col(text)).cast("long")
+
+
+def bpeish_token_count(text: str = "text") -> Column:
+    """BPE-ish proxy: alphanumeric runs + each punctuation mark counts
+    as a token (regexp-extract-all, JVM-side)."""
+    return F.size(
+        F.expr(rf"regexp_extract_all({text}, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]', 0)")
+    ).cast("long")
+
+
+def punct_count(text: str = "text") -> Column:
+    return (
+        F.length(text) - F.length(F.regexp_replace(F.col(text), PUNCT_CLASS, ""))
+    ).cast("long")
+
+
+def stopword_count(text: str = "text", lang: str = "en") -> Column:
+    stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return F.expr(
+        f"size(filter(split(trim(lower({text})), '\\\\s+'), w -> w in ({stops})))"
+    ).cast("long")
+
+
+def quality_score(text: str = "text") -> Column:
+    """Deterministic [0,1] quality heuristic: length band + stopword
+    density + punctuation sanity + mean word length band. The exact
+    formula matters less than determinism + SQL expressibility."""
+    n_tok = token_count(text)
+    mean_wl = F.length(text) / F.greatest(n_tok, F.lit(1))
+    stop_ratio = stopword_count(text) / F.greatest(n_tok, F.lit(1))
+    punct_ratio = punct_count(text) / F.greatest(F.length(text), F.lit(1))
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 10000), 0.25).otherwise(0.0)
+        + F.when((mean_wl >= 3) & (mean_wl <= 12), 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
+    )
+    return F.round(score, 2)
+
+
+def lang_votes(text: str = "text") -> dict:
+    return {lang: stopword_count(text, lang) for lang in LANG_STOPWORDS}
+
+
+def lang_id(text: str = "text") -> Column:
+    """Stopword-vote language ID; ties broken by fixed lang order.
+    'und' when no stopword hits at all."""
+    votes = lang_votes(text)
+    best = F.greatest(*votes.values())
+    out = F.lit("und")
+    # reversed so earlier langs win ties via later .when precedence
+    for lang in reversed(list(LANG_STOPWORDS)):
+        out = F.when((best > 0) & (votes[lang] == best), lang).otherwise(out)
+    return out
+
+
+def doc_fingerprint(text: str = "text") -> Column:
+    """Canonical content fingerprint: md5 of lower-cased,
+    whitespace-collapsed text — the exact-dedupe key."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text))), r"\s+", " ")
+    return F.md5(normalized)
+
+
+@pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit simhash over word hashes (vectorized per batch, word
+    hashes memoized across the batch). Near-dup docs differ in a few
+    bits; pair generation is in textdedup.simhash_dups."""
+    cache: dict = {}
+
+    def word_hash(w: str) -> int:
+        h = cache.get(w)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+            )
+            cache[w] = h
+        return h
+
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for w in str(t or "").lower().split():
+            h = word_hash(w)
+            bits = (h >> np.arange(64)) & 1
+            acc += bits * 2 - 1
+        v = 0
+        for b in range(64):
+            if acc[b] > 0:
+                v |= 1 << b
+        # two's complement into int64
+        out[i] = v - (1 << 64) if v >= (1 << 63) else v
+    return pd.Series(out)
+
+
+def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    return (
+        df.withColumn("n_tokens", token_count(text))
+        .withColumn("n_tokens_bpeish", bpeish_token_count(text))
+        .withColumn("quality", quality_score(text))
+        .withColumn("lang_pred", lang_id(text))
+        .withColumn("fingerprint", doc_fingerprint(text))
+    )

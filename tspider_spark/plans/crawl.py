@@ -1,0 +1,350 @@
+"""The crawl wave loop: the whole-site crawl lifecycle
+(SURVEY.md §3.1) as a batch-iterative BFS driver.
+
+Single-consumer FIFO order (the reference's canonical ordering) is
+BFS: children enqueue strictly after every task already queued, so
+pop order == (depth, within-depth enqueue order). Each wave therefore
+processes one full depth level:
+
+  frontier[depth=d] ordered by discovery_order
+    -> consumer-side blocklist re-check (consumer.py:38)
+    -> "fetch" = inner join against the documents table (a render
+       failure == no matching doc_id)
+    -> extraction (operators/extract.py, all-JVM)
+    -> produce: derive URL struct (one pandas UDF), saved-dedupe F12 +
+       results sink K1, scope gate F11, method gate F13, index-page
+       synthesis A2, stateless filters, seen_scanned anti-join F8
+       (bloom-prefilterable), admission fold F9 (operators/schedule.py)
+    -> admitted tasks get global discovery_order, politeness slots,
+       depth d+1 -> atomic state commit (sources/state.py).
+
+Every wave reads exclusively from the committed store and ends in one
+atomic manifest swap, so kill-at-any-point resume is exact by
+construction (Q5/S5): rerunning wave d is idempotent.
+
+Shuffle boundaries per wave (stated per north_rule): (1) frontier ⋈
+documents fetch join (documents bucketable by doc_id hash for a
+storage-partitioned join), (2) seen_scanned anti-join hash-partitioned
+by scan_key, (3) hostname shuffle for the admission fold (skew: AQE +
+reduce_first pre-aggregation), (4) the small admitted-set global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tspider_spark.config import CrawlConfig
+from tspider_spark.functions.urlfuncs import derive_url
+from tspider_spark.operators import filters as FL
+from tspider_spark.operators.dedupe import anti_join_seen
+from tspider_spark.operators.extract import extract_candidates
+from tspider_spark.operators.robots import apply_crawl_delay, robots_filter
+from tspider_spark.operators.schedule import (
+    admit_wave,
+    assign_discovery_order,
+    politeness_slots,
+)
+from tspider_spark.sources.state import SCHEMAS, StateStore
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        documents: DataFrame,
+        state_path: str,
+        config: CrawlConfig | None = None,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.documents = documents
+        self.cfg = config or CrawlConfig()
+        self.robots = robots if (config and config.robots_enabled) else None
+        self.store = StateStore(spark, state_path)
+
+    def _finalize_frontier(self, tasks: DataFrame) -> DataFrame:
+        """Politeness slots + robots crawl-delay pacing metadata."""
+        tasks = politeness_slots(tasks)
+        if self.robots is not None:
+            return apply_crawl_delay(tasks, self.robots)
+        return tasks.withColumn("planned_offset_ms", F.lit(0).cast("long"))
+
+    # ------------------------------------------------------------------
+    def seed(self, seeds: list | DataFrame, fresh: bool = True):
+        """Q4/S1/S2 — fresh-start reset + seed wave. Seeds pass through
+        the same admission fold (valid_task_url, redis_utils.py:149-166)
+        sequentially in file order; each *admitted* seed's scope key is
+        whitelisted (tspider.py:82-95)."""
+        if fresh:
+            self.store.destroy()
+        if isinstance(seeds, list):
+            seeds = self.spark.createDataFrame(
+                [(s, i) for i, s in enumerate(seeds)], "url string, seed_order int"
+            )
+        s = seeds.withColumn("u", derive_url("url"))
+        s = s.filter(FL.stateless_valid(self.cfg.blocklist))
+        if self.robots is not None:
+            s = robots_filter(s, self.robots, host_col="u.hostname")
+        cands = s.select(
+            F.col("u.hostname").alias("hostname"),
+            F.col("u.scan_key").alias("scan_key"),
+            F.col("u.url").alias("url"),
+            F.col("u.domain").alias("domain"),
+            F.col("seed_order").cast("long").alias("task_rank"),
+            F.lit(0).alias("seq"),
+            F.lit(1).alias("synth_rank"),
+        )
+        empty_budget = self.spark.createDataFrame([], SCHEMAS["host_budget"])
+        admitted = admit_wave(
+            cands, empty_budget, self.cfg.max_per_host, self.cfg.reduce_first
+        )
+        admitted = assign_discovery_order(admitted, start=-1).cache()
+
+        scope_key = F.col("domain") if self.cfg.tld else F.col("hostname")
+        frontier = self._finalize_frontier(
+            admitted.select(
+                "url", "hostname", F.lit(0).alias("depth"), "discovery_order"
+            )
+        )
+        self.store.commit(
+            appends={
+                "frontier": frontier,
+                "seen_scanned": admitted.select(F.col("scan_key")),
+            },
+            replaces={
+                "whitelist": admitted.select(scope_key.alias("scope_key")).distinct(),
+                "host_budget": admitted.groupBy("hostname").agg(
+                    F.count("*").alias("reqcount")
+                ),
+            },
+            meta={
+                "next_depth": 0,
+                "next_order": admitted.count(),
+                "next_save_order": 0,
+                "config": self.cfg.to_meta(),
+            },
+        )
+        admitted.unpersist()
+
+    # ------------------------------------------------------------------
+    def add_blocklist(self, dnsname: str):
+        """Q7 — runtime domain block (tools/block_domain.py); takes
+        effect at the next wave's consumer-side re-check."""
+        self.cfg.blocklist.append(dnsname)
+        meta = self.store.meta()
+        conf = meta.get("config", self.cfg.to_meta())
+        conf["blocklist"] = list(self.cfg.blocklist)
+        self.store.commit(meta={"config": conf})
+
+    # ------------------------------------------------------------------
+    def run(self, max_waves: int | None = None) -> dict:
+        """Drive waves until the frontier drains (A3 termination)."""
+        stats = {"waves": 0, "scheduled": 0, "saved": 0, "candidates": 0}
+        limit = max_waves if max_waves is not None else self.cfg.max_waves
+        while limit is None or stats["waves"] < limit:
+            wave_stats = self.wave()
+            if wave_stats is None:
+                break
+            stats["waves"] += 1
+            for k in ("scheduled", "saved", "candidates"):
+                stats[k] += wave_stats[k]
+        return stats
+
+    # ------------------------------------------------------------------
+    def wave(self) -> dict | None:
+        meta = self.store.meta()
+        depth = int(meta["next_depth"])
+        next_order = int(meta["next_order"])
+        next_save = int(meta["next_save_order"])
+
+        frontier = self.store.read("frontier")
+        tasks = frontier.filter(F.col("depth") == depth)
+        if tasks.isEmpty():
+            return None  # A3: crawl complete
+
+        # consumer-side blocklist re-check (consumer.py:38) — uses the
+        # *current* blocklist, which may have grown since scheduling
+        tasks = tasks.withColumn("tu", derive_url("url")).filter(
+            FL.not_blocklisted(self.cfg.blocklist, "tu")
+        )
+
+        # --- fetch (S3): frontier ⋈ documents --------------------------
+        fetched = tasks.select(
+            F.col("url").alias("task_url"),
+            F.col("depth"),
+            F.col("discovery_order").alias("task_rank"),
+        ).join(self.documents, F.col("task_url") == F.col("doc_id"), "inner")
+
+        cands = extract_candidates(fetched)
+        cands = cands.withColumn("u", derive_url("url")).filter(F.col("u.valid"))
+        cands.cache()
+
+        # per-partition fetch lineage (north_rule)
+        lineage = cands.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count("*").alias("rows")
+        ).select(
+            F.lit(depth).alias("wave"),
+            F.lit("candidates").alias("stage"),
+            "partition_id",
+            "rows",
+        )
+
+        # --- F12/K1: saved-dedupe + results sink ------------------------
+        whitelist = self.store.read("whitelist")
+        cands_t = FL.is_target(cands, whitelist, self.cfg.tld)
+        cands_t.cache()
+
+        saved_key = F.concat("method", F.lit("-"), F.col("u.pattern"))
+        from pyspark.sql import Window
+
+        w_saved = Window.partitionBy("saved_key").orderBy("task_rank", "seq")
+        new_saved = (
+            cands_t.withColumn("saved_key", saved_key)
+            .join(
+                self.store.read("seen_saved"),
+                "saved_key",
+                "left_anti",
+            )
+            .withColumn("_rn", F.row_number().over(w_saved))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        w_save_order = Window.orderBy("task_rank", "seq")
+        results = new_saved.select(
+            "method",
+            "url",
+            "postdata",
+            "headers",
+            "type",
+            F.col("u.pattern").alias("pattern"),
+            F.col("u.hostname").alias("hostname"),
+            F.col("u.domain").alias("domain"),
+            "is_target",
+            F.lit(depth).alias("wave"),
+            (F.row_number().over(w_save_order) + F.lit(next_save)).alias(
+                "save_order"
+            ),
+            "saved_key",
+            "task_rank",
+            "seq",
+        ).cache()
+
+        # --- scheduling stream: F11 scope + F13 method gates -------------
+        gated = cands_t.filter(F.col("is_target") & FL.method_is_get())
+
+        # --- A2: new-host index-page synthesis ---------------------------
+        host_budget = self.store.read("host_budget")
+        fresh_gated = gated.join(
+            host_budget.filter(F.col("reqcount") > 0).select("hostname").withColumnRenamed(
+                "hostname", "_h"
+            ),
+            F.col("u.hostname") == F.col("_h"),
+            "left_anti",
+        )
+        synth = (
+            fresh_gated.groupBy(
+                F.col("u.hostname").alias("hostname"),
+                F.col("u.index_page").alias("url"),
+            )
+            .agg(
+                F.min(F.struct("task_rank", "seq")).alias("_at"),
+            )
+            .select(
+                "url",
+                F.col("_at.task_rank").alias("task_rank"),
+                F.col("_at.seq").alias("seq"),
+                F.lit(0).alias("synth_rank"),
+            )
+            .withColumn("u", derive_url("url"))
+        )
+        regular = gated.select(
+            "url", "task_rank", "seq", F.lit(1).alias("synth_rank"), "u"
+        )
+        stream = regular.unionByName(synth)
+
+        # --- stateless filters (F1/F3, F7, F10) ---------------------------
+        stream = stream.filter(FL.stateless_valid(self.cfg.blocklist))
+        if self.robots is not None:  # north_rule robots extension
+            stream = robots_filter(stream, self.robots, host_col="u.hostname")
+
+        # --- F8: committed seen_scanned anti-join (bloom-prefilterable) ----
+        stream = stream.select(
+            F.col("u.hostname").alias("hostname"),
+            F.col("u.scan_key").alias("scan_key"),
+            F.col("u.url").alias("url"),
+            "task_rank",
+            "seq",
+            "synth_rank",
+        )
+        stream = anti_join_seen(
+            stream,
+            self.store.read("seen_scanned"),
+            "scan_key",
+            use_bloom=self.cfg.use_bloom_prefilter,
+            shards=self.cfg.bloom_shards,
+            fpp=self.cfg.bloom_fpp,
+        )
+
+        # --- F9 + within-wave F8 + A2: the admission fold -------------------
+        admitted = admit_wave(
+            stream, host_budget, self.cfg.max_per_host, self.cfg.reduce_first
+        )
+        admitted = assign_discovery_order(admitted, start=next_order - 1).cache()
+
+        new_frontier = self._finalize_frontier(
+            admitted.select(
+                "url",
+                "hostname",
+                F.lit(depth + 1).alias("depth"),
+                "discovery_order",
+            )
+        )
+        budget_delta = admitted.groupBy("hostname").agg(
+            F.count("*").alias("reqcount")
+        )
+        new_budget = (
+            host_budget.unionByName(budget_delta)
+            .groupBy("hostname")
+            .agg(F.sum("reqcount").alias("reqcount"))
+        )
+
+        n_sched = admitted.count()
+        n_saved = results.count()
+        n_cands = cands.count()
+
+        sched_metrics = self.spark.createDataFrame(
+            [(depth, "scheduled", -1, n_sched), (depth, "saved", -1, n_saved)],
+            SCHEMAS["fetch_metrics"],
+        )
+
+        self.store.commit(
+            appends={
+                "frontier": new_frontier,
+                "seen_scanned": admitted.select("scan_key"),
+                "seen_saved": results.select("saved_key"),
+                "results": results.drop("saved_key", "task_rank", "seq"),
+                "fetch_metrics": lineage.unionByName(sched_metrics),
+            },
+            replaces={"host_budget": new_budget},
+            meta={
+                "next_depth": depth + 1,
+                "next_order": next_order + n_sched,
+                "next_save_order": next_save + n_saved,
+            },
+        )
+        for df in (cands, cands_t, results, admitted):
+            df.unpersist()
+        return {"scheduled": n_sched, "saved": n_saved, "candidates": n_cands}
+
+    # ------------------------------------------------------------------
+    # exports for parity checks / downstream consumers
+    def crawl_order(self) -> DataFrame:
+        return (
+            self.store.read("frontier")
+            .select("url", "depth", F.col("discovery_order").alias("rank"))
+            .orderBy("rank")
+        )
+
+    def results(self) -> DataFrame:
+        return self.store.read("results").orderBy("save_order")
