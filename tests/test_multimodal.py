@@ -1,0 +1,71 @@
+"""Multimodal plumbing: binary payload columns, mapInPandas decode /
+feature / frame-sample stages (stubbed codecs, real Spark contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tspider_spark.operators.multimodal import (
+    attach_fake_payload,
+    decode_media,
+    extract_features,
+    frame_sample,
+    media_refs_from_documents,
+)
+from tspider_spark.sources.corpus import CorpusSpec, corpus_to_spark, generate_corpus
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    refs = [
+        ("http://cdn.a.com/img/1.jpg",),
+        ("http://cdn.a.com/img/2.png",),
+        ("http://cdn.a.com/vid/1.mp4",),
+        ("http://cdn.a.com/snd/1.mp3",),
+        ("http://cdn.a.com/other/file.bin",),
+    ]
+    return attach_fake_payload(
+        spark.createDataFrame(refs, "media_ref string")
+    )
+
+
+def test_payload_and_kind(media_df):
+    rows = {r["media_ref"]: r for r in media_df.collect()}
+    assert rows["http://cdn.a.com/img/1.jpg"]["kind"] == "image"
+    assert rows["http://cdn.a.com/vid/1.mp4"]["kind"] == "video"
+    assert rows["http://cdn.a.com/snd/1.mp3"]["kind"] == "audio"
+    assert rows["http://cdn.a.com/other/file.bin"]["kind"] == "other"
+    assert all(len(r["payload"]) == 128 for r in rows.values())
+
+
+def test_decode_schema_and_determinism(spark, media_df):
+    a = {r["media_ref"]: r for r in decode_media(media_df).collect()}
+    b = {r["media_ref"]: r for r in decode_media(media_df).collect()}
+    for k in a:
+        assert (a[k]["width"], a[k]["height"], a[k]["n_frames"], a[k]["sha"]) == (
+            b[k]["width"], b[k]["height"], b[k]["n_frames"], b[k]["sha"]
+        )
+        assert a[k]["width"] % 16 == 0 and a[k]["n_bytes"] == 128
+    video = a["http://cdn.a.com/vid/1.mp4"]
+    image = a["http://cdn.a.com/img/1.jpg"]
+    assert video["n_frames"] >= 1 and image["n_frames"] == 1
+
+
+def test_real_decoder_is_gated(media_df):
+    with pytest.raises(NotImplementedError):
+        decode_media(media_df, real_decoder=True).collect()
+
+
+def test_features_and_frames(spark, media_df):
+    decoded = decode_media(media_df)
+    feats = extract_features(decoded, dim=8).collect()
+    assert all(len(r["feature"]) == 8 for r in feats)
+    frames = frame_sample(decoded, every_n=16).collect()
+    assert all(r["frame_idx"] % 16 == 0 for r in frames)
+
+
+def test_media_refs_from_corpus(spark):
+    docs, _ = generate_corpus(CorpusSpec(seed=3, n_domains=2))
+    refs = media_refs_from_documents(corpus_to_spark(spark, docs))
+    assert refs.count() > 0
+    assert all(".jpg" in r["media_ref"] for r in refs.collect())

@@ -1,0 +1,104 @@
+"""Structured Streaming operators: watermark dedupe, windowed host
+rates, and the foreachBatch bridge into the batch admission fold."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from tspider_spark.config import CrawlConfig
+from tspider_spark.sources.state import SCHEMAS, StateStore
+from tspider_spark.streaming.stream import (
+    run_foreach_batch_crawl_step,
+    stream_candidate_dedupe,
+    stream_host_rate,
+)
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+CAND_SCHEMA = (
+    "event_time timestamp, hostname string, scan_key string, url string, "
+    "task_rank long, seq int, synth_rank int"
+)
+
+
+def _write_candidates(spark, path, sentinel: bool = False):
+    rows = []
+    for i in range(50):
+        host = f"h{i % 5}.com"
+        key = f"{host}//p/{i % 20}"  # dups across i
+        rows.append(
+            (T0 + timedelta(seconds=i), host, key, f"http://{key}", i, 0, 1)
+        )
+    if sentinel:
+        # a far-future row advances the watermark so earlier
+        # event-time windows finalize and emit in append mode
+        rows.append(
+            (T0 + timedelta(hours=2), "zz.com", "zz.com//s", "http://zz.com/s", 999, 0, 1)
+        )
+    spark.createDataFrame(rows, CAND_SCHEMA).write.mode("overwrite").parquet(path)
+    return rows
+
+
+def test_stream_dedupe_and_rate(spark, tmp_path):
+    src = str(tmp_path / "cands")
+    _write_candidates(spark, src, sentinel=True)
+    stream = spark.readStream.schema(CAND_SCHEMA).parquet(src)
+
+    out1 = str(tmp_path / "dedup_out")
+    q1 = (
+        stream_candidate_dedupe(stream)
+        .writeStream.format("parquet")
+        .option("path", out1)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+    deduped = spark.read.parquet(out1)
+    assert deduped.count() == 21  # 20 distinct scan keys + sentinel
+    assert deduped.select("scan_key").distinct().count() == 21
+
+    out2 = str(tmp_path / "rate_out")
+    q2 = (
+        stream_host_rate(stream, window="1 minute")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rates = {
+        (r["hostname"]): r["n_urls"]
+        for r in spark.read.parquet(out2).collect()
+        if r["hostname"] != "zz.com"  # sentinel window never finalizes
+    }
+    assert sum(rates.values()) == 50 and len(rates) == 5
+
+
+def test_foreach_batch_bridge(spark, tmp_path):
+    src = str(tmp_path / "cands2")
+    _write_candidates(spark, src)
+    store = StateStore(spark, str(tmp_path / "stream_state"))
+    store.commit(replaces={
+        "host_budget": spark.createDataFrame([], SCHEMAS["host_budget"]),
+    })
+    cfg = CrawlConfig(max_per_host=2)
+
+    stream = (
+        spark.readStream.schema(CAND_SCHEMA)
+        .parquet(src)
+        .drop("event_time")
+    )
+    q = run_foreach_batch_crawl_step(stream, store, cfg, str(tmp_path / "ck3"))
+    q.awaitTermination(120)
+
+    budget = {r["hostname"]: r["reqcount"] for r in store.read("host_budget").collect()}
+    # cap=2 with strict '>' semantics => at most 3 per host
+    assert budget and all(v <= 3 for v in budget.values())
+    seen = store.read("seen_scanned").count()
+    assert seen == sum(budget.values())

@@ -1,0 +1,136 @@
+"""Training-data pipeline operators: text stats, dedupe family
+(exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tspider_spark.operators import textdedup as TD
+from tspider_spark.operators import textstats as TS
+from tspider_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_dup_pairs_lsh,
+    ivf_topk,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup of 1
+    (4, "el rapido zorro marron salta sobre el perro perezoso en la orilla del rio"),
+    (5, "completely different content about distributed query engines and shuffles"),
+    (6, "THE  Quick   brown fox jumps over the lazy dog near the river bank today"),  # ws/case dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_text_stats(spark, docs_df):
+    rows = {r["doc_id"]: r for r in TS.with_text_stats(docs_df).collect()}
+    assert rows[1]["n_tokens"] == 14
+    assert rows[1]["lang_pred"] == "en"
+    assert rows[4]["lang_pred"] == "es"
+    assert rows[5]["lang_pred"] == "und" or rows[5]["lang_pred"] == "en"
+    assert rows[1]["fingerprint"] == rows[2]["fingerprint"] == rows[6]["fingerprint"]
+    assert rows[1]["fingerprint"] != rows[3]["fingerprint"]
+    assert 0.0 <= rows[1]["quality"] <= 1.0
+
+
+def test_shingles_short_doc(spark):
+    # regression: sequence(1,0) in Spark is DESCENDING, not empty
+    df = spark.createDataFrame([(1, "two words"), (2, "exactly three words here")],
+                               "doc_id long, text string")
+    rows = TD.shingles(df, n=3).collect()
+    got = {(r["doc_id"], r["shingle"]) for r in rows}
+    assert got == {(2, "exactly three words"), (2, "three words here")}
+
+
+def test_exact_dedupe(spark, docs_df):
+    groups = TD.exact_dup_groups(docs_df).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 1 and groups[0]["group_size"] == 3
+    kept = {r["doc_id"] for r in TD.dedupe_exact(docs_df).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_ngram_jaccard_and_minhash_agree(spark, docs_df):
+    tau = 0.6
+    brute = {
+        (r["ia"], r["ib"]) for r in TD.ngram_jaccard_dups(docs_df, 3, tau).collect()
+    }
+    lsh = {
+        (r["ia"], r["ib"])
+        for r in TD.minhash_lsh_dups(docs_df, 3, tau, k=32, bands=16, rows=2).collect()
+    }
+    # near-dup + exact-dup pairs must be found; LSH must equal brute here
+    assert (1, 2) in brute and (1, 6) in brute and (1, 3) in brute
+    assert (4, 5) not in brute
+    assert lsh == brute
+
+
+def test_simhash_dups(spark, docs_df):
+    pairs = {(r["ia"], r["ib"]): r["hamming"] for r in TD.simhash_dups(docs_df, 3).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 6)] == 0 and pairs[(2, 6)] == 0
+    assert all(h <= 3 for h in pairs.values())
+    assert (4, 5) not in pairs
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((40, 64)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # near-dups of vec 0 and 1
+    for j, src in ((100, 0), (101, 1)):
+        noisy = base[src] + rng.standard_normal(64).astype("float32") * 0.01
+        rows.append((j, [float(x) for x in noisy / np.linalg.norm(noisy)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 2)
+    out = brute_force_topk(queries, emb_df, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cos_sim"]))
+    assert [n for _, n, _ in sorted(by_q[0])][0] == 100  # its near-dup wins
+    assert [n for _, n, _ in sorted(by_q[1])][0] == 101
+    assert all(len(v) == 3 for v in by_q.values())
+
+
+def test_cosine_lsh_dups(spark, emb_df):
+    pairs = {
+        (r["ia"], r["ib"]): r["cos_sim"]
+        for r in cosine_dup_pairs_lsh(emb_df, tau=0.95, dim=64).collect()
+    }
+    assert (0, 100) in pairs and (1, 101) in pairs
+    assert all(v >= 0.95 for v in pairs.values())
+
+
+def test_ivf_topk_recall(spark, emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(queries, emb_df, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, emb_df, k=5, n_lists=8, n_probe=6, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
+    # probing every list recovers the exact answer (the IVF contract:
+    # n_probe trades recall for scan fraction, converging to exact)
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, emb_df, k=5, n_lists=8, n_probe=8, dim=64).collect()
+    }
+    assert full == exact

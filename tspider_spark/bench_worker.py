@@ -1,0 +1,181 @@
+"""Single-parallelism-level bench worker (one JVM per level — Spark
+can't change master in-process; bench.py orchestrates two of these).
+
+Workload: one full crawl-scheduling wave over a Spark-generated
+synthetic frontier+documents pair —
+  frontier tasks ⋈ documents (fetch) -> JVM span extraction ->
+  pandas-UDF canonicalization -> stateless filters -> seen-set
+  anti-join -> per-host admission fold (dedupe + budget windows).
+
+The corpus is generated entirely with JVM expressions (spark.range +
+transform/sequence) and written to parquet once, so the timed section
+measures the scheduling pipeline, not Python generation. Hosts are
+skewed (~20% of links hit 1% of hosts) to exercise the AQE/skew path.
+
+Prints one JSON line:
+  {"candidates": N, "admitted": M, "elapsed_sec": t, "cores": c}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def _letters(col):
+    """Digit string -> letter string so every id yields a DISTINCT
+    {digit}-pattern (pattern canonicalization T2 folds digits)."""
+    return F.translate(col.cast("string"), "0123456789", "abcdefghij")
+
+
+def _page_url(host_id, page_id, ext=None):
+    parts = [
+        F.lit("http://bhost"),
+        host_id.cast("string"),
+        F.lit(".com/p/"),
+        _letters(page_id),
+    ]
+    if ext is not None:
+        parts.append(ext)
+    return F.concat(*parts)
+
+
+def build_corpus(spark, n_docs: int, n_hosts: int, links_per_doc: int, path: str):
+    hot = max(n_hosts // 100, 1)
+    doc = spark.range(n_docs).select(
+        _page_url(F.col("id") % n_hosts, F.col("id")).alias("doc_id"),
+        F.col("id"),
+    )
+    # link targets: 20% to hot hosts, rest spread; ~25% duplicate
+    # patterns via modulo folding; a sprinkle of blocked extensions
+    j = F.explode(F.sequence(F.lit(0), F.lit(links_per_doc - 1))).alias("j")
+    links = doc.select("doc_id", "id", j).select(
+        "doc_id",
+        "id",
+        "j",
+        (
+            F.when((F.col("id") + F.col("j")) % 5 == 0,
+                   (F.col("id") * 7 + F.col("j")) % hot)
+            .otherwise((F.col("id") * 13 + F.col("j") * 31) % n_hosts)
+        ).alias("th"),
+        ((F.col("id") * 17 + F.col("j") * 101) % (n_docs * 4 // 3)).alias("tp"),
+    ).select(
+        "doc_id",
+        "id",
+        "j",
+        _page_url(
+            F.col("th"),
+            F.col("tp"),
+            F.when((F.col("id") + F.col("j")) % 17 == 0, ".jpg").otherwise(""),
+        ).alias("target"),
+    )
+    spans = links.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.lit("link").alias("kind"),
+                    F.col("target").alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.col("j").cast("int").alias("offset"),
+                )
+            )
+        ).alias("spans")
+    )
+    spans.write.mode("overwrite").parquet(path)
+
+
+def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
+        seen_frac: float, corpus_path: str | None) -> dict:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+    from tspider_spark.functions.urlfuncs import with_url_info
+    from tspider_spark.operators import filters as FL
+    from tspider_spark.operators.dedupe import anti_join_seen
+    from tspider_spark.operators.extract import extract_candidates
+    from tspider_spark.operators.schedule import admit_wave
+    from tspider_spark.session import get_spark
+
+    # identical shuffle layout at both parallelism levels: the scaling
+    # comparison must vary ONLY the core count
+    spark = get_spark(f"bench-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=int(os.environ.get(
+                          "TSPIDER_BENCH_SHUFFLE", "64")))
+    own_corpus = corpus_path is None
+    if own_corpus:
+        corpus_path = tempfile.mkdtemp(prefix="tspider_bench_") + "/docs"
+    if not os.path.exists(corpus_path + "/_SUCCESS"):
+        build_corpus(spark, n_docs, n_hosts, links, corpus_path)
+
+    docs = spark.read.parquet(corpus_path)
+    n_tasks = int(n_docs * wave_frac)
+    tasks = spark.range(n_tasks).select(
+        _page_url(F.col("id") % n_hosts, F.col("id")).alias("task_url"),
+        F.lit(0).alias("depth"),
+        F.col("id").alias("task_rank"),
+    )
+    # pre-seen set: a deterministic slice of the target key space
+    seen = spark.range(int(n_docs * seen_frac)).select(
+        F.concat(
+            F.lit("bhost"),
+            ((F.col("id") * 13) % n_hosts).cast("string"),
+            F.lit(".com//p/"),
+            _letters((F.col("id") * 29) % (n_docs * 4 // 3)),
+        ).alias("scan_key")
+    ).distinct()
+    budget = spark.createDataFrame([], "hostname string, reqcount long")
+
+    t0 = time.time()
+    fetched = tasks.join(docs, F.col("task_url") == F.col("doc_id"), "inner")
+    cands = extract_candidates(fetched)
+    cands.persist()
+    n_cands = cands.count()  # materialization point 1: extraction
+
+    stream = (
+        with_url_info(cands, "url")
+        .filter(F.col("u.valid") & FL.stateless_valid([]))
+        .select(
+            F.col("u.hostname").alias("hostname"),
+            F.col("u.scan_key").alias("scan_key"),
+            F.col("u.url").alias("url"),
+            "task_rank", "seq",
+            F.lit(1).alias("synth_rank"),
+        )
+    )
+    stream = anti_join_seen(stream, seen, "scan_key")
+    admitted = admit_wave(stream, budget, max_per_host=100, reduce_first=True)
+    n_admit = admitted.count()
+    elapsed = time.time() - t0
+    cands.unpersist()
+
+    out = {
+        "cores": cores,
+        "candidates": n_cands,
+        "admitted": n_admit,
+        "elapsed_sec": round(elapsed, 3),
+        "urls_per_sec": round(n_cands / elapsed, 1),
+    }
+    spark.stop()
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--n-docs", type=int, default=int(os.environ.get("TSPIDER_BENCH_DOCS", 2000000)))
+    ap.add_argument("--n-hosts", type=int, default=4000)
+    ap.add_argument("--links", type=int, default=12)
+    ap.add_argument("--wave-frac", type=float, default=0.5)
+    ap.add_argument("--seen-frac", type=float, default=0.25)
+    ap.add_argument("--corpus-path", default=None)
+    args = ap.parse_args()
+    res = run(args.cores, args.n_docs, args.n_hosts, args.links,
+              args.wave_frac, args.seen_frac, args.corpus_path)
+    print("BENCH_RESULT " + json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,21 @@
-"""Vectorized (Arrow-batched) URL derivation UDFs.
+"""Vectorized URL derivation — hybrid JVM/Arrow.
 
 The reference materializes a URL value object per record in Python
-(url.py:30-138). Here the whole projection T1-T8 runs as ONE
-struct-returning pandas UDF per Arrow batch: each unique URL in the
-batch is parsed once, then the derived columns are broadcast back to
-the batch with vectorized pandas reindexing. This is the only Python
-hop in the scheduling pipeline — everything else (extraction,
-filters, dedupe windows, budget windows) stays JVM-side.
+(url.py:30-138). Here the projection T1-T8 runs on TWO paths:
+
+* **JVM fast path** (whole-stage codegen, zero Python): URLs matching
+  a strict "plain http(s)" shape — lowercase scheme, safe host/path/
+  query charset, no percent-encoding, no params, no userinfo — are
+  derived with built-in expressions. Extracted crawl candidates are
+  already scheme-validated and JS-normalized, so in practice almost
+  every row takes this path.
+* **Arrow fallback**: everything else goes through ONE
+  struct-returning pandas UDF that wraps the exact pure-Python
+  semantics (unique URLs parsed once per batch, reindexed back).
+
+The two paths are proven equivalent on the fast path's domain by
+tests/test_urlfuncs.py::TestHybridEquivalence — any URL where they
+could diverge is excluded from the fast path by the eligibility regex.
 """
 
 from __future__ import annotations
@@ -62,6 +71,134 @@ def derive_url(s: pd.Series) -> pd.DataFrame:
     return _derive_batch(s)
 
 
-def with_url_info(df, url_col: str = "url", out: str = "u"):
-    """Attach the derived-URL struct column ``out`` to ``df``."""
-    return df.withColumn(out, derive_url(F.col(url_col)))
+# ---------------------------------------------------------------------------
+# JVM fast path
+
+# plain-http(s) shape where the JVM derivation is provably identical to
+# the Python path: lowercase scheme; host limited to [A-Za-z0-9.-] (no
+# userinfo/IPv6/invalid ports); optional numeric port; path/query/
+# fragment free of ';' (params), '%' (unquoting), '+' (parse_qsl space
+# rules), backslashes and whitespace.
+FAST_URL_RE = (
+    r"^https?://[A-Za-z0-9.\-]+(:[0-9]+)?"
+    r"(/[A-Za-z0-9._~/\-]*)?"
+    r"(\?[A-Za-z0-9_.=&\-]*)?"
+    r"(#[A-Za-z0-9_./\-]*)?$"
+)
+
+from tspider_spark.functions.psl import SUFFIXES as _PSL_SUFFIXES
+from tspider_spark.functions.urlpure import BLOCKEXT as _BLOCKEXT
+from tspider_spark.functions.urlpure import BLOCKHOST as _BLOCKHOST
+
+_TWO_LEVEL = sorted(s for s in _PSL_SUFFIXES if "." in s)
+
+
+def fast_eligible(url_col) -> "F.Column":
+    return url_col.isNotNull() & url_col.rlike(FAST_URL_RE)
+
+
+def _jvm_url_struct(url_col) -> "F.Column":
+    """Whole-stage-codegen derivation for fast-path URLs. Field-exact
+    twin of urlpure.parse_url on the FAST_URL_RE domain."""
+    BIG = F.lit(1 << 30)
+    u = url_col
+    defrag = F.substring_index(u, "#", 1)
+    scheme = F.substring_index(u, ":", 1)
+    rest = F.substring(defrag, F.length(scheme) + 4, BIG)
+    netloc = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
+    after_netloc = F.substring(rest, F.length(netloc) + 1, BIG)
+    raw_path = F.substring_index(after_netloc, "?", 1)
+    path = F.when(raw_path == "", "/").otherwise(raw_path)
+    query = F.when(
+        F.instr(after_netloc, "?") > 0,
+        F.substring(after_netloc, F.instr(after_netloc, "?") + 1, BIG),
+    ).otherwise("")
+    hostname = F.lower(F.regexp_replace(netloc, ":[0-9]*$", ""))
+    filename = F.substring_index(path, "/", -1)
+    ext = F.when(
+        F.instr(filename, ".") > 0, F.substring_index(filename, ".", -1)
+    ).otherwise("")
+
+    # PSL domain: two-level public suffix -> last 3 labels, else last 2
+    parts = F.split(hostname, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    two_level = last2.isin(*_TWO_LEVEL) if _TWO_LEVEL else F.lit(False)
+    domain = (
+        F.when((n >= 3) & two_level, F.concat_ws(".", F.slice(parts, n - 2, 3)))
+        .when(n >= 2, last2)
+        .otherwise(hostname)
+    )
+
+    # pattern (T2): digits -> {digit} in path; sorted distinct query
+    # keys with non-blank values, '<>'-joined
+    path_pattern = F.regexp_replace(path, "[0-9]+", "{digit}")
+    qkeys = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.filter(
+                    F.split(query, "&"),
+                    lambda kv: (F.instr(kv, "=") > 0)
+                    & (F.substring(kv, F.instr(kv, "=") + 1, F.lit(1 << 30)) != ""),
+                ),
+                lambda kv: F.substring_index(kv, "=", 1),
+            )
+        )
+    )
+    pqs = F.when(
+        F.size(qkeys) > 0,
+        F.concat(path_pattern, F.lit("?"), F.array_join(qkeys, "<>")),
+    ).otherwise(path_pattern)
+    pattern = F.concat(scheme, F.lit("://"), netloc, pqs)
+    scan_key = F.concat(netloc, F.lit("/"), pqs)
+    index_page = F.concat(scheme, F.lit("://"), netloc, F.lit("/"))
+
+    blocked = F.lower(ext).isin(*sorted(_BLOCKEXT)) | hostname.isin(
+        *sorted(_BLOCKHOST)
+    )
+    alicdn = path.endswith("/") & query.startswith("?")
+
+    # F10 suffix walk: [domain] + every hostname suffix down to
+    # <x>.domain, longest first (urlpure.block_names order)
+    d_labels = F.size(F.split(domain, r"\."))
+    n_prefix = n - d_labels
+    walk = F.transform(
+        F.sequence(F.lit(1), n_prefix),
+        lambda i: F.concat_ws(".", F.slice(parts, i, n - i + 1)),
+    )
+    block_names = F.when(n_prefix > 0, F.concat(F.array(domain), walk)).otherwise(
+        F.array(domain)
+    )
+
+    return F.struct(
+        F.lit(True).alias("valid"),
+        u.alias("url"),
+        scheme.alias("scheme"),
+        netloc.alias("netloc"),
+        hostname.alias("hostname"),
+        domain.alias("domain"),
+        path.alias("path"),
+        ext.alias("ext"),
+        query.alias("querystring"),
+        pattern.alias("pattern"),
+        scan_key.alias("scan_key"),
+        index_page.alias("index_page"),
+        blocked.alias("blocked"),
+        alicdn.alias("alicdn"),
+        block_names.alias("block_names"),
+    )
+
+
+def with_url_info(df, url_col: str = "url", out: str = "u", hybrid: bool = True):
+    """Attach the derived-URL struct column ``out`` to ``df``.
+
+    hybrid=True routes plain-http(s) rows through the JVM expressions
+    (no Python at all) and only the residue through the pandas UDF —
+    the single biggest throughput lever in the scheduling pipeline.
+    """
+    c = F.col(url_col)
+    if not hybrid:
+        return df.withColumn(out, derive_url(c))
+    fast = df.filter(fast_eligible(c)).withColumn(out, _jvm_url_struct(c))
+    slow = df.filter(~fast_eligible(c) | c.isNull()).withColumn(out, derive_url(c))
+    return fast.unionByName(slow)

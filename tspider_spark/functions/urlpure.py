@@ -128,7 +128,12 @@ def parse_url(url: str) -> UrlInfo:
     if not url:
         return INVALID
     try:
-        urlstring = normalize_url(url)
+        # schemeful http(s) URLs pass normalize_url untouched
+        # (url.py:60) — skip its extra urlparse for the common case
+        if url.startswith(("http://", "https://")):
+            urlstring = url
+        else:
+            urlstring = normalize_url(url)
     except ValueError:
         return INVALID
     if not urlstring:
@@ -148,14 +153,20 @@ def parse_url(url: str) -> UrlInfo:
     # pattern (url.py:118-134): digits -> {digit}; query keys sorted,
     # blank-valued entries dropped (parse_qsl default), joined by '<>'
     path_pattern = _DIGIT_RE.sub("{digit}", path)
-    qkeys = sorted({k for k, _ in parse_qsl(p.query)})
+    qkeys = sorted({k for k, _ in parse_qsl(p.query)}) if p.query else []
     pqs_pattern = (
         "{}?{}".format(path_pattern, "<>".join(qkeys)) if qkeys else path_pattern
     )
     # urlunsplit((scheme, netloc, pqs, '', '')) (url.py:123)
     pattern = "{}://{}{}".format(p.scheme, p.netloc, pqs_pattern)
     scan_key = "{}/{}".format(p.netloc, pqs_pattern)
-    index_page = urljoin(urlstring, "/", allow_fragments=False)
+    # urljoin(url, '/') for a netloc-bearing URL is scheme://netloc/
+    # (url.py:114-116) — built directly, urljoin re-parses
+    index_page = (
+        "{}://{}/".format(p.scheme, p.netloc)
+        if p.netloc
+        else urljoin(urlstring, "/", allow_fragments=False)
+    )
     blocked = ext.lower() in BLOCKEXT or hostname.lower() in BLOCKHOST
     alicdn = path.endswith("/") and p.query.startswith("?")
     return UrlInfo(

@@ -139,17 +139,29 @@ def extract_candidates(fetched: DataFrame) -> DataFrame:
     cand = requests.unionByName(links).unionByName(forms)
 
     # E7+E8 — fingerprint keep-first on (METHOD, url) in file order
-    # (requested section before static, offset order within section)
-    order = [F.col("section"), F.col("offset")]
-    fp = Window.partitionBy("task_url", F.upper(F.col("method")), "url").orderBy(*order)
+    # (requested section before static, offset order within section).
+    # Implemented as a min-struct groupBy rather than a window: the
+    # aggregate gets map-side partial combining and avoids a second
+    # differently-keyed sort; the struct comparator keeps the earliest
+    # (section, offset) record verbatim.
+    passthru = ["section", "offset", "depth", "task_rank", "postdata",
+                "headers", "type", "method"]
     deduped = (
-        cand.withColumn("_fp_rn", F.row_number().over(fp))
-        .filter(F.col("_fp_rn") == 1)
-        .drop("_fp_rn")
+        cand.groupBy("task_url", F.upper(F.col("method")).alias("_m"), "url")
+        .agg(
+            # min_by: comparator is (section, offset) only — headers is
+            # a map and must stay out of the ordering key
+            F.min_by(
+                F.struct(*[F.col(c) for c in passthru]),
+                F.struct("section", "offset"),
+            ).alias("_first")
+        )
+        .select("task_url", "url", "_first.*")
+        .drop("_m")
     )
 
     # exact per-page emission rank (the result-queue order)
-    seq_w = Window.partitionBy("task_url").orderBy(*order)
+    seq_w = Window.partitionBy("task_url").orderBy("section", "offset")
     return deduped.withColumn("seq", F.row_number().over(seq_w)).drop(
-        "section", "offset", "doc_id"
+        "section", "offset"
     )

@@ -52,10 +52,14 @@ def dedupe_exact(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> D
 def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc — pure JVM (split +
     sequence + transform), exploded."""
-    words = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    words = f"split(trim(lower({text})), '\\\\s+')"
+    # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs
+    # shorter than n words must short-circuit to an empty array.
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(split(trim(lower({text})), '\\\\s+')) - {n} + 1, 0)), "
-        f"i -> concat_ws(' ', slice(split(trim(lower({text})), '\\\\s+'), i, {n})))"
+        f"case when size({words}) >= {n} then "
+        f"transform(sequence(1, size({words}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({words}, i, {n}))) "
+        f"else array() end"
     )
     return (
         df.select(F.col(id_col), F.explode(grams).alias("shingle"))

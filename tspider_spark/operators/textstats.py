@@ -109,22 +109,24 @@ def simhash64(texts: pd.Series) -> pd.Series:
     bits; pair generation is in textdedup.simhash_dups."""
     cache: dict = {}
 
-    def word_hash(w: str) -> int:
-        h = cache.get(w)
-        if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+    def word_bits(w: str) -> np.ndarray:
+        b = cache.get(w)
+        if b is None:
+            h = np.uint64(
+                int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+                )
             )
-            cache[w] = h
-        return h
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            b = bits.astype(np.int64) * 2 - 1
+            cache[w] = b
+        return b
 
     out = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
         acc = np.zeros(64, dtype=np.int64)
         for w in str(t or "").lower().split():
-            h = word_hash(w)
-            bits = (h >> np.arange(64)) & 1
-            acc += bits * 2 - 1
+            acc += word_bits(w)
         v = 0
         for b in range(64):
             if acc[b] > 0:

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tspider_spark.config import CrawlConfig
-from tspider_spark.functions.urlfuncs import derive_url
+from tspider_spark.functions.urlfuncs import with_url_info
 from tspider_spark.operators import filters as FL
 from tspider_spark.operators.dedupe import anti_join_seen
 from tspider_spark.operators.extract import extract_candidates
@@ -82,7 +82,7 @@ class CrawlEngine:
             seeds = self.spark.createDataFrame(
                 [(s, i) for i, s in enumerate(seeds)], "url string, seed_order int"
             )
-        s = seeds.withColumn("u", derive_url("url"))
+        s = with_url_info(seeds, "url")
         s = s.filter(FL.stateless_valid(self.cfg.blocklist))
         if self.robots is not None:
             s = robots_filter(s, self.robots, host_col="u.hostname")
@@ -128,6 +128,19 @@ class CrawlEngine:
         admitted.unpersist()
 
     # ------------------------------------------------------------------
+    def seed_from_text_file(self, path: str, fresh: bool = True):
+        """S2 — one URL per line, blanks skipped, line number = seed
+        order (producer.create_task_from_file, producer.py:116-127)."""
+        from pyspark.sql.functions import monotonically_increasing_id, trim
+
+        raw = self.spark.read.text(path).select(trim("value").alias("url"))
+        # preserve file order: zip with a line index before filtering
+        lines = raw.withColumn("seed_order",
+                               monotonically_increasing_id().cast("int"))
+        seeds = lines.filter(F.col("url") != "")
+        self.seed(seeds.select("url", "seed_order"), fresh=fresh)
+
+    # ------------------------------------------------------------------
     def add_blocklist(self, dnsname: str):
         """Q7 — runtime domain block (tools/block_domain.py); takes
         effect at the next wave's consumer-side re-check."""
@@ -165,7 +178,7 @@ class CrawlEngine:
 
         # consumer-side blocklist re-check (consumer.py:38) — uses the
         # *current* blocklist, which may have grown since scheduling
-        tasks = tasks.withColumn("tu", derive_url("url")).filter(
+        tasks = with_url_info(tasks, "url", out="tu").filter(
             FL.not_blocklisted(self.cfg.blocklist, "tu")
         )
 
@@ -177,7 +190,7 @@ class CrawlEngine:
         ).join(self.documents, F.col("task_url") == F.col("doc_id"), "inner")
 
         cands = extract_candidates(fetched)
-        cands = cands.withColumn("u", derive_url("url")).filter(F.col("u.valid"))
+        cands = with_url_info(cands, "url").filter(F.col("u.valid"))
         cands.cache()
 
         # per-partition fetch lineage (north_rule)
@@ -256,8 +269,8 @@ class CrawlEngine:
                 F.col("_at.seq").alias("seq"),
                 F.lit(0).alias("synth_rank"),
             )
-            .withColumn("u", derive_url("url"))
         )
+        synth = with_url_info(synth, "url")
         regular = gated.select(
             "url", "task_rank", "seq", F.lit(1).alias("synth_rank"), "u"
         )

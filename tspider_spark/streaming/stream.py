@@ -1,0 +1,101 @@
+"""Structured Streaming variants of the engine's dataflow
+(SURVEY.md §2.8: the reference is a continuous producer/consumer
+system with blocking-queue backpressure but no event-time semantics;
+the batch wave loop is the canonical engine because exact global
+ordering is required — these streaming operators are the continuous
+ingestion path for deployments that trade exact ordering for
+latency).
+
+Operators:
+* ``stream_candidate_dedupe`` — the streaming twin of F8: candidates
+  arriving on a stream are deduped on scan_key within a watermark
+  (dropDuplicatesWithinWatermark keeps state bounded, unlike the
+  unbounded exact set the batch engine owns).
+* ``stream_host_rate`` — per-host discovered-URL rates over event-time
+  tumbling windows with late-data tolerance (A1's streaming analog).
+* ``run_foreach_batch_crawl_step`` — micro-batch bridge: drains a
+  candidate stream through the SAME admission fold the batch engine
+  uses, committing through the same StateStore (foreachBatch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_candidate_dedupe(
+    candidates: DataFrame,
+    watermark_col: str = "event_time",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming URL-seen prefilter: exact within the watermark
+    horizon, bounded state. Downstream, the batch anti-join against
+    the committed seen set finalizes exactness (lambda-style)."""
+    return candidates.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        ["scan_key"]
+    )
+
+
+def stream_host_rate(
+    candidates: DataFrame,
+    watermark_col: str = "event_time",
+    delay: str = "10 minutes",
+    window: str = "1 minute",
+) -> DataFrame:
+    return (
+        candidates.withWatermark(watermark_col, delay)
+        .groupBy(F.window(watermark_col, window).alias("w"), "hostname")
+        .agg(F.count("*").alias("n_urls"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "hostname",
+            "n_urls",
+        )
+    )
+
+
+def run_foreach_batch_crawl_step(
+    stream_df: DataFrame,
+    store,
+    cfg,
+    checkpoint_dir: str,
+):
+    """Micro-batch bridge: each batch of candidate rows
+    (hostname, scan_key, url, task_rank, seq, synth_rank) goes through
+    seen anti-join + admission fold against the committed store —
+    demonstrating that the batch operators compose unchanged under
+    foreachBatch."""
+    from tspider_spark.operators.dedupe import anti_join_seen
+    from tspider_spark.operators.schedule import admit_wave
+
+    def step(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        fresh = anti_join_seen(
+            batch_df, store.read("seen_scanned"), "scan_key", use_bloom=False
+        )
+        admitted = admit_wave(
+            fresh, store.read("host_budget"), cfg.max_per_host, cfg.reduce_first
+        )
+        budget_delta = admitted.groupBy("hostname").agg(
+            F.count("*").alias("reqcount")
+        )
+        new_budget = (
+            store.read("host_budget")
+            .unionByName(budget_delta)
+            .groupBy("hostname")
+            .agg(F.sum("reqcount").alias("reqcount"))
+        )
+        store.commit(
+            appends={"seen_scanned": admitted.select("scan_key")},
+            replaces={"host_budget": new_budget},
+            meta={"last_stream_batch": batch_id},
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
