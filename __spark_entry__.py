@@ -192,7 +192,7 @@ def q_f9_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9+F8-within-wave: the admission fold — per-host first-per-key
     dedupe then the strict-'>' budget cap (admits cap+1)."""
     from tspider_spark.operators.schedule import admit_wave
-    from tspider_spark.sources.state import SCHEMAS
+    from tspider_spark.sources.state import SCHEMAS, empty_df
 
     cands = _clean(spark, sf_dir).select(
         F.col("u.hostname").alias("hostname"),
@@ -202,7 +202,7 @@ def q_f9_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("seq"),
         F.lit(1).alias("synth_rank"),
     )
-    empty = spark.createDataFrame([], SCHEMAS["host_budget"])
+    empty = empty_df(spark, SCHEMAS["host_budget"])
     out = admit_wave(cands, empty, CAP, reduce_first=True)
     return out.select("hostname", "scan_key", "url")
 
@@ -212,7 +212,7 @@ def q_a2_index_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates injected before each host's first record, admitted
     through the same fold."""
     from tspider_spark.operators.schedule import admit_wave
-    from tspider_spark.sources.state import SCHEMAS
+    from tspider_spark.sources.state import SCHEMAS, empty_df
 
     base = _clean(spark, sf_dir)
     regular = base.select(
@@ -235,7 +235,7 @@ def q_a2_index_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("synth_rank"),
         )
     )
-    empty = spark.createDataFrame([], SCHEMAS["host_budget"])
+    empty = empty_df(spark, SCHEMAS["host_budget"])
     out = admit_wave(regular.unionByName(synth), empty, CAP, reduce_first=True)
     return out.select("hostname", "url")
 

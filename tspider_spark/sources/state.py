@@ -39,7 +39,14 @@ SCHEMAS = {
             T.StructField("planned_offset_ms", T.LongType()),  # robots pacing
         ]
     ),
-    "seen_scanned": T.StructType([T.StructField("scan_key", T.StringType())]),
+    # hostname is persisted alongside the key so the F8 anti-join can be
+    # host-co-partitioned with the admission fold (one shuffle per wave)
+    "seen_scanned": T.StructType(
+        [
+            T.StructField("hostname", T.StringType()),
+            T.StructField("scan_key", T.StringType()),
+        ]
+    ),
     "seen_saved": T.StructType([T.StructField("saved_key", T.StringType())]),
     "host_budget": T.StructType(
         [
@@ -75,6 +82,15 @@ SCHEMAS = {
 
 APPEND_TABLES = ("frontier", "seen_scanned", "seen_saved", "results", "fetch_metrics")
 REPLACE_TABLES = ("host_budget", "whitelist")
+
+
+def empty_df(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    """Zero-partition empty DataFrame. ``spark.createDataFrame([], schema)``
+    builds a ParallelCollectionRDD with default-parallelism python-backed
+    partitions — every downstream stage then runs one python-worker task
+    per core just to deserialize nothing (and blocks when the workers
+    are busy with real UDF work)."""
+    return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
 
 
 class StateStore:
@@ -114,7 +130,7 @@ class StateStore:
         dirs = self.manifest()["tables"].get(table, [])
         paths = [os.path.join(self.root, d) for d in dirs]
         if not paths:
-            return self.spark.createDataFrame([], SCHEMAS[table])
+            return empty_df(self.spark, SCHEMAS[table])
         return self.spark.read.schema(SCHEMAS[table]).parquet(*paths)
 
     # --- commit ----------------------------------------------------------

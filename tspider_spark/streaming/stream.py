@@ -88,7 +88,7 @@ def run_foreach_batch_crawl_step(
             .agg(F.sum("reqcount").alias("reqcount"))
         )
         store.commit(
-            appends={"seen_scanned": admitted.select("scan_key")},
+            appends={"seen_scanned": admitted.select("hostname", "scan_key")},
             replaces={"host_budget": new_budget},
             meta={"last_stream_batch": batch_id},
         )
