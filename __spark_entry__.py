@@ -59,18 +59,18 @@ def _events_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ev.select(
-        "event_id", "user_id", "event_type",
+        "event_id", "user_id", "event_type", "ts",
         F.concat(F.lit("http://"), host, pathqs).alias("url"),
     )
 
 
 _URLS_SQL = """
 with ev as (
-  select event_id, user_id, event_type,
+  select event_id, user_id, event_type, ts,
          regexp_extract(props, '[0-9]+') as k
   from events
 ), urls as (
-  select event_id, user_id, event_type,
+  select event_id, user_id, event_type, ts,
     'http://' ||
     (case when user_id % 13 = 0 then 'mirrors.aliyun.com'
           else 'sub' || (user_id % 3) || '.host' || (user_id % 20) ||
@@ -277,6 +277,140 @@ def q_union_emission_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKLIST = ["host5.com", "sub1.host7.com"]  # domain-level + host-level
+
+
+def q_f10_suffix_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: domain blocklist with subdomain-suffix walk
+    (redis_utils.py:198-216) — blocks every host under host5.com but
+    only the exact sub1.host7.com host."""
+    from tspider_spark.operators.filters import stateless_valid
+
+    return (
+        _derived(spark, sf_dir)
+        .filter(stateless_valid(_BLOCKLIST))
+        .select("event_id", "url")
+    )
+
+
+def q_f12_f13_saved_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 method gate (only GET schedulable) then F12 saved-set
+    dedupe: keep-first per '{method}-{pattern}' storage key
+    (producer.py:86-108)."""
+    from tspider_spark.operators.filters import method_is_get
+
+    d = _clean(spark, sf_dir).withColumn(
+        "method",
+        F.when(F.col("event_type").isin("click", "purchase"), "POST").otherwise(
+            "GET"
+        ),
+    )
+    gated = d.filter(method_is_get())
+    key = F.concat("method", F.lit("-"), F.col("u.pattern"))
+    w = Window.partitionBy("saved_key").orderBy("event_id")
+    return (
+        gated.withColumn("saved_key", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("saved_key", F.col("event_id").alias("first_event_id"), "url")
+    )
+
+
+def _host_num(col) -> F.Column:
+    return F.regexp_extract(col, "host([0-9]+)", 1).cast("int")
+
+
+def q_q2_politeness_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 + robots crawl-delay: per-host politeness slots over the
+    wave's discovery order, scaled by each host's crawl_delay_ms into a
+    planned fetch offset (north_rule politeness extension)."""
+    from tspider_spark.operators.robots import apply_crawl_delay
+    from tspider_spark.operators.schedule import politeness_slots
+
+    tasks = _clean(spark, sf_dir).select(
+        F.col("u.hostname").alias("hostname"),
+        "url",
+        F.col("event_id").alias("discovery_order"),
+    )
+    tasks = politeness_slots(tasks)
+    robots = (
+        tasks.select("hostname").distinct()
+        .select(
+            F.col("hostname").alias("host"),
+            ((_host_num(F.col("hostname")) % 3) * 100).alias("crawl_delay_ms"),
+        )
+    )
+    return apply_crawl_delay(tasks, robots).select(
+        "hostname", "slot", "url", "planned_offset_ms"
+    )
+
+
+def q_robots_disallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots disallow-prefix scoping (north_rule extension): hosts
+    with host-number % 5 == 0 disallow paths under /click."""
+    from tspider_spark.operators.robots import robots_filter
+
+    d = _clean(spark, sf_dir)
+    robots = (
+        d.select(F.col("u.hostname").alias("host")).distinct()
+        .filter(_host_num(F.col("host")) % 5 == 0)
+        .select("host", F.array(F.lit("/click")).alias("disallow_prefixes"))
+    )
+    return robots_filter(d, robots, host_col="u.hostname").select(
+        "event_id", "url"
+    )
+
+
+def q_k1_scope_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11/K1: scope whitelist membership (tld mode) steering the
+    target/others result routing — counts per routing side."""
+    from tspider_spark.operators.filters import is_target
+
+    d = _clean(spark, sf_dir)
+    wl = (
+        d.select(F.col("u.domain").alias("scope_key")).distinct()
+        .filter(_host_num(F.col("scope_key")) % 4 == 1)
+    )
+    routed = is_target(d, wl, tld=True)
+    return routed.groupBy("is_target").agg(
+        F.count("*").alias("n_results"),
+        F.countDistinct(F.col("u.domain")).alias("n_domains"),
+    )
+
+
+def q_host_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's streaming analog (streaming/stream.py): per-host discovered
+    URL rates over 1-minute event-time tumbling windows — the same
+    operator that runs under a watermark on a stream, driven in batch
+    mode for the oracle check."""
+    from tspider_spark.streaming.stream import stream_host_rate
+
+    d = _derived(spark, sf_dir).select(
+        F.col("u.hostname").alias("hostname"), F.col("ts").alias("event_time")
+    )
+    return stream_host_rate(d).select(
+        F.unix_timestamp("window_start").cast("long").alias("wstart_epoch"),
+        "hostname",
+        "n_urls",
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k (similarity.py): corpus bucketed by nearest centroid,
+    queries probe n_probe lists. Full probe (n_probe == n_lists) makes
+    it exact, so the brute-force SQL oracle applies; the scale path
+    lowers n_probe to scan ~n_probe/n_lists of the corpus."""
+    from tspider_spark.operators.similarity import ivf_topk
+
+    e = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 8)
+    return ivf_topk(q, e, k=5, n_lists=8, n_probe=8).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational breadth (the engine is still a full Spark SQL surface)
 
@@ -456,6 +590,27 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e1_e8_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E8: span extraction over the synthetic interleaved corpus —
+    every doc fetched once, candidates in exact emission order (the
+    per-row span invariant is pinned by tests/test_extract.py)."""
+    from tspider_spark.operators.extract import extract_candidates
+    from tspider_spark.sources.corpus import CorpusSpec, corpus_to_spark, generate_corpus
+
+    docs, _ = generate_corpus(CorpusSpec(seed=42, n_domains=3, hosts_per_domain=2))
+    ddf = corpus_to_spark(spark, docs)
+    fetched = ddf.select(
+        F.col("doc_id").alias("task_url"),
+        F.lit(0).alias("depth"),
+        F.monotonically_increasing_id().alias("task_rank"),
+        "doc_id",
+        "spans",
+    )
+    return extract_candidates(fetched).select(
+        "task_url", "seq", "method", "url", "postdata", "type"
+    )
+
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tspider_spark.operators.textdedup import simhash_dups
 
@@ -473,6 +628,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k6_keepfirst": q_k6_keepfirst,
         "a1_host_counts": q_a1_host_counts,
         "union_emission_order": q_union_emission_order,
+        "f10_suffix_blocklist": q_f10_suffix_blocklist,
+        "f12_f13_saved_dedupe": q_f12_f13_saved_dedupe,
+        "q2_politeness_delay": q_q2_politeness_delay,
+        "robots_disallow": q_robots_disallow,
+        "k1_scope_routing": q_k1_scope_routing,
+        "host_rate_windows": q_host_rate_windows,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "lineitem_agg": q_lineitem_agg,
         "nation_revenue": q_nation_revenue,
         "top10_orders": q_top10_orders,
@@ -490,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_full_run": q_crawl_full_run,
         "media_decode": q_media_decode,
         "simhash_dups": q_simhash_dups,
+        "e1_e8_extraction": q_e1_e8_extraction,
     }
 
 
@@ -605,6 +768,62 @@ def oracle_sql() -> dict[str, str]:
  select hostname, count(*) as n_requests,
         count(distinct scan_key) as n_distinct_keys
  from clean group by 1
+""",
+        "f10_suffix_blocklist": _CLEAN_SQL + """
+ select event_id, url from clean
+ where not (hostname = 'host5.com' or hostname like '%.host5.com'
+            or hostname = 'sub1.host7.com')
+""",
+        "f12_f13_saved_dedupe": _CLEAN_SQL + """
+ select 'GET-' || pattern as saved_key,
+        min(event_id) as first_event_id, arg_min(url, event_id) as url
+ from clean where event_type not in ('click', 'purchase')
+ group by pattern
+""",
+        "q2_politeness_delay": _CLEAN_SQL + """
+ select hostname,
+        row_number() over (partition by hostname order by event_id)
+          as slot,
+        url,
+        ((row_number() over (partition by hostname order by event_id)) - 1)
+          * ((regexp_extract(hostname, 'host([0-9]+)', 1)::INT % 3) * 100)
+          as planned_offset_ms
+ from clean
+""",
+        "robots_disallow": _CLEAN_SQL + """
+ select event_id, url from clean
+ where not (regexp_extract(hostname, 'host([0-9]+)', 1)::INT % 5 = 0
+            and path like '/click%')
+""",
+        "k1_scope_routing": _CLEAN_SQL + """
+ , routed as (
+   select *,
+     (case when hostname like '%.co.uk'
+           then 'host' || (user_id % 20) || '.co.uk'
+           else 'host' || (user_id % 20) || '.com' end) as dom
+   from clean
+ )
+ select (user_id % 20) % 4 = 1 as is_target,
+        count(*) as n_results, count(distinct dom) as n_domains
+ from routed group by 1
+""",
+        "host_rate_windows": _URLS_SQL + """
+ select epoch(time_bucket(INTERVAL '1 minute', ts))::BIGINT as wstart_epoch,
+        hostname, count(*) as n_urls
+ from urls group by 1, 2
+""",
+        "ann_ivf_topk": """
+ with q as (select vec_id qid, embedding::DOUBLE[] qv from embeddings where vec_id < 8),
+ c as (select vec_id nid, embedding::DOUBLE[] cv from embeddings),
+ scored as (
+   select qid, nid, list_cosine_similarity(qv, cv) as s
+   from q cross join c where qid <> nid
+ ), ranked as (
+   select qid as query_id, nid as neighbor_id,
+          row_number() over (partition by qid order by s desc, nid asc) as rank
+   from scored
+ )
+ select query_id, rank, neighbor_id from ranked where rank <= 5
 """,
         "union_emission_order": """
  select user_id,

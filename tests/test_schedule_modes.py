@@ -1,0 +1,78 @@
+"""admit_wave physical modes must be algebraically identical: the
+reduce_first pre-aggregation (legacy), the pure-window fold, and the
+explicit host-repartitioned fold are three plans for the same
+sequential admission semantics (SURVEY.md §2.3 F8/F9/A2)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tspider_spark.operators.schedule import admit_wave
+
+
+def _workload(seed: int, n: int = 400, hosts: int = 7):
+    """Randomized candidate stream with duplicates, synthetic
+    index-page rows, and some hosts carrying prior budget."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        h = f"h{rng.randrange(hosts)}.com"
+        key = f"{h}//p/{rng.randrange(25)}"
+        synth = 0 if rng.random() < 0.1 else 1
+        if synth == 0:
+            key = f"{h}//"
+        rows.append((h, key, f"http://{key}", i, rng.randrange(3), synth))
+    budget = [(f"h{i}.com", rng.choice([0, 0, 2, 5])) for i in range(hosts)]
+    return rows, budget
+
+
+def _oracle(rows, budget, cap):
+    """Direct sequential fold of the reference semantics."""
+    prior = dict(budget)
+    seen, admitted = set(), []
+    for h, key, url, rank, seq, synth in sorted(
+        rows, key=lambda r: (r[3], r[4], r[5])
+    ):
+        count = prior.get(h, 0)
+        if synth == 0 and count != 0:
+            continue  # A2 fires only for fresh hosts
+        if key in seen:
+            continue  # F8 within-wave
+        if count > cap:
+            continue  # F9 strict '>'
+        seen.add(key)
+        prior[h] = count + 1
+        admitted.append((h, key, url))
+    return sorted(admitted)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_modes_agree_and_match_oracle(spark, seed):
+    cap = 4
+    rows, budget = _workload(seed)
+    cands = spark.createDataFrame(
+        rows,
+        "hostname string, scan_key string, url string, "
+        "task_rank long, seq int, synth_rank int",
+    )
+    bdf = spark.createDataFrame(budget, "hostname string, reqcount long")
+
+    def run(**kw):
+        out = admit_wave(cands, bdf, cap, **kw)
+        return sorted(
+            (r["hostname"], r["scan_key"], r["url"]) for r in out.collect()
+        )
+
+    expected = _oracle(rows, budget, cap)
+    assert run(reduce_first=True) == expected
+    assert run(reduce_first=False) == expected
+    assert run(reduce_first=True, partitions=5) == expected
+    # pre-partitioned input, no extra exchange requested
+    pre = cands.repartition(3, "hostname")
+    out = admit_wave(pre, bdf, cap, reduce_first=False)
+    assert sorted(
+        (r["hostname"], r["scan_key"], r["url"]) for r in out.collect()
+    ) == expected

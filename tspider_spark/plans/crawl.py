@@ -128,8 +128,9 @@ class CrawlEngine:
             },
             meta={
                 "next_depth": 0,
-                "next_order": admitted.count(),
+                "next_order": (n_seeds := admitted.count()),
                 "next_save_order": 0,
+                "last_scheduled": n_seeds,
                 "config": self.cfg.to_meta(),
             },
         )
@@ -179,9 +180,16 @@ class CrawlEngine:
         next_order = int(meta["next_order"])
         next_save = int(meta["next_save_order"])
 
+        # A3 termination from committed metadata: the previous wave's
+        # admitted count IS the current frontier depth's size, so no
+        # Spark job is needed to detect the drained frontier (isEmpty
+        # is kept as the fallback for resuming from pre-existing state)
+        last_sched = meta.get("last_scheduled")
+        if last_sched is not None and int(last_sched) == 0:
+            return None
         frontier = self.store.read("frontier")
         tasks = frontier.filter(F.col("depth") == depth)
-        if tasks.isEmpty():
+        if last_sched is None and tasks.isEmpty():
             return None  # A3: crawl complete
 
         # consumer-side blocklist re-check (consumer.py:38) — uses the
@@ -345,6 +353,8 @@ class CrawlEngine:
             .agg(F.sum("reqcount").alias("reqcount"))
         )
 
+        # admitted.count() materializes every cache (cands, cands_t,
+        # admitted) in one pass; the other counts then read cached data
         n_sched = admitted.count()
         n_saved = results.count()
         n_cands = cands.count()
@@ -367,6 +377,7 @@ class CrawlEngine:
                 "next_depth": depth + 1,
                 "next_order": next_order + n_sched,
                 "next_save_order": next_save + n_saved,
+                "last_scheduled": n_sched,
             },
         )
         for df in (cands, cands_t, results, admitted):

@@ -43,8 +43,12 @@ def stream_host_rate(
     delay: str = "10 minutes",
     window: str = "1 minute",
 ) -> DataFrame:
+    # watermark only applies to streaming input; the same windowed agg
+    # is batch-callable (used by the driver-contract oracle check)
+    if candidates.isStreaming:
+        candidates = candidates.withWatermark(watermark_col, delay)
     return (
-        candidates.withWatermark(watermark_col, delay)
+        candidates
         .groupBy(F.window(watermark_col, window).alias("w"), "hostname")
         .agg(F.count("*").alias("n_urls"))
         .select(

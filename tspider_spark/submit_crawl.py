@@ -1,0 +1,92 @@
+"""spark-submit entry point for the crawl engine (north_rule: "runs
+via spark-submit --py-files on multi-executor clusters").
+
+Usage (see tools/run_crawl_submit.sh for the packaged invocation):
+
+    spark-submit --py-files tspider_spark.zip \
+        submit_crawl.py --documents <parquet dir or 'synthetic'> \
+        --seeds <url> [<url> ...] --state <dir> \
+        [--max-waves N] [--max-per-host N] [--tld] [--resume]
+
+On a real cluster the same command takes --master yarn/k8s etc.; the
+engine itself is master-agnostic (everything is DataFrame ops against
+the committed state store). --resume restarts from the last committed
+wave snapshot (Q5) with no other arguments needed — config is
+restored from the store's metadata.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", required=True,
+                    help="parquet dir with (doc_id, spans) or 'synthetic'")
+    ap.add_argument("--seeds", nargs="*", default=[])
+    ap.add_argument("--seeds-file", default=None)
+    ap.add_argument("--state", required=True)
+    ap.add_argument("--max-waves", type=int, default=None)
+    ap.add_argument("--max-per-host", type=int, default=100)
+    ap.add_argument("--tld", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the last committed snapshot")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    # spark-submit owns master/conf; only fill gaps for bare local runs
+    spark = SparkSession.builder.appName("tspider-crawl").getOrCreate()
+
+    from tspider_spark.config import CrawlConfig
+    from tspider_spark.plans.crawl import CrawlEngine
+    from tspider_spark.sources.state import StateStore
+
+    if args.documents == "synthetic":
+        from tspider_spark.sources.corpus import (
+            CorpusSpec,
+            corpus_to_spark,
+            generate_corpus,
+        )
+
+        docs, default_seeds = generate_corpus(
+            CorpusSpec(seed=42, n_domains=3, hosts_per_domain=2)
+        )
+        documents = corpus_to_spark(spark, docs)
+        seeds = args.seeds or default_seeds
+    else:
+        documents = spark.read.parquet(args.documents)
+        seeds = args.seeds
+
+    if args.resume:
+        cfg = CrawlConfig.from_meta(
+            StateStore(spark, args.state).meta().get("config", {})
+        )
+        eng = CrawlEngine(spark, documents, args.state, cfg)
+    else:
+        cfg = CrawlConfig(tld=args.tld, max_per_host=args.max_per_host)
+        eng = CrawlEngine(spark, documents, args.state, cfg)
+        if args.seeds_file:
+            eng.seed_from_text_file(args.seeds_file)
+        else:
+            eng.seed(list(seeds))
+
+    stats = eng.run(max_waves=args.max_waves)
+    order_head = [
+        (r["url"], r["depth"], r["rank"])
+        for r in eng.crawl_order().limit(5).collect()
+    ]
+    print("CRAWL_RESULT " + json.dumps({
+        "stats": stats,
+        "store_version": eng.store.version,
+        "crawl_order_head": order_head,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
