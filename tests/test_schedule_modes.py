@@ -10,7 +10,7 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from tspider_spark.operators.schedule import admit_wave
+from tspider_spark.operators.schedule import admit_wave, admit_wave_salted
 
 
 def _workload(seed: int, n: int = 400, hosts: int = 7):
@@ -76,3 +76,41 @@ def test_modes_agree_and_match_oracle(spark, seed):
     assert sorted(
         (r["hostname"], r["scan_key"], r["url"]) for r in out.collect()
     ) == expected
+
+    # skew path: salted fold is exact too
+    for s_buckets in (1, 4):
+        out = admit_wave_salted(cands, bdf, cap, s_buckets, partitions=5)
+        assert sorted(
+            (r["hostname"], r["scan_key"], r["url"]) for r in out.collect()
+        ) == expected
+
+
+def test_salted_crawl_matches_unsalted(spark, tmp_path):
+    """Full engine parity: salting is a pure physical choice — crawl
+    order, seen set, and results are bit-identical."""
+    from tspider_spark.config import CrawlConfig
+    from tspider_spark.plans.crawl import CrawlEngine
+    from tspider_spark.sources.corpus import (
+        CorpusSpec,
+        corpus_to_spark,
+        generate_corpus,
+    )
+
+    docs, seeds = generate_corpus(CorpusSpec(seed=11, n_domains=2, hosts_per_domain=2))
+    ddf = corpus_to_spark(spark, docs)
+
+    def crawl(salt):
+        cfg = CrawlConfig(tld=True, max_per_host=6, salt_buckets=salt)
+        eng = CrawlEngine(spark, ddf, str(tmp_path / f"s{salt}"), cfg)
+        eng.seed(seeds)
+        eng.run()
+        order = [
+            (r["url"], r["depth"], r["rank"])
+            for r in eng.crawl_order().collect()
+        ]
+        scanned = {
+            r["scan_key"] for r in eng.store.read("seen_scanned").collect()
+        }
+        return order, scanned
+
+    assert crawl(0) == crawl(8)

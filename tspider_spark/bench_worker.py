@@ -90,13 +90,13 @@ def build_corpus(spark, n_docs: int, n_hosts: int, links_per_doc: int, path: str
 
 
 def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
-        seen_frac: float, corpus_path: str | None) -> dict:
+        seen_frac: float, corpus_path: str | None, salt: int = 0) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
     from tspider_spark.functions.urlfuncs import with_url_info
     from tspider_spark.operators import filters as FL
     from tspider_spark.operators.dedupe import anti_join_seen_copart
     from tspider_spark.operators.extract import extract_candidates
-    from tspider_spark.operators.schedule import admit_wave
+    from tspider_spark.operators.schedule import admit_wave, admit_wave_salted
     from tspider_spark.session import get_spark, warm_python_workers
 
     # identical shuffle layout at both parallelism levels: the scaling
@@ -164,8 +164,15 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
             F.lit(1).alias("synth_rank"),
         )
     )
-    stream = anti_join_seen_copart(stream, seen, "scan_key", "hostname", n_part)
-    admitted = admit_wave(stream, budget, max_per_host=100, reduce_first=False)
+    if salt:
+        # skew path: (host, bucket) exchange shared by anti-join + fold
+        stream = anti_join_seen_copart(
+            stream, seen, "scan_key", "hostname", n_part, salt_buckets=salt)
+        admitted = admit_wave_salted(
+            stream, budget, 100, salt, n_part, bucket_col="_salt_b")
+    else:
+        stream = anti_join_seen_copart(stream, seen, "scan_key", "hostname", n_part)
+        admitted = admit_wave(stream, budget, max_per_host=100, reduce_first=False)
     n_admit = admitted.count()
     elapsed = time.time() - t0
     cands.unpersist()
@@ -190,9 +197,11 @@ def main():
     ap.add_argument("--wave-frac", type=float, default=0.5)
     ap.add_argument("--seen-frac", type=float, default=0.25)
     ap.add_argument("--corpus-path", default=None)
+    ap.add_argument("--salt", type=int,
+                    default=int(os.environ.get("TSPIDER_BENCH_SALT", "0")))
     args = ap.parse_args()
     res = run(args.cores, args.n_docs, args.n_hosts, args.links,
-              args.wave_frac, args.seen_frac, args.corpus_path)
+              args.wave_frac, args.seen_frac, args.corpus_path, args.salt)
     print("BENCH_RESULT " + json.dumps(res))
 
 

@@ -25,6 +25,10 @@ class CrawlConfig:
     use_bloom_prefilter: bool = False
     bloom_shards: int = 8
     bloom_fpp: float = 0.01
+    # skew path: salt each host's candidates into N buckets for the
+    # seen anti-join + admission fold (0 = off). Exact either way
+    # (tests/test_schedule_modes.py, test_crawl_golden.py).
+    salt_buckets: int = 0
     # pre-reduce candidates to first-occurrence per (host, scan_key,
     # synth) before the budget window; exact (see operators/schedule.py)
     # and acts as the map-side combine for hot hosts.

@@ -185,6 +185,8 @@ def anti_join_seen_copart(
     key_col: str,
     host_col: str,
     partitions: int,
+    salt_buckets: int | None = None,
+    bucket_out: str = "_salt_b",
 ) -> DataFrame:
     """Host-co-partitioned exact anti-join: both sides are hash
     exchanged on ``host_col`` and joined on ``(host_col, key_col)``.
@@ -192,14 +194,33 @@ def anti_join_seen_copart(
     Because the host determines the join partition, the join inserts no
     further exchange — and neither does anything downstream keyed by
     host (the admission fold's groupBy/windows). One shuffle of the
-    candidate stream covers seen-dedupe + budget + politeness. This is
-    the wave's designated skew point: a hot host lands in one partition,
-    so pair it with AQE and (for pathological hosts) salt the host into
-    S buckets before calling and merge budgets after.
+    candidate stream covers seen-dedupe + budget + politeness.
+
+    ``salt_buckets``: the skew path (north_rule: host-bucket salting
+    for hot domains). Both sides gain bucket = xxhash64(key) % S and
+    are partitioned AND joined on (host, bucket, key) — still no extra
+    exchange (the bucket is a pure function of the key, so the join is
+    unchanged semantically), but a hot host's rows spread over S
+    partitions. The bucket column is kept on the output (``bucket_out``)
+    so the salted admission fold reuses the partitioning exchange-free;
+    the caller drops it after.
 
     ``seen`` must carry ``host_col`` too (persisted alongside the key —
     see sources/state.py seen_scanned schema).
     """
+    if salt_buckets:
+        b = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
+        c = cands.withColumn(bucket_out, b).repartition(
+            partitions, host_col, bucket_out
+        )
+        s = (
+            seen.select(host_col, key_col)
+            .withColumn(bucket_out, b)
+            .repartition(partitions, host_col, bucket_out)
+        )
+        return c.join(
+            s.hint("shuffle_hash"), [host_col, bucket_out, key_col], "left_anti"
+        )
     c = cands.repartition(partitions, host_col)
     s = seen.select(host_col, key_col).repartition(partitions, host_col)
     # shuffle-hash hint: the per-partition seen slice is the build side —

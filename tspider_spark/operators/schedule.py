@@ -137,6 +137,64 @@ def admit_wave(
     return admitted.drop("_rn", "_dup_rn", "_row0", "_survivor", "_sidx", "reqcount")
 
 
+def admit_wave_salted(
+    cands: DataFrame,
+    host_budget: DataFrame,
+    max_per_host: int,
+    salt_buckets: int,
+    partitions: int,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Skew-proof admission fold: host-bucket salting for hot domains
+    (north_rule). Exact — equals admit_wave on any input
+    (tests/test_schedule_modes.py) — but a mega-host's candidates are
+    processed across ``salt_buckets`` partitions instead of one.
+
+    Phase 1 (salted, wide): bucket = xxhash64(scan_key) % S. Because
+    the bucket is a pure function of the dedupe key, every key lives in
+    exactly ONE (host, bucket) group, so the local first-occurrence
+    window IS the global per-key dedupe. Each (host, bucket, synthflag)
+    group then keeps only its first cap+1 survivors in candidate order:
+    any globally-admitted row is among the first cap+1 survivors of its
+    host, hence of its own bucket — so the truncation can never drop an
+    admitted row.
+
+    Phase 2 (exact, tiny): ≤ S×(cap+2) rows per host flow into the
+    ordinary window fold, which replays the sequential semantics
+    (fresh-host synthetics, strict-'>' budget) exactly.
+
+    ``bucket_col``: pass the name of a precomputed bucket column to
+    reuse upstream (host, bucket) partitioning — e.g. straight out of a
+    salted co-partitioned seen anti-join — making phase 1
+    exchange-free; otherwise the bucket is derived and one explicit
+    exchange on (hostname, bucket) is inserted.
+    """
+    if bucket_col is None:
+        cands = cands.withColumn(
+            "_salt_b", F.pmod(F.xxhash64("scan_key"), F.lit(salt_buckets))
+        )
+        cands = cands.repartition(partitions, "hostname", "_salt_b")
+        bucket_col = "_salt_b"
+    order = [F.col(c) for c in ORDER_COLS]
+    w_key = Window.partitionBy(
+        "hostname", bucket_col, "scan_key", "synth_rank"
+    ).orderBy(*order)
+    w_bucket = Window.partitionBy("hostname", bucket_col, "synth_rank").orderBy(
+        *order
+    )
+    local = (
+        cands.withColumn("_kr", F.row_number().over(w_key))
+        .filter(F.col("_kr") == 1)
+        .withColumn("_br", F.row_number().over(w_bucket))
+        .filter(F.col("_br") <= max_per_host + 2)
+        .drop("_kr", "_br", bucket_col)
+    )
+    return admit_wave(
+        local, host_budget, max_per_host, reduce_first=False,
+        partitions=partitions,
+    )
+
+
 def assign_discovery_order(
     admitted: DataFrame, start: int, out: str = "discovery_order"
 ) -> DataFrame:

@@ -50,6 +50,7 @@ from tspider_spark.operators.extract import extract_candidates
 from tspider_spark.operators.robots import apply_crawl_delay, robots_filter
 from tspider_spark.operators.schedule import (
     admit_wave,
+    admit_wave_salted,
     assign_discovery_order,
     politeness_slots,
 )
@@ -322,6 +323,20 @@ class CrawlEngine:
             admitted = admit_wave(
                 stream, host_budget, self.cfg.max_per_host,
                 reduce_first=False, partitions=n_part,
+            )
+        elif self.cfg.salt_buckets:
+            # skew path (north_rule): hot-host candidates salted into
+            # S buckets; the (host, bucket) exchange is shared by the
+            # anti-join and the salted fold's wide phase, the exact
+            # merge fold then runs on ≤ S×(cap+2) rows per host.
+            stream = anti_join_seen_copart(
+                stream, self.store.read("seen_scanned"),
+                "scan_key", "hostname", n_part,
+                salt_buckets=self.cfg.salt_buckets,
+            )
+            admitted = admit_wave_salted(
+                stream, host_budget, self.cfg.max_per_host,
+                self.cfg.salt_buckets, n_part, bucket_col="_salt_b",
             )
         else:
             # scale path: ONE hash exchange on hostname covers the F8
