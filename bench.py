@@ -66,12 +66,27 @@ def _burn(_):
     return x
 
 
-def cpu_calibration(procs: int) -> float:
-    """Machine-ceiling probe: aggregate iterations/s of `procs`
-    shared-nothing spin loops. The ratio between two levels is the
-    hardware's own scaling ceiling for pure CPU work."""
+def _burn_mem(_):
+    """Memory-streaming burn: repeatedly reduce a cache-busting array —
+    the bandwidth-bound analog of _burn. A shuffle/scan engine sits
+    between the two ceilings."""
+    import numpy as np
+
+    a = np.arange(8_000_000, dtype=np.float64)  # 64 MB, busts LLC share
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 2:
+        x += float(a.sum())
+    return x
+
+
+def cpu_calibration(procs: int, fn=_burn) -> float:
+    """Machine-ceiling probe: aggregate work/s of `procs` shared-nothing
+    loops. The ratio between two levels is the hardware's own scaling
+    ceiling for that resource (register-CPU for _burn, memory bandwidth
+    for _burn_mem)."""
     with mp.Pool(procs) as p:
-        return sum(p.map(_burn, range(procs))) / 2.0
+        return sum(p.map(fn, range(procs))) / 2.0
 
 
 def run_worker(cores: int, corpus_path: str, heap: str, pin: bool) -> dict:
@@ -100,10 +115,14 @@ def main():
     lo_cores = max(CPUS // 4, 1)
     lo_heap = f"{max(8 * lo_cores // CPUS, 2)}g"
 
-    # hardware ceiling at the same pair of core counts
+    # hardware ceilings at the same pair of core counts: compute-bound
+    # and memory-bandwidth-bound (a scan/shuffle engine sits between)
     cal_lo = cpu_calibration(lo_cores)
     cal_hi = cpu_calibration(CPUS)
     hw_ceiling = (cal_hi / cal_lo) / (CPUS / lo_cores)
+    mem_lo = cpu_calibration(lo_cores, _burn_mem)
+    mem_hi = cpu_calibration(CPUS, _burn_mem)
+    mem_ceiling = (mem_hi / mem_lo) / (CPUS / lo_cores)
 
     # interleaved trials, best-of per level (shared-VM noise: ~35%
     # single-core drift measured between runs)
@@ -152,7 +171,9 @@ def main():
             "speedup": round(speedup, 3),
             "efficiency": round(efficiency, 3),
             "hw_ceiling_same_pair": round(hw_ceiling, 3),
+            "hw_mem_ceiling_same_pair": round(mem_ceiling, 3),
             "efficiency_vs_hw_ceiling": round(efficiency / hw_ceiling, 3),
+            "efficiency_vs_mem_ceiling": round(efficiency / mem_ceiling, 3),
         },
     }
     print(json.dumps(result))
