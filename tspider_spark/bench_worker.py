@@ -101,7 +101,7 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
 
     # identical shuffle layout at both parallelism levels: the scaling
     # comparison must vary ONLY the core count
-    n_part = int(os.environ.get("TSPIDER_BENCH_SHUFFLE", "64"))
+    n_part = int(os.environ.get("TSPIDER_BENCH_SHUFFLE", "128"))
     spark = get_spark(f"bench-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=n_part)
     own_corpus = corpus_path is None
@@ -145,13 +145,20 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
     # task_url (extraction windows), one on hostname (co-partitioned
     # seen anti-join + the whole admission fold).
     t0 = time.time()
-    fetched = tasks.join(docs, F.col("task_url") == F.col("doc_id"), "inner")
+    # shuffle-hash fetch join (NOT broadcast): a frontier wave is
+    # millions of rows — a broadcast would build the hash relation
+    # single-threaded on the driver, an identical serial cost at every
+    # cluster size. The join's own task_url exchange then feeds the
+    # extraction windows directly (no further exchange).
+    fetched = tasks.hint("shuffle_hash").join(
+        docs, F.col("task_url") == F.col("doc_id"), "inner")
     # narrow to the scheduling stream's columns BEFORE caching — the
     # cache is read twice (hybrid fast/slow branches); headers maps and
     # postdata would double the cached bytes for nothing
-    cands = extract_candidates(fetched).select("url", "task_rank", "seq")
+    cands = extract_candidates(fetched, partitions=0).select("url", "task_rank", "seq")
     cands.persist()
-    n_cands = cands.count()  # materialization point 1: extraction
+    if os.environ.get("TSPIDER_BENCH_BARRIER"):
+        cands.count()  # optional mid-pipeline materialization barrier
 
     stream = (
         with_url_info(cands, "url")
@@ -173,8 +180,11 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
     else:
         stream = anti_join_seen_copart(stream, seen, "scan_key", "hostname", n_part)
         admitted = admit_wave(stream, budget, max_per_host=100, reduce_first=False)
+    # ONE action drives the whole wave (extraction cache fills on the
+    # way) — no mid-pipeline count barrier idling the cluster
     n_admit = admitted.count()
     elapsed = time.time() - t0
+    n_cands = cands.count()  # post-hoc, reads the cache
     cands.unpersist()
 
     out = {
@@ -191,7 +201,7 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
-    ap.add_argument("--n-docs", type=int, default=int(os.environ.get("TSPIDER_BENCH_DOCS", 2000000)))
+    ap.add_argument("--n-docs", type=int, default=int(os.environ.get("TSPIDER_BENCH_DOCS", 4000000)))
     ap.add_argument("--n-hosts", type=int, default=4000)
     ap.add_argument("--links", type=int, default=12)
     ap.add_argument("--wave-frac", type=float, default=0.5)

@@ -69,18 +69,21 @@ def extract_candidates(fetched: DataFrame, partitions: int | None = None) -> Dat
     type`` where ``seq`` is the exact per-page emission rank after both
     dedupe passes (the reference's result-queue order).
 
-    ``partitions``: width of the single extraction shuffle; defaults to
-    the session's shuffle-partition setting (explicit so a few-split
-    scan cannot serialize the explode).
+    ``partitions``: width of an explicit pre-explode exchange on
+    ``task_url``. Pass an int when the input's partitioning is too
+    coarse (e.g. a broadcast join over a few-split scan would serialize
+    the explode). Pass 0/None to insert NO explicit exchange: the
+    windows then reuse the input's existing task_url clustering (e.g.
+    straight out of a shuffle-hash fetch join) or EnsureRequirements
+    inserts one exchange itself.
     """
-    spark = fetched.sparkSession
-    if partitions is None:
-        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if partitions:
+        fetched = fetched.repartition(partitions, "task_url")
 
-    # ONE exchange: clustering by task_url satisfies both window
-    # requirements below (their partition keys contain task_url).
+    # clustering by task_url satisfies both window requirements below
+    # (their partition keys contain task_url) -> at most ONE exchange.
     s = (
-        fetched.repartition(partitions, "task_url")
+        fetched
         .select(
             *TASK_COLS,
             "doc_id",

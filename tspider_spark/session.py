@@ -41,6 +41,12 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    extra = os.environ.get("TSPIDER_EXTRA_CONF")
+    if extra:
+        import json
+
+        for k, v in json.loads(extra).items():
+            builder = builder.config(k, str(v))
     return builder.getOrCreate()
 
 
