@@ -61,3 +61,26 @@ def test_seed_from_text_file(spark, tmp_path):
     e.run()
     got = [(r["url"], r["depth"], r["rank"]) for r in e.crawl_order().collect()]
     assert got == oracle.crawl_order
+
+
+def test_k2_merge_results_idempotent(spark, tmp_path):
+    """K2: exists-check upsert — inserting an overlapping batch adds
+    only the new (method, pattern) keys; re-running inserts nothing."""
+    from pyspark.sql import functions as F
+
+    from tspider_spark.operators.export import merge_results
+
+    e, docs, seeds, cfg = _crawled_engine(spark, tmp_path)
+    before = e.store.read("results").count()
+
+    # batch = 2 existing rows + 1 genuinely new pattern
+    existing_two = e.results().limit(2)
+    new_row = existing_two.limit(1).withColumn(
+        "pattern", F.lit("http://new.example.com/only/{digit}")
+    ).withColumn("url", F.lit("http://new.example.com/only/7"))
+    batch = existing_two.unionByName(new_row)
+
+    assert merge_results(e.store, batch) == 1
+    assert e.store.read("results").count() == before + 1
+    assert merge_results(e.store, batch) == 0
+    assert e.store.read("results").count() == before + 1

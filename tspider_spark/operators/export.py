@@ -49,6 +49,25 @@ def urls_for_pocsuite(results: DataFrame) -> DataFrame:
     )
 
 
+def merge_results(store, new_results: DataFrame) -> int:
+    """K2 — the exists-check-before-insert fallback
+    (mongo_utils.py:59-74, used when the Redis saved-cache was lost):
+    idempotent upsert of result rows keyed by ``(method, pattern)``.
+    Implemented as an anti-join against the committed ``results`` table
+    followed by an atomic append — the parquet+manifest stand-in for an
+    Iceberg ``MERGE INTO``. Returns the number of rows inserted;
+    re-running with the same input inserts zero."""
+    existing = store.read("results").select("method", "pattern")
+    fresh = new_results.join(
+        existing.distinct(), ["method", "pattern"], "left_anti"
+    ).dropDuplicates(["method", "pattern"]).cache()
+    n = fresh.count()
+    if n:
+        store.commit(appends={"results": fresh})
+    fresh.unpersist()
+    return n
+
+
 def rebuild_seen_saved(results: DataFrame) -> DataFrame:
     """S6 — rebuild the saved-set from the result store
     (tools/build_redis_cache.py:23-30): distinct '{method}-{pattern}'."""
