@@ -203,7 +203,11 @@ def q_f9_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("synth_rank"),
     )
     empty = empty_df(spark, SCHEMAS["host_budget"])
-    out = admit_wave(cands, empty, CAP, reduce_first=True)
+    # scale mode: window-only fold over one hostname exchange (the
+    # legacy reduce_first pre-aggregation is algebraically identical —
+    # tests/test_schedule_modes.py — but plans as a SortAggregate)
+    out = admit_wave(cands, empty, CAP, reduce_first=False,
+                     partitions=int(spark.conf.get("spark.sql.shuffle.partitions")))
     return out.select("hostname", "scan_key", "url")
 
 
@@ -236,7 +240,8 @@ def q_a2_index_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     empty = empty_df(spark, SCHEMAS["host_budget"])
-    out = admit_wave(regular.unionByName(synth), empty, CAP, reduce_first=True)
+    out = admit_wave(regular.unionByName(synth), empty, CAP, reduce_first=False,
+                     partitions=int(spark.conf.get("spark.sql.shuffle.partitions")))
     return out.select("hostname", "url")
 
 
