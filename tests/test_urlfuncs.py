@@ -121,6 +121,33 @@ class TestPSL:  # T5
     def test_unknown_tld_default_rule(self):
         assert get_public_suffix("a.b.weirdtld") == "b.weirdtld"
 
+    # full-list coverage (reference bundles the complete Mozilla PSL;
+    # these suffixes were outside the round-1 embedded subset)
+    def test_full_list_cctlds(self):
+        assert get_public_suffix("shop.example.co.za") == "example.co.za"
+        assert get_public_suffix("x.foo.com.mx") == "foo.com.mx"
+        assert get_public_suffix("a.b.com.ng") == "b.com.ng"
+
+    def test_private_section(self):
+        # publicsuffix.PublicSuffixList does not distinguish sections
+        assert get_public_suffix("user.github.io") == "user.github.io"
+        assert get_public_suffix("a.user.github.io") == "user.github.io"
+        assert get_public_suffix("blog.blogspot.com") == "blog.blogspot.com"
+
+    def test_wildcard_rule(self):
+        # *.ck: any <x>.ck is a public suffix ...
+        assert get_public_suffix("a.b.ck") == "a.b.ck"
+        assert get_public_suffix("z.a.b.ck") == "a.b.ck"
+        # ... except !www.ck
+        assert get_public_suffix("www.ck") == "www.ck"
+        assert get_public_suffix("sub.www.ck") == "www.ck"
+
+    def test_wildcard_exception_kawasaki(self):
+        assert get_public_suffix("x.kawasaki.jp") == "x.kawasaki.jp"
+        assert get_public_suffix("y.x.kawasaki.jp") == "y.x.kawasaki.jp"
+        assert get_public_suffix("city.kawasaki.jp") == "city.kawasaki.jp"
+        assert get_public_suffix("a.city.kawasaki.jp") == "city.kawasaki.jp"
+
 
 class TestBlockNames:  # F10, redis_utils.py:198-216
     def test_suffix_walk(self):
@@ -172,6 +199,15 @@ class TestHybridEquivalence:
         "http://h.com/dir/sub/?q=1",
         "http://com/x",
         "http://h.com/a#frag/part",
+        # full-PSL shapes: private section, multi-level ccTLD,
+        # wildcard rule, wildcard exception
+        "http://a.user.github.io/p",
+        "http://shop.example.co.za/x?a=1",
+        "http://x.foo.com.mx/y",
+        "http://z.a.b.ck/q",
+        "http://sub.www.ck/q",
+        "http://a.city.kawasaki.jp/r",
+        "http://y.x.kawasaki.jp/r",
         "http://h.com:",         # empty port -> slow path (regex needs digits)
         # slow-path shapes (must fall back to the UDF)
         "//proto.rel.com/x?a=1",

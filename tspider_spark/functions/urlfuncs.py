@@ -67,9 +67,12 @@ def _derive_batch(s: pd.Series) -> pd.DataFrame:
     )
     out = parsed.reindex(s.where(mask).values)
     out.reset_index(drop=True, inplace=True)
-    # true None (not NaN) so Arrow treats array/bool fields as null
-    out = out.astype(object)
-    out.loc[~mask.values, :] = None
+    if not mask.all():
+        # true None (not NaN) so Arrow treats array/bool fields as
+        # null — but only pay the object-dtype copy when the batch
+        # actually contains nulls (the residue hot path usually doesn't)
+        out = out.astype(object)
+        out.loc[~mask.values, :] = None
     return out
 
 
@@ -82,32 +85,32 @@ def derive_url(s: pd.Series) -> pd.DataFrame:
 # JVM fast path
 
 # plain-http(s) shape where the JVM derivation is provably identical to
-# the Python path: lowercase scheme; host limited to [A-Za-z0-9.-] (no
+# the Python path: lowercase scheme; host limited to dot-separated
+# [A-Za-z0-9-] labels (no empty labels / leading or trailing dots, no
 # userinfo/IPv6/invalid ports); optional numeric port; path/query/
 # fragment free of ';' (params), '%' (unquoting), '+' (parse_qsl space
 # rules), backslashes and whitespace.
 FAST_URL_RE = (
-    r"^https?://[A-Za-z0-9.\-]+(:[0-9]+)?"
+    r"^https?://[A-Za-z0-9\-]+(\.[A-Za-z0-9\-]+)*(:[0-9]+)?"
     r"(/[A-Za-z0-9._~/\-]*)?"
     r"(\?[A-Za-z0-9_.=&\-]*)?"
     r"(#[A-Za-z0-9_./\-]*)?$"
 )
 
-from tspider_spark.functions.psl import SUFFIXES as _PSL_SUFFIXES
+from tspider_spark.functions import psl as _psl
 from tspider_spark.functions.urlpure import BLOCKEXT as _BLOCKEXT
 from tspider_spark.functions.urlpure import BLOCKHOST as _BLOCKHOST
-
-_TWO_LEVEL = sorted(s for s in _PSL_SUFFIXES if "." in s)
 
 
 def fast_eligible(url_col) -> "F.Column":
     return url_col.isNotNull() & url_col.rlike(FAST_URL_RE)
 
 
-def _jvm_url_fields(url_col) -> dict:
+def _jvm_url_fields(url_col, ml_col) -> dict:
     """Whole-stage-codegen derivation for fast-path URLs, one Column
     per field. Field-exact twin of urlpure.parse_url on the
-    FAST_URL_RE domain."""
+    FAST_URL_RE domain. ``ml_col``: the PSL match length resolved by
+    _with_psl_match_len (suffix label count of the public suffix)."""
     BIG = F.lit(1 << 30)
     u = url_col
     defrag = F.substring_index(u, "#", 1)
@@ -127,16 +130,18 @@ def _jvm_url_fields(url_col) -> dict:
         F.instr(filename, ".") > 0, F.substring_index(filename, ".", -1)
     ).otherwise("")
 
-    # PSL domain: two-level public suffix -> last 3 labels, else last 2
+    # PSL registered domain over the FULL bundled list: match_len is
+    # resolved BEFORE this projection by one broadcast join against the
+    # grouped rule table (_with_psl_match_len below) and arrives here
+    # as the precomputed ``ml_col`` — keeping this expression tree tiny
+    # and the per-row cost a hash probe plus a label slice.
     parts = F.split(hostname, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    two_level = last2.isin(*_TWO_LEVEL) if _TWO_LEVEL else F.lit(False)
-    domain = (
-        F.when((n >= 3) & two_level, F.concat_ws(".", F.slice(parts, n - 2, 3)))
-        .when(n >= 2, last2)
-        .otherwise(hostname)
-    )
+    match_len = ml_col
+    domain = F.when(
+        n > match_len,
+        F.concat_ws(".", F.slice(parts, n - match_len, match_len + 1)),
+    ).otherwise(hostname)
 
     # pattern (T2): digits -> {digit} in path; sorted distinct query
     # keys with non-blank values, '<>'-joined
@@ -199,10 +204,112 @@ def _jvm_url_fields(url_col) -> dict:
     }
 
 
-def _jvm_url_struct(url_col) -> "F.Column":
+def _jvm_url_struct(url_col, ml_col) -> "F.Column":
     return F.struct(
-        *[c.alias(n) for n, c in _jvm_url_fields(url_col).items()]
+        *[c.alias(n) for n, c in _jvm_url_fields(url_col, ml_col).items()]
     )
+
+
+# ---------------------------------------------------------------------------
+# PSL match-length resolution (broadcast join, zero Python)
+
+_PSL_RULES_SCHEMA = (
+    "_psl_key string, _psl_m2 boolean, "
+    "_psl_rules array<struct<lvl:int, wild:boolean, exc:boolean, s:string>>"
+)
+_psl_rules_cache: dict = {}
+
+
+def _psl_rules_df(spark):
+    """The grouped PSL rule table (~4.7k rows), cached per session.
+    Broadcast at each use — a dimension table in the classic sense."""
+    key = id(spark)
+    if key not in _psl_rules_cache or _psl_rules_cache[key][0] is not spark:
+        df = spark.createDataFrame(_psl.jvm_rule_rows(), _PSL_RULES_SCHEMA)
+        _psl_rules_cache.clear()  # one live session at a time
+        _psl_rules_cache[key] = (spark, df)
+    return _psl_rules_cache[key][1]
+
+
+def _hostname_of(url_col) -> "F.Column":
+    netloc = F.substring_index(
+        F.substring_index(
+            F.substring(
+                F.substring_index(url_col, "#", 1),
+                F.length(F.substring_index(url_col, ":", 1)) + 4,
+                F.lit(1 << 30),
+            ),
+            "/",
+            1,
+        ),
+        "?",
+        1,
+    )
+    return F.lower(F.regexp_replace(netloc, ":[0-9]*$", ""))
+
+
+def _with_psl_match_len(df, url_col, out: str):
+    """Attach the PSL match length for ``url_col``'s hostname as
+    column ``out``: one broadcast left join on the hostname's last two
+    labels, then a spec-exact resolution over the (tiny, usually
+    empty) per-group rule array — exception prevails, else longest
+    match, else the 1-label default; single-label wildcard bases
+    (*.ck, ...) are a 15-literal IN check."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    hostname = _hostname_of(c)
+    parts = F.split(hostname, r"\.")
+    n = F.size(parts)
+    key = F.when(
+        n >= 2, F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    ).otherwise(hostname)
+    rules = _psl_rules_df(df.sparkSession)
+    df = df.withColumn("_psl_k", key).join(
+        F.broadcast(rules), F.col("_psl_k") == F.col("_psl_key"), "left"
+    )
+    # sufs[k] = the hostname's last k labels (null when n < k)
+    sufs = F.array(
+        *[
+            F.when(n >= k, F.concat_ws(".", F.slice(parts, n - k + 1, k)))
+            for k in range(1, 6)
+        ]
+    )
+
+    def hit(r):  # non-exception rule match at level r.lvl
+        return F.when(
+            r["wild"],
+            (n >= r["lvl"]) & (F.element_at(sufs, r["lvl"] - 1) == r["s"]),
+        ).otherwise(F.element_at(sufs, r["lvl"]) == r["s"])
+
+    matched_max = F.array_max(
+        F.transform(
+            F.filter(F.col("_psl_rules"), lambda r: ~r["exc"] & hit(r)),
+            lambda r: r["lvl"],
+        )
+    )
+    exc_lvl = F.array_max(
+        F.transform(
+            F.filter(
+                F.col("_psl_rules"),
+                lambda r: r["exc"] & (F.element_at(sufs, r["lvl"]) == r["s"]),
+            ),
+            lambda r: r["lvl"],
+        )
+    )
+    w1 = F.when(
+        (n >= 2) & F.element_at(parts, -1).isin(*_psl.WILD1_BASES), 2
+    ).otherwise(1)
+    best = F.greatest(
+        F.coalesce(matched_max, F.lit(1)),
+        F.when(F.col("_psl_m2") == True, 2).otherwise(1),  # noqa: E712
+        w1,
+    )
+    # join miss (the common case: hosts under plain TLDs with no
+    # multi-label rules) short-circuits past the suffix-array work —
+    # only the 1-label wildcard check runs
+    ml = F.when(
+        F.col("_psl_key").isNull(), w1
+    ).otherwise(F.when(exc_lvl.isNotNull(), exc_lvl - 1).otherwise(best))
+    return df.withColumn(out, ml).drop("_psl_k", "_psl_key", "_psl_m2", "_psl_rules")
 
 
 def with_url_info(df, url_col: str = "url", out: str = "u", hybrid: bool = True):
@@ -228,6 +335,7 @@ def with_url_info(df, url_col: str = "url", out: str = "u", hybrid: bool = True)
     c = F.col(url_col)
     if not hybrid:
         return df.withColumn(out, derive_url(c))
-    fast = df.filter(fast_eligible(c)).withColumn(out, _jvm_url_struct(c))
+    fast = _with_psl_match_len(df.filter(fast_eligible(c)), c, "_psl_ml")
+    fast = fast.withColumn(out, _jvm_url_struct(c, F.col("_psl_ml"))).drop("_psl_ml")
     slow = df.filter(~fast_eligible(c) | c.isNull()).withColumn(out, derive_url(c))
     return fast.unionByName(slow)
