@@ -78,3 +78,49 @@ def test_bloom_shards_and_anti_join(spark):
         ).collect()
     }
     assert exact == with_bloom == {f"key-{i}" for i in range(500, 900)}
+
+    # co-partitioned shard-join probe: same answer, nothing collected
+    copart = {
+        r["scan_key"]
+        for r in anti_join_seen(
+            cands, seen, "scan_key", use_bloom=True, shards=4, probe="copart"
+        ).collect()
+    }
+    assert copart == exact
+
+
+def test_bloom_batch_matches_scalar():
+    bf1, bf2 = BloomFilter(500, 0.01), BloomFilter(500, 0.01)
+    keys = [f"k/{i}" for i in range(500)]
+    bf1.add_batch(keys)
+    for k in keys:
+        bf2.add(k)
+    assert (bf1.bits == bf2.bits).all()
+    probes = keys[:50] + [f"other/{i}" for i in range(50)]
+    got = bf1.contains_batch(probes)
+    assert [bool(b) for b in got] == [p in bf2 for p in probes]
+
+
+def test_store_compaction(spark, tmp_path):
+    from tspider_spark.sources.state import StateStore
+
+    store = StateStore(spark, str(tmp_path / "c"))
+    for w in range(4):
+        store.commit(
+            appends={
+                "seen_scanned": spark.createDataFrame(
+                    [(f"h{i % 3}.com", f"h{i % 3}.com/p/{w}-{i}") for i in range(20)],
+                    "hostname string, scan_key string",
+                )
+            },
+            meta={"next_depth": w},
+        )
+    before = sorted(map(tuple, store.read("seen_scanned").collect()))
+    assert len(store.manifest()["tables"]["seen_scanned"]) == 4
+    assert store.compact() == ["seen_scanned"]
+    assert len(store.manifest()["tables"]["seen_scanned"]) == 1
+    after = sorted(map(tuple, store.read("seen_scanned").collect()))
+    assert before == after
+    assert store.meta()["next_depth"] == 3  # meta untouched
+    # idempotent: nothing left to compact
+    assert store.compact() == []

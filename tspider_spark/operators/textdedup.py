@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tspider_spark.operators.textstats import doc_fingerprint, simhash64
+from tspider_spark.operators.textstats import (
+    SIMHASH_BITS,
+    doc_fingerprint,
+    simhash_signatures,
+)
 
 # ---------------------------------------------------------------------------
 # exact dedupe
@@ -113,13 +117,25 @@ def _portable_hash64(col, salt: int):
     ).cast("long")
 
 
+def _hash64(col, salt: int, hash_fn: str):
+    """Per-permutation shingle hash. "md5": DuckDB-portable (the
+    oracle-checked path). "xxhash64": JVM-native, ~10x cheaper — the
+    scale path; legal because the exact-Jaccard verify step makes the
+    output independent of the hash choice (only recall depends on it,
+    and both are uniform 64-bit families)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(salt), col)
+    return _portable_hash64(col, salt)
+
+
 def minhash_signatures(
-    sh: DataFrame, k: int = 32, id_col: str = "doc_id"
+    sh: DataFrame, k: int = 32, id_col: str = "doc_id", hash_fn: str = "md5"
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: k column-wise min
     aggregations over the shingle set (map-side combinable)."""
     hashed = sh.select(
-        id_col, *[_portable_hash64(F.col("shingle"), j).alias(f"h{j}") for j in range(k)]
+        id_col,
+        *[_hash64(F.col("shingle"), j, hash_fn).alias(f"h{j}") for j in range(k)],
     )
     return hashed.groupBy(id_col).agg(
         F.array(*[F.min(f"h{j}") for j in range(k)]).alias("sig")
@@ -164,6 +180,7 @@ def minhash_lsh_dups(
     rows: int = 2,
     id_col: str = "doc_id",
     text: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The scale path: shingle -> minhash -> band-bucket join ->
     exact-Jaccard verification of candidates only. With bands=16,
@@ -172,10 +189,21 @@ def minhash_lsh_dups(
     false positives."""
     sh = shingles(df, n, id_col, text)
     sh.cache()
-    cand = lsh_candidate_pairs(minhash_signatures(sh, k, id_col), bands, rows, id_col)
-    # verify candidates exactly: semi-join the shingle table down to
-    # candidate docs, then exact jaccard restricted to those pairs
-    exact = jaccard_pairs(sh, tau, id_col)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, k, id_col, hash_fn), bands, rows, id_col
+    ).cache()
+    # THE point of LSH: the expensive shingle-shingle join runs only
+    # over docs that appear in at least one candidate pair. The
+    # semi-join keeps each surviving doc's FULL shingle set, so the
+    # per-doc sizes (hence Jaccard) stay exact; the final semi-join
+    # narrows candidate-doc x candidate-doc pairs down to the actual
+    # LSH pairs. Without this restriction the verify step costs as
+    # much as the brute n-gram path it exists to avoid.
+    cand_docs = cand.select(
+        F.explode(F.array("ia", "ib")).alias(id_col)
+    ).distinct()
+    sh_cand = sh.join(cand_docs, id_col, "left_semi")
+    exact = jaccard_pairs(sh_cand, tau, id_col)
     out = exact.join(cand, ["ia", "ib"], "left_semi")
     return out
 
@@ -187,10 +215,13 @@ def minhash_lsh_dups(
 def simhash_dups(
     df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text: str = "text"
 ) -> DataFrame:
-    """SimHash near-dup pairs: 4x16-bit chunk bucketing (a pair within
-    hamming distance 3 must agree on >=1 of 4 chunks), verified with
-    an exact popcount."""
-    s = df.select(F.col(id_col), simhash64(F.col(text)).alias("sim"))
+    """SimHash near-dup pairs: 4x15-bit chunk bucketing (a pair within
+    hamming distance 3 must agree on >=1 of the 4 chunks of the 60-bit
+    signature — pigeonhole), verified with an exact popcount. Fully
+    JVM (simhash_signatures) and DuckDB-oracle-checkable."""
+    s = simhash_signatures(df, id_col, text)
+    chunk_bits = SIMHASH_BITS // 4
+    mask = (1 << chunk_bits) - 1
     chunks = s.select(
         id_col,
         "sim",
@@ -198,7 +229,9 @@ def simhash_dups(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned(F.col("sim"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                    F.shiftrightunsigned(F.col("sim"), c * chunk_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("v"),
                 )
                 for c in range(4)
             ])

@@ -1,23 +1,16 @@
 """Text-analysis operators for large-scale training-data pipelines:
 language ID, quality scoring, token counting, document fingerprinting.
 
-Every operator here is expressed with JVM built-ins (codegen'd,
-shuffle-free projections) except simhash, which is a vectorized
-pandas UDF. All the JVM ones are DuckDB-oracle-checkable: the same
-expression semantics exist on both engines (__spark_entry__ pairs
-them 1:1).
+Every operator here is expressed with JVM built-ins (codegen'd
+projections; simhash is one hash aggregation) — zero Python, and all
+DuckDB-oracle-checkable: the same expression semantics exist on both
+engines (__spark_entry__ pairs them 1:1).
 """
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 # stopword votes per language — deliberately tiny & deterministic so
 # the same CASE logic is expressible in ANSI SQL for the oracle.
@@ -102,38 +95,49 @@ def doc_fingerprint(text: str = "text") -> Column:
     return F.md5(normalized)
 
 
-@pandas_udf(LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit simhash over word hashes (vectorized per batch, word
-    hashes memoized across the batch). Near-dup docs differ in a few
-    bits; pair generation is in textdedup.simhash_dups."""
-    cache: dict = {}
+SIMHASH_BITS = 60  # md5-hex[0:15] -> 60 portable bits (fits signed i64
+# on Spark AND DuckDB, so the whole simhash pipeline is oracle-checkable)
 
-    def word_bits(w: str) -> np.ndarray:
-        b = cache.get(w)
-        if b is None:
-            h = np.uint64(
-                int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
-                )
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """60-bit simhash per doc — zero Python, one map-side-combinable
+    hash aggregation. Word occurrences (with multiplicity) are exploded
+    JVM-side; each word's portable hash (bigint of md5-hex[0:15], the
+    same DuckDB-reproducible trick MinHash uses) votes +1/-1 on each of
+    the 60 bit positions; the signature sets bits whose vote sum is
+    positive. Near-dup docs differ in a few bits; pair generation is in
+    textdedup.simhash_dups.
+
+    Plan shape: explode (no shuffle) -> partial agg of 60 long sums
+    (map-side combine) -> final agg by id — a single exchange on the
+    doc id, ~480 B of buffer per doc.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text))), r"\s+")).alias("_w"),
+    ).filter(F.col("_w") != "")
+    h = F.conv(F.substring(F.md5("_w"), 1, 15), 16, 10).cast("long")
+    votes = words.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = sum(
+        [
+            F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(
+                F.lit(0).cast("long")
             )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            b = bits.astype(np.int64) * 2 - 1
-            cache[w] = b
-        return b
-
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        acc = np.zeros(64, dtype=np.int64)
-        for w in str(t or "").lower().split():
-            acc += word_bits(w)
-        v = 0
-        for b in range(64):
-            if acc[b] > 0:
-                v |= 1 << b
-        # two's complement into int64
-        out[i] = v - (1 << 64) if v >= (1 << 63) else v
-    return pd.Series(out)
+            for b in range(SIMHASH_BITS)
+        ],
+        F.lit(0).cast("long"),
+    )
+    return votes.select(F.col(id_col), sim.alias("sim"))
 
 
 def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
