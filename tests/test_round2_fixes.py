@@ -1,0 +1,235 @@
+"""Round-2 fixes pinned by tests:
+
+* distributed_rank == single-window global rank (no single-partition
+  WindowExec in the wave loop),
+* MinHash-LSH's exact-verify join is restricted to candidate docs
+  (the plan contains the candidate semi-join BELOW the shingle-shingle
+  join, so LSH actually bounds the expensive step),
+* seen_scanned hostname backfill for pre-migration stores (resume
+  exactness),
+* merge_results commits a deterministic winner per key.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tspider_spark.operators import textdedup as TD
+from tspider_spark.operators.schedule import distributed_rank
+from tspider_spark.sources.state import StateStore
+
+
+def test_distributed_rank_matches_global_window(spark):
+    rng = random.Random(7)
+    rows = []
+    seqs: set = set()
+    for _ in range(3000):
+        t = rng.randrange(0, 5_000_000)
+        s = rng.randrange(0, 1000)
+        if (t, s) in seqs:
+            continue
+        seqs.add((t, s))
+        rows.append((t, s, rng.randrange(2)))
+    df = spark.createDataFrame(rows, "task_rank long, seq int, synth_rank int")
+
+    got = distributed_rank(
+        df, ("task_rank", "seq", "synth_rank"), "r", start=41, super_shift=8
+    )
+    w = Window.orderBy("task_rank", "seq", "synth_rank")
+    want = df.withColumn("r", F.row_number().over(w) + F.lit(41))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_minhash_lsh_plan_restricts_shingle_join(spark):
+    docs = spark.createDataFrame(
+        [(i, f"word{i} alpha beta gamma delta epsilon zeta eta theta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = TD.minhash_lsh_dups(docs)._jdf.queryExecution().optimizedPlan().toString()
+    # the inner shingle-shingle join must sit ABOVE (textually after)
+    # a LeftSemi that prunes the shingle table to candidate docs
+    inner = plan.find("Join Inner")
+    assert inner >= 0
+    assert "LeftSemi" in plan[inner:], plan
+
+
+def test_minhash_lsh_still_matches_brute(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+            (4, "totally unrelated text about query engines and shuffle boundaries"),
+        ],
+        "doc_id long, text string",
+    )
+    brute = {
+        (r["ia"], r["ib"], r["jaccard"])
+        for r in TD.ngram_jaccard_dups(docs, 3, 0.7).collect()
+    }
+    lsh = {
+        (r["ia"], r["ib"], r["jaccard"])
+        for r in TD.minhash_lsh_dups(docs, 3, 0.7).collect()
+    }
+    assert lsh == brute and brute
+
+
+def test_seen_scanned_hostname_backfill(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path / "oldstore"))
+    old = spark.createDataFrame(
+        [
+            (None, "www.ex.com:8080/p/{digit}"),
+            (None, "Sub.Ex.com/q?id"),
+            ("kept.com", "kept.com/r"),
+        ],
+        "hostname string, scan_key string",
+    )
+    store.commit(appends={"seen_scanned": old})
+    got = {r["scan_key"]: r["hostname"] for r in store.read("seen_scanned").collect()}
+    assert got["www.ex.com:8080/p/{digit}"] == "www.ex.com"
+    assert got["Sub.Ex.com/q?id"] == "sub.ex.com"
+    assert got["kept.com/r"] == "kept.com"
+
+
+def test_crawl_with_compaction_and_copart_bloom(spark, tmp_path):
+    """Compaction + the co-partitioned bloom probe are pure physical
+    choices: full-crawl order, seen set, and results stay identical."""
+    from tspider_spark.config import CrawlConfig
+    from tspider_spark.plans.crawl import CrawlEngine
+    from tspider_spark.sources.corpus import (
+        CorpusSpec,
+        corpus_to_spark,
+        generate_corpus,
+    )
+
+    docs, seeds = generate_corpus(CorpusSpec(seed=23, n_domains=2, hosts_per_domain=2))
+    ddf = corpus_to_spark(spark, docs)
+
+    def crawl(tag, **kw):
+        cfg = CrawlConfig(max_per_host=6, **kw)
+        eng = CrawlEngine(spark, ddf, str(tmp_path / tag), cfg)
+        eng.seed(seeds)
+        eng.run()
+        order = [(r["url"], r["depth"], r["rank"]) for r in eng.crawl_order().collect()]
+        scanned = {r["scan_key"] for r in eng.store.read("seen_scanned").collect()}
+        return order, scanned
+
+    base = crawl("plain")
+    assert crawl(
+        "phys", compact_every=1, use_bloom_prefilter=True,
+        bloom_shards=4, bloom_probe="copart",
+    ) == base
+
+
+def _span(kind, text, off):
+    return {"kind": kind, "text": text, "media_ref": None, "offset": off}
+
+
+def test_fetch_context_gates_auth_docs(spark, tmp_path):
+    """S7 cookie/auth context (reference --cookie-file): the same seed
+    URL crawled under two contexts renders different page variants —
+    public docs (ctx NULL) are visible to all, gated docs only to the
+    matching context — and children inherit the parent's context."""
+    import pyspark.sql.types as T
+
+    from tspider_spark.config import CrawlConfig
+    from tspider_spark.plans.crawl import CrawlEngine
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField(
+                "spans",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("kind", T.StringType()),
+                            T.StructField("text", T.StringType()),
+                            T.StructField("media_ref", T.StringType()),
+                            T.StructField("offset", T.IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("ctx", T.StringType()),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            # public variant of the landing page
+            ("http://a.com/", [_span("link", "http://a.com/public", 0)], None),
+            # authenticated variant: sees one extra link
+            (
+                "http://a.com/",
+                [
+                    _span("link", "http://a.com/public", 0),
+                    _span("link", "http://a.com/private", 1),
+                ],
+                "cookie1",
+            ),
+            ("http://a.com/public", [], None),
+            # the private page itself is only renderable with the cookie
+            (
+                "http://a.com/private",
+                [_span("link", "http://a.com/private/deep", 0)],
+                "cookie1",
+            ),
+            ("http://a.com/private/deep", [], None),
+        ],
+        schema,
+    )
+
+    def crawl(tag, ctx):
+        eng = CrawlEngine(spark, docs, str(tmp_path / tag), CrawlConfig())
+        seeds = spark.createDataFrame(
+            [("http://a.com/", 0, ctx)],
+            "url string, seed_order int, fetch_context string",
+        )
+        eng.seed(seeds)
+        eng.run()
+        return sorted(r["url"] for r in eng.crawl_order().collect())
+
+    anon = crawl("anon", "")
+    auth = crawl("auth", "cookie1")
+    assert anon == ["http://a.com/", "http://a.com/public"]
+    assert auth == [
+        "http://a.com/",
+        "http://a.com/private",
+        "http://a.com/private/deep",
+        "http://a.com/public",
+    ]
+
+
+def test_merge_results_deterministic_winner(spark, tmp_path):
+    from tspider_spark.operators.export import merge_results
+    from tspider_spark.sources.state import SCHEMAS
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                ("GET", u, None, {}, "link", p, "h.com", "h.com", True, 0, so)
+                for u, p, so in rows
+            ],
+            SCHEMAS["results"],
+        )
+
+    rows = [
+        ("http://h.com/a?x=1", "http://h.com/a?x", 5),
+        ("http://h.com/a?x=2", "http://h.com/a?x", 3),
+        ("http://h.com/b", "http://h.com/b", 1),
+    ]
+    s1 = StateStore(spark, str(tmp_path / "m1"))
+    s2 = StateStore(spark, str(tmp_path / "m2"))
+    assert merge_results(s1, mk(rows)) == 2
+    assert merge_results(s2, mk(list(reversed(rows))).repartition(3)) == 2
+    r1 = sorted(map(tuple, s1.read("results").collect()))
+    r2 = sorted(map(tuple, s2.read("results").collect()))
+    assert r1 == r2
+    # the kept row per key is the min-save_order one
+    urls = {r["pattern"]: r["url"] for r in s1.read("results").collect()}
+    assert urls["http://h.com/a?x"] == "http://h.com/a?x=2"
+    # idempotent re-run
+    assert merge_results(s1, mk(rows)) == 0

@@ -25,6 +25,15 @@ class CrawlConfig:
     use_bloom_prefilter: bool = False
     bloom_shards: int = 8
     bloom_fpp: float = 0.01
+    # "broadcast": driver-collected shards replicated to executors
+    # (seen sets up to ~10^9 keys); "copart": co-partitioned shard
+    # join — nothing collected or replicated, the 10^10 regime
+    bloom_probe: str = "broadcast"
+    # rewrite append-only state tables into one compact, key-laid-out
+    # snapshot every N waves (0 = off) — bounds the per-wave read fan
+    # of seen_scanned/frontier at long crawl horizons (the Iceberg
+    # analog is rewrite_data_files maintenance)
+    compact_every: int = 0
     # skew path: salt each host's candidates into N buckets for the
     # seen anti-join + admission fold (0 = off). Exact either way
     # (tests/test_schedule_modes.py, test_crawl_golden.py).

@@ -36,8 +36,24 @@ def _hash2(key: str):
     return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
 
 
+# 16-byte siphash keys for pandas' vectorized string hasher — two
+# independent 64-bit hash streams per key, ~100 ns/key in C instead of
+# a per-key Python blake2b call
+_BLOOM_HK1 = "tspider.bloom.h1"
+_BLOOM_HK2 = "tspider.bloom.h2"
+
+
+def _hash2_batch(keys) -> tuple[np.ndarray, np.ndarray]:
+    arr = np.asarray(keys, dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key=_BLOOM_HK1).astype(np.uint64)
+    h2 = pd.util.hash_array(arr, hash_key=_BLOOM_HK2).astype(np.uint64)
+    return h1, h2
+
+
 class BloomFilter:
-    """Plain bitset bloom; k derived from fpp, m from expected n."""
+    """Plain bitset bloom; k derived from fpp, m from expected n.
+    add/probe are numpy-batch operations (double hashing: p_i =
+    (h1 + i*h2) mod m); the scalar forms exist for tests only."""
 
     def __init__(self, n_items: int, fpp: float = 0.01):
         n_items = max(n_items, 1)
@@ -46,19 +62,27 @@ class BloomFilter:
         self.k = max(1, int(round(self.m / n_items * np.log(2))))
         self.bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
 
+    def _positions(self, keys) -> np.ndarray:
+        h1, h2 = _hash2_batch(keys)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m)).astype(
+            np.int64
+        )  # shape (k, n)
+
+    def add_batch(self, keys):
+        p = self._positions(keys).ravel()
+        np.bitwise_or.at(self.bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+
+    def contains_batch(self, keys) -> np.ndarray:
+        p = self._positions(keys)
+        hit = (self.bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1
+        return hit.all(axis=0)
+
     def add(self, key: str):
-        h1, h2 = _hash2(key)
-        for i in range(self.k):
-            p = (h1 + i * h2) % self.m
-            self.bits[p >> 3] |= 1 << (p & 7)
+        self.add_batch([key])
 
     def __contains__(self, key: str) -> bool:
-        h1, h2 = _hash2(key)
-        for i in range(self.k):
-            p = (h1 + i * h2) % self.m
-            if not (self.bits[p >> 3] >> (p & 7)) & 1:
-                return False
-        return True
+        return bool(self.contains_batch([key])[0])
 
     def to_bytes(self) -> bytes:
         return self.bits.tobytes()
@@ -138,31 +162,27 @@ class CuckooFilter:
         return False
 
 
-def build_bloom_shards(seen: DataFrame, key_col: str, shards: int, fpp: float):
-    """Build per-shard blooms distributed (applyInPandas per shard),
-    return {shard: (bytes, m, k)} collected to the driver for
-    broadcast-probing."""
-    from pyspark.sql.types import (
-        BinaryType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
+def _shard_col(key_col: str, shards: int):
+    return (F.abs(F.crc32(F.col(key_col).cast("string"))) % shards).cast("int")
 
-    out_schema = StructType(
-        [
-            StructField("shard", IntegerType()),
-            StructField("bits", BinaryType()),
-            StructField("m", LongType()),
-            StructField("k", IntegerType()),
-        ]
-    )
+
+_BLOOM_SHARD_SCHEMA = (
+    "shard int, bits binary, m long, k int"
+)
+
+
+def build_bloom_shard_df(
+    seen: DataFrame, key_col: str, shards: int, fpp: float
+) -> DataFrame:
+    """Per-shard blooms built distributed (applyInPandas per shard,
+    numpy-batch adds — no per-key Python) as a DataFrame
+    (shard, bits, m, k). Callers either collect+broadcast it (small
+    aggregate bloom) or co-partition-join it (10^10-key regime, where
+    the aggregate bloom no longer fits per executor)."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         bf = BloomFilter(len(pdf), fpp)
-        for key in pdf[key_col]:
-            bf.add(key)
+        bf.add_batch(pdf[key_col].to_numpy())
         return pd.DataFrame(
             {
                 "shard": [int(pdf["_shard"].iloc[0])],
@@ -172,10 +192,13 @@ def build_bloom_shards(seen: DataFrame, key_col: str, shards: int, fpp: float):
             }
         )
 
-    sharded = seen.withColumn(
-        "_shard", F.abs(F.crc32(F.col(key_col).cast("string"))) % shards
-    )
-    rows = sharded.groupBy("_shard").applyInPandas(build, out_schema).collect()
+    sharded = seen.withColumn("_shard", _shard_col(key_col, shards))
+    return sharded.groupBy("_shard").applyInPandas(build, _BLOOM_SHARD_SCHEMA)
+
+
+def build_bloom_shards(seen: DataFrame, key_col: str, shards: int, fpp: float):
+    """Collected {shard: (bytes, m, k)} form for broadcast-probing."""
+    rows = build_bloom_shard_df(seen, key_col, shards, fpp).collect()
     return {r["shard"]: (bytes(r["bits"]), r["m"], r["k"]) for r in rows}
 
 
@@ -229,6 +252,74 @@ def anti_join_seen_copart(
     return c.join(s.hint("shuffle_hash"), [host_col, key_col], "left_anti")
 
 
+def _flag_maybe_broadcast(
+    cands: DataFrame, seen: DataFrame, key_col: str, shards: int, fpp: float
+) -> DataFrame:
+    """_maybe column via driver-collected, broadcast bloom shards —
+    right while the aggregate bloom fits per executor (~1.2 GB at 10^9
+    keys / 1% fpp). Probe is numpy-batched per Arrow batch."""
+    blooms = build_bloom_shards(seen, key_col, shards, fpp)
+    spark = cands.sparkSession
+    bc = spark.sparkContext.broadcast(blooms)
+
+    @pandas_udf(BooleanType())
+    def maybe_seen(s: pd.Series, sh_of: pd.Series) -> pd.Series:
+        local = {
+            sh: BloomFilter.from_bytes(b, m, k)
+            for sh, (b, m, k) in bc.value.items()
+        }
+        shard_arr = sh_of.to_numpy()
+        out = np.zeros(len(s), dtype=bool)
+        karr = s.to_numpy(dtype=object)
+        for sh, bf in local.items():
+            mask = shard_arr == sh
+            if mask.any():
+                out[mask] = bf.contains_batch(karr[mask])
+        return pd.Series(out)
+
+    # shard id computed JVM-side (same crc32 the build uses) so the
+    # python side is pure numpy batch work
+    return cands.withColumn(
+        "_maybe", maybe_seen(F.col(key_col), _shard_col(key_col, shards))
+    )
+
+
+def _flag_maybe_copart(
+    cands: DataFrame, seen: DataFrame, key_col: str, shards: int, fpp: float
+) -> DataFrame:
+    """_maybe column via a co-partitioned shard join (cogrouped
+    applyInPandas): candidates hash to their shard, each task probes
+    ONE shard's bitset — per-executor memory stays one-shard-sized no
+    matter how many keys the seen set holds. This is the 10^10-key
+    regime; raise ``shards`` with the key count so a shard's bitset
+    stays ~100 MB. Probe is numpy-batched; candidate rows ride one
+    Arrow round-trip."""
+    shard_df = build_bloom_shard_df(seen, key_col, shards, fpp)
+    cands2 = cands.withColumn("_shard", _shard_col(key_col, shards))
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in cands2.schema.fields
+    )
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return left.assign(_maybe=pd.Series([], dtype=bool))
+        if not len(right):
+            return left.assign(_maybe=False)
+        bf = BloomFilter.from_bytes(
+            bytes(right["bits"].iloc[0]), int(right["m"].iloc[0]), int(right["k"].iloc[0])
+        )
+        return left.assign(
+            _maybe=bf.contains_batch(left[key_col].to_numpy(dtype=object))
+        )
+
+    return (
+        cands2.groupBy("_shard")
+        .cogroup(shard_df.groupBy("shard"))
+        .applyInPandas(probe, f"{out_fields}, _maybe boolean")
+        .drop("_shard")
+    )
+
+
 def anti_join_seen(
     cands: DataFrame,
     seen: DataFrame,
@@ -236,30 +327,21 @@ def anti_join_seen(
     use_bloom: bool = False,
     shards: int = 8,
     fpp: float = 0.01,
+    probe: str = "broadcast",
 ) -> DataFrame:
     """Rows of ``cands`` whose ``key_col`` is NOT in ``seen``.
-    Optionally prefilter with broadcast bloom shards: bloom-negative
-    rows bypass the exact anti-join shuffle entirely."""
+    Optionally prefilter with bloom shards: bloom-negative rows bypass
+    the exact anti-join shuffle entirely. ``probe``: "broadcast"
+    (driver-collected shards, small seen sets) or "copart"
+    (co-partitioned shard join — the 10^10 path; nothing is ever
+    collected to the driver or fully replicated to executors)."""
     if not use_bloom or seen.isEmpty():
         return cands.join(seen.select(key_col).distinct(), key_col, "left_anti")
 
-    blooms = build_bloom_shards(seen, key_col, shards, fpp)
-    spark = cands.sparkSession
-    bc = spark.sparkContext.broadcast(blooms)
-
-    @pandas_udf(BooleanType())
-    def maybe_seen(s: pd.Series) -> pd.Series:
-        local = {
-            sh: BloomFilter.from_bytes(b, m, k)
-            for sh, (b, m, k) in bc.value.items()
-        }
-        def probe(key):
-            sh = zlib.crc32(str(key).encode()) % shards
-            bf = local.get(sh)
-            return bf is not None and key in bf
-        return s.map(probe)
-
-    flagged = cands.withColumn("_maybe", maybe_seen(F.col(key_col)))
+    if probe == "copart":
+        flagged = _flag_maybe_copart(cands, seen, key_col, shards, fpp)
+    else:
+        flagged = _flag_maybe_broadcast(cands, seen, key_col, shards, fpp)
     definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
     checked = maybe.join(seen.select(key_col).distinct(), key_col, "left_anti")

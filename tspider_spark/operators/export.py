@@ -58,9 +58,20 @@ def merge_results(store, new_results: DataFrame) -> int:
     Iceberg ``MERGE INTO``. Returns the number of rows inserted;
     re-running with the same input inserts zero."""
     existing = store.read("results").select("method", "pattern")
-    fresh = new_results.join(
-        existing.distinct(), ["method", "pattern"], "left_anti"
-    ).dropDuplicates(["method", "pattern"]).cache()
+    # deterministic winner per key: the reference's exists-check keeps
+    # the first-encountered row, so pick min save_order (nulls last),
+    # not dropDuplicates' arbitrary row — re-running over differently
+    # partitioned/ordered inputs must commit identical contents
+    w = Window.partitionBy("method", "pattern").orderBy(
+        F.col("save_order").asc_nulls_last(), F.col("url")
+    )
+    fresh = (
+        new_results.join(existing.distinct(), ["method", "pattern"], "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .cache()
+    )
     n = fresh.count()
     if n:
         store.commit(appends={"results": fresh})

@@ -80,17 +80,23 @@ def extract_candidates(fetched: DataFrame, partitions: int | None = None) -> Dat
     if partitions:
         fetched = fetched.repartition(partitions, "task_url")
 
+    # task passthrough: the fixed TASK_COLS plus the optional auth
+    # context column (candidates inherit their parent task's context)
+    task_cols = list(TASK_COLS) + (
+        ["fetch_context"] if "fetch_context" in fetched.columns else []
+    )
+
     # clustering by task_url satisfies both window requirements below
     # (their partition keys contain task_url) -> at most ONE exchange.
     s = (
         fetched
         .select(
-            *TASK_COLS,
+            *task_cols,
             "doc_id",
             F.posexplode("spans").alias("pos", "span"),
         )
         .select(
-            *TASK_COLS,
+            *task_cols,
             "doc_id",
             F.col("span.kind").alias("kind"),
             F.col("span.text").alias("text"),
@@ -134,7 +140,7 @@ def extract_candidates(fetched: DataFrame, partitions: int | None = None) -> Dat
     cand = (
         s.filter(is_request | is_link | is_form)
         .select(
-            *TASK_COLS,
+            *task_cols,
             "doc_id",
             F.when(is_request, 0).otherwise(1).alias("section"),
             "offset",
@@ -181,7 +187,7 @@ def extract_candidates(fetched: DataFrame, partitions: int | None = None) -> Dat
     ).otherwise(F.expr("cast(map() as map<string,string>)"))
 
     return deduped.select(
-        *TASK_COLS,
+        *task_cols,
         "seq",
         "method",
         "url",

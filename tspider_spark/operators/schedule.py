@@ -154,10 +154,16 @@ def admit_wave_salted(
     the bucket is a pure function of the dedupe key, every key lives in
     exactly ONE (host, bucket) group, so the local first-occurrence
     window IS the global per-key dedupe. Each (host, bucket, synthflag)
-    group then keeps only its first cap+1 survivors in candidate order:
-    any globally-admitted row is among the first cap+1 survivors of its
-    host, hence of its own bucket — so the truncation can never drop an
-    admitted row.
+    group then keeps its first cap+2 first-occurrence rows in candidate
+    order. The +2 slack (not +1) is load-bearing: a globally-admitted
+    row is among the first cap+1 *survivors* of its host, but its
+    bucket-local rank can exceed its survivor index by one because two
+    bucket-ranked rows are not survivors — the fresh-host row-0 admit
+    (counted against the budget but excluded from the survivor index)
+    and the one key that row 0 shadows (its later duplicate is
+    bucket-ranked but dedupe-rejected). Keeping cap+2 per bucket
+    therefore can never drop a row the exact fold would admit; do NOT
+    tighten it to cap+1.
 
     Phase 2 (exact, tiny): ≤ S×(cap+2) rows per host flow into the
     ordinary window fold, which replays the sequential semantics
@@ -195,16 +201,76 @@ def admit_wave_salted(
     )
 
 
+def distributed_rank(
+    df: DataFrame,
+    order_cols: tuple,
+    out: str,
+    start: int = 0,
+    super_shift: int = 20,
+) -> DataFrame:
+    """Global ``row_number() over (order by order_cols)`` WITHOUT a
+    single-partition window (the 10^10-scale killer WindowExec warns
+    about). Three levels, each partition-bounded:
+
+    1. rank within ``lead``-buckets (``lead`` = the leading order
+       column — the global order is lexicographic, so bucket order ==
+       lead order): ``row_number`` over a window partitioned by lead.
+    2. per-bucket row counts get cumulative offsets within a *super*
+       bucket (``lead >> super_shift``): one row per bucket flows into
+       a window partitioned by super — bounded by 2^super_shift rows.
+    3. super-bucket totals (#buckets / 2^super_shift rows — metadata
+       scale even at a 10^10 frontier) get prefix sums via a broadcast
+       triangular join — no window, no collect, fully lazy.
+
+    The final offsets table is one row per bucket; AQE broadcasts it
+    back onto the bucket-partitioned ranked stream, so the whole rank
+    costs the one hash exchange on ``lead`` (which callers typically
+    already have). Exact parity with the single-window form whenever
+    ``order_cols`` is a total order (no ties), which both call sites
+    guarantee. ``lead`` must be a non-negative integer column.
+    """
+    lead, rest = order_cols[0], [F.col(c) for c in order_cols[1:]]
+    w_local = Window.partitionBy(lead).orderBy(*rest)
+    local = df.withColumn("_lr", F.row_number().over(w_local))
+    counts = (
+        local.groupBy(lead)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_sup", F.shiftright(F.col(lead).cast("long"), super_shift))
+    )
+    w_sup = Window.partitionBy("_sup").orderBy(lead).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    counts = counts.withColumn("_boff", F.coalesce(F.sum("_n").over(w_sup), F.lit(0)))
+    sup_tot = counts.groupBy("_sup").agg(F.sum("_n").alias("_sn"))
+    sup_off = (
+        sup_tot.select(F.col("_sup").alias("_sa"))
+        .join(
+            F.broadcast(sup_tot.select(F.col("_sup").alias("_sb"), "_sn")),
+            F.col("_sb") < F.col("_sa"),
+            "left",
+        )
+        .groupBy("_sa")
+        .agg(F.coalesce(F.sum("_sn"), F.lit(0)).alias("_soff"))
+    )
+    offsets = counts.join(
+        F.broadcast(sup_off), counts["_sup"] == F.col("_sa")
+    ).select(lead, (F.col("_boff") + F.col("_soff")).alias("_off"))
+    return (
+        local.join(F.broadcast(offsets), lead)
+        .withColumn(out, F.col("_lr") + F.col("_off") + F.lit(start))
+        .drop("_lr", "_off")
+    )
+
+
 def assign_discovery_order(
     admitted: DataFrame, start: int, out: str = "discovery_order"
 ) -> DataFrame:
     """Global FIFO enqueue rank for admitted tasks, continuing from
-    ``start``. Admitted rows are bounded by (active hosts x cap+1) per
-    wave, so a single-partition window is acceptable here; at extreme
-    host counts swap in a range-partitioned two-phase rank (the order
-    key is already a total order)."""
-    w = Window.orderBy(*[F.col(c) for c in ORDER_COLS])
-    return admitted.withColumn(out, F.row_number().over(w) + F.lit(start))
+    ``start`` — two-phase distributed rank (no single-partition
+    window), exact because ORDER_COLS is a total order over admitted
+    rows (seq is unique within a task; synth_rank separates the one
+    synthetic row)."""
+    return distributed_rank(admitted, ORDER_COLS, out, start=start)
 
 
 def politeness_slots(tasks: DataFrame, out: str = "slot") -> DataFrame:

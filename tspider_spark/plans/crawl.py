@@ -52,6 +52,7 @@ from tspider_spark.operators.schedule import (
     admit_wave,
     admit_wave_salted,
     assign_discovery_order,
+    distributed_rank,
     politeness_slots,
 )
 from tspider_spark.sources.state import SCHEMAS, StateStore, empty_df
@@ -91,6 +92,10 @@ class CrawlEngine:
             seeds = self.spark.createDataFrame(
                 [(s, i) for i, s in enumerate(seeds)], "url string, seed_order int"
             )
+        # S7 auth context (reference --cookie-file): per-seed opaque
+        # context id, "" = anonymous. Inherited by every child task.
+        if "fetch_context" not in seeds.columns:
+            seeds = seeds.withColumn("fetch_context", F.lit(""))
         s = with_url_info(seeds, "url")
         s = s.filter(FL.stateless_valid(self.cfg.blocklist))
         if self.robots is not None:
@@ -103,6 +108,7 @@ class CrawlEngine:
             F.col("seed_order").cast("long").alias("task_rank"),
             F.lit(0).alias("seq"),
             F.lit(1).alias("synth_rank"),
+            F.coalesce("fetch_context", F.lit("")).alias("fetch_context"),
         )
         empty_budget = empty_df(self.spark, SCHEMAS["host_budget"])
         admitted = admit_wave(
@@ -113,7 +119,8 @@ class CrawlEngine:
         scope_key = F.col("domain") if self.cfg.tld else F.col("hostname")
         frontier = self._finalize_frontier(
             admitted.select(
-                "url", "hostname", F.lit(0).alias("depth"), "discovery_order"
+                "url", "hostname", F.lit(0).alias("depth"), "discovery_order",
+                "fetch_context",
             )
         )
         self.store.commit(
@@ -200,25 +207,43 @@ class CrawlEngine:
         )
 
         # --- fetch (S3): frontier ⋈ documents --------------------------
-        fetched = tasks.select(
+        # When the documents table carries a ``ctx`` column (auth-gated
+        # page variants), a task only "renders" docs visible to its
+        # fetch context: ctx NULL == public, else ctx must equal the
+        # task's context (reference: cookie injection decides what the
+        # browser sees, casper_crawler.js:47-77).
+        t = tasks.select(
             F.col("url").alias("task_url"),
             F.col("depth"),
             F.col("discovery_order").alias("task_rank"),
-        ).join(self.documents, F.col("task_url") == F.col("doc_id"), "inner")
+            F.coalesce("fetch_context", F.lit("")).alias("fetch_context"),
+        )
+        cond = F.col("task_url") == F.col("doc_id")
+        if "ctx" in self.documents.columns:
+            cond = cond & (
+                F.col("ctx").isNull() | (F.col("ctx") == F.col("fetch_context"))
+            )
+            fetched = t.join(self.documents, cond, "inner")
+            # the cookie-bearing browser renders the authed variant
+            # INSTEAD of the public one: keep only the best-matching
+            # variant per (task, context). The window partitions by
+            # the join's own exchange key, so no extra shuffle.
+            from pyspark.sql import Window as _W
+
+            rank = F.when(F.col("ctx") == F.col("fetch_context"), 0).otherwise(1)
+            w_ctx = _W.partitionBy("task_url", "fetch_context")
+            fetched = (
+                fetched.withColumn("_ctx_rank", rank)
+                .withColumn("_ctx_best", F.min("_ctx_rank").over(w_ctx))
+                .filter(F.col("_ctx_rank") == F.col("_ctx_best"))
+                .drop("_ctx_rank", "_ctx_best", "ctx")
+            )
+        else:
+            fetched = t.join(self.documents, cond, "inner")
 
         cands = extract_candidates(fetched)
         cands = with_url_info(cands, "url").filter(F.col("u.valid"))
         cands.cache()
-
-        # per-partition fetch lineage (north_rule)
-        lineage = cands.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-            F.count("*").alias("rows")
-        ).select(
-            F.lit(depth).alias("wave"),
-            F.lit("candidates").alias("stage"),
-            "partition_id",
-            "rows",
-        )
 
         # --- F12/K1: saved-dedupe + results sink ------------------------
         whitelist = self.store.read("whitelist")
@@ -240,8 +265,13 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        w_save_order = Window.orderBy("task_rank", "seq")
-        results = new_saved.select(
+        # two-phase distributed rank: the new-saved set is NOT bounded
+        # by the host cap (saving precedes the scope/budget gates), so
+        # a global orderBy window would drag the whole wave's results
+        # into one partition at scale
+        results = distributed_rank(
+            new_saved, ("task_rank", "seq"), "save_order", start=next_save
+        ).select(
             "method",
             "url",
             "postdata",
@@ -252,9 +282,7 @@ class CrawlEngine:
             F.col("u.domain").alias("domain"),
             "is_target",
             F.lit(depth).alias("wave"),
-            (F.row_number().over(w_save_order) + F.lit(next_save)).alias(
-                "save_order"
-            ),
+            "save_order",
             "saved_key",
             "task_rank",
             "seq",
@@ -278,18 +306,22 @@ class CrawlEngine:
                 F.col("u.index_page").alias("url"),
             )
             .agg(
-                F.min(F.struct("task_rank", "seq")).alias("_at"),
+                # the synthetic index task inherits the context of the
+                # earliest candidate that triggered it
+                F.min(F.struct("task_rank", "seq", "fetch_context")).alias("_at"),
             )
             .select(
                 "url",
                 F.col("_at.task_rank").alias("task_rank"),
                 F.col("_at.seq").alias("seq"),
                 F.lit(0).alias("synth_rank"),
+                F.col("_at.fetch_context").alias("fetch_context"),
             )
         )
         synth = with_url_info(synth, "url")
         regular = gated.select(
-            "url", "task_rank", "seq", F.lit(1).alias("synth_rank"), "u"
+            "url", "task_rank", "seq", F.lit(1).alias("synth_rank"),
+            "fetch_context", "u",
         )
         stream = regular.unionByName(synth)
 
@@ -306,6 +338,7 @@ class CrawlEngine:
             "task_rank",
             "seq",
             "synth_rank",
+            "fetch_context",
         )
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         if self.cfg.use_bloom_prefilter:
@@ -319,6 +352,7 @@ class CrawlEngine:
                 use_bloom=True,
                 shards=self.cfg.bloom_shards,
                 fpp=self.cfg.bloom_fpp,
+                probe=self.cfg.bloom_probe,
             )
             admitted = admit_wave(
                 stream, host_budget, self.cfg.max_per_host,
@@ -357,6 +391,7 @@ class CrawlEngine:
                 "hostname",
                 F.lit(depth + 1).alias("depth"),
                 "discovery_order",
+                "fetch_context",
             )
         )
         budget_delta = admitted.groupBy("hostname").agg(
@@ -368,14 +403,35 @@ class CrawlEngine:
             .agg(F.sum("reqcount").alias("reqcount"))
         )
 
-        # admitted.count() materializes every cache (cands, cands_t,
-        # admitted) in one pass; the other counts then read cached data
-        n_sched = admitted.count()
-        n_saved = results.count()
-        n_cands = cands.count()
+        # ONE summary action per wave: per-partition candidate lineage
+        # (north_rule) + the scheduled/saved counts ride the same job —
+        # the candidate total is Σ lineage rows, so the three counts
+        # that used to be three jobs cost zero extra here. This first
+        # action also materializes every cache (cands, cands_t,
+        # results, admitted); the commit writes below then read cached
+        # data only.
+        def _tot(df, stage):
+            return df.agg(F.count(F.lit(1)).alias("rows")).select(
+                F.lit(stage).alias("stage"),
+                F.lit(-1).alias("partition_id"),
+                "rows",
+            )
 
-        sched_metrics = self.spark.createDataFrame(
-            [(depth, "scheduled", -1, n_sched), (depth, "saved", -1, n_saved)],
+        summary = (
+            cands.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .select(F.lit("candidates").alias("stage"), "partition_id", "rows")
+            .unionByName(_tot(admitted, "scheduled"))
+            .unionByName(_tot(results, "saved"))
+        ).collect()
+        n_sched = sum(r["rows"] for r in summary if r["stage"] == "scheduled")
+        n_saved = sum(r["rows"] for r in summary if r["stage"] == "saved")
+        n_cands = sum(r["rows"] for r in summary if r["stage"] == "candidates")
+        metrics = self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(
+                [(depth, r["stage"], r["partition_id"], r["rows"]) for r in summary],
+                1,
+            ),
             SCHEMAS["fetch_metrics"],
         )
 
@@ -385,7 +441,7 @@ class CrawlEngine:
                 "seen_scanned": admitted.select("hostname", "scan_key"),
                 "seen_saved": results.select("saved_key"),
                 "results": results.drop("saved_key", "task_rank", "seq"),
-                "fetch_metrics": lineage.unionByName(sched_metrics),
+                "fetch_metrics": metrics,
             },
             replaces={"host_budget": new_budget},
             meta={
@@ -397,6 +453,10 @@ class CrawlEngine:
         )
         for df in (cands, cands_t, results, admitted):
             df.unpersist()
+        if self.cfg.compact_every and (depth + 1) % self.cfg.compact_every == 0:
+            # bound the append-dir fan: periodic snapshot rewrite
+            # (Iceberg rewrite_data_files), atomic like any commit
+            self.store.compact(partitions=n_part)
         return {"scheduled": n_sched, "saved": n_saved, "candidates": n_cands}
 
     # ------------------------------------------------------------------

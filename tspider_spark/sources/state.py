@@ -37,6 +37,11 @@ SCHEMAS = {
             T.StructField("discovery_order", T.LongType()),
             T.StructField("slot", T.IntegerType()),  # politeness slot per host
             T.StructField("planned_offset_ms", T.LongType()),  # robots pacing
+            # auth/cookie fetch context (reference --cookie-file,
+            # tspider.py:32): opaque per-seed context id inherited by
+            # child tasks, honored by the fetch join. Old stores read
+            # it as NULL == the default context "".
+            T.StructField("fetch_context", T.StringType()),
         ]
     ),
     # hostname is persisted alongside the key so the F8 anti-join can be
@@ -131,7 +136,29 @@ class StateStore:
         paths = [os.path.join(self.root, d) for d in dirs]
         if not paths:
             return empty_df(self.spark, SCHEMAS[table])
-        return self.spark.read.schema(SCHEMAS[table]).parquet(*paths)
+        df = self.spark.read.schema(SCHEMAS[table]).parquet(*paths)
+        if table == "seen_scanned":
+            # schema migration: stores committed before seen_scanned
+            # gained the hostname column read it as all-NULL, and the
+            # host-co-partitioned anti-join would then never match —
+            # silently re-admitting every previously-seen URL on
+            # resume. Backfill from the key itself: scan_key is
+            # '<netloc>/<pattern-path>', so hostname = netloc minus
+            # any port, lowercased (same derivation as urlfuncs).
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "hostname",
+                F.coalesce(
+                    F.col("hostname"),
+                    F.lower(
+                        F.regexp_replace(
+                            F.substring_index("scan_key", "/", 1), ":[0-9]*$", ""
+                        )
+                    ),
+                ),
+            )
+        return df
 
     # --- commit ----------------------------------------------------------
 
@@ -148,20 +175,89 @@ class StateStore:
         m = self.manifest()
         v = m["version"] + 1
         tables = {k: list(vv) for k, vv in m["tables"].items()}
+        writes = []
         for table, df in (appends or {}).items():
             rel = os.path.join(table, f"v{v:06d}")
-            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+            writes.append((df, rel))
             tables.setdefault(table, []).append(rel)
         for table, df in (replaces or {}).items():
             rel = os.path.join(table, f"v{v:06d}")
-            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+            writes.append((df, rel))
             tables[table] = [rel]
+        if len(writes) > 1:
+            # overlap the per-table write jobs (Spark schedules jobs
+            # from concurrent driver threads FIFO across the pool):
+            # a wave's 6 small sink jobs pipeline instead of paying 6
+            # sequential job-scheduling latencies. Nothing is visible
+            # until the manifest swap below, so partial failure still
+            # leaves only orphan files.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(writes))) as ex:
+                list(
+                    ex.map(
+                        lambda wd: wd[0]
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(self.root, wd[1])),
+                        writes,
+                    )
+                )
+        elif writes:
+            df, rel = writes[0]
+            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         m["version"] = v
         m["tables"] = tables
         if meta:
             m["meta"].update(meta)
         self._write_manifest(m)
         return v
+
+    # --- maintenance ---------------------------------------------------
+
+    # layout keys per table: compaction rewrites hash-clustered on
+    # these so post-compaction scans feeding the host-co-partitioned
+    # joins read host-clustered files (Iceberg: rewrite_data_files
+    # with a cluster-by; here: repartition before the rewrite)
+    COMPACT_LAYOUT = {
+        "seen_scanned": ("hostname",),
+        "frontier": ("hostname",),
+        "seen_saved": ("saved_key",),
+    }
+
+    def compact(self, tables: list | None = None, partitions: int = 32) -> list:
+        """Rewrite each append-only table's accumulated version dirs
+        into ONE new snapshot dir, then atomically repoint the
+        manifest. A 1000-wave crawl otherwise reads 1000 parquet dirs
+        per seen_scanned scan; after compaction it reads one. Contents
+        are bit-identical (tests pin this); old dirs are removed after
+        the manifest swap (crash between swap and cleanup leaves only
+        orphan files, never a broken table)."""
+        m = self.manifest()
+        todo = [
+            t
+            for t in (tables or APPEND_TABLES)
+            if len(m["tables"].get(t, [])) > 1
+        ]
+        compacted = []
+        v = m["version"] + 1
+        old_dirs = []
+        for table in todo:
+            df = self.read(table)
+            keys = self.COMPACT_LAYOUT.get(table)
+            if keys:
+                df = df.repartition(partitions, *keys)
+            rel = os.path.join(table, f"v{v:06d}c")
+            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+            old_dirs.extend(m["tables"][table])
+            m["tables"][table] = [rel]
+            compacted.append(table)
+        if not compacted:
+            return []
+        m["version"] = v
+        self._write_manifest(m)
+        for rel in old_dirs:
+            shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+        return compacted
 
     def destroy(self):
         shutil.rmtree(self.root, ignore_errors=True)
