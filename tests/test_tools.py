@@ -1,0 +1,76 @@
+"""Smoke tests for the CLI tool wrappers (reference tools/ parity)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from tspider_spark.sources.state import SCHEMAS, StateStore
+
+
+def _store_with_results(spark, path):
+    store = StateStore(spark, str(path))
+    rows = [
+        ("GET", "http://h1.com/a?x=1", None, {}, "link",
+         "http://h1.com/a?x", "h1.com", "h1.com", True, 0, 0),
+        ("GET", "http://h1.com/a?x=2", None, {}, "link",
+         "http://h1.com/a?x", "h1.com", "h1.com", True, 0, 1),
+        ("POST", "http://h2.com/f", "a=1", {}, "form",
+         "http://h2.com/f", "h2.com", "h2.com", True, 1, 2),
+    ]
+    store.commit(appends={"results": spark.createDataFrame(rows, SCHEMAS["results"])})
+    return store
+
+
+def test_block_domain_tool(spark, tmp_path):
+    import block_domain
+
+    store = StateStore(spark, str(tmp_path / "s"))
+    store.commit(meta={"config": {"blocklist": ["old.com"]}})
+    added = block_domain.main(
+        [str(tmp_path / "s"), "evil.com", "old.com"], spark=spark
+    )
+    assert added == ["evil.com"]
+    assert store.meta()["config"]["blocklist"] == ["old.com", "evil.com"]
+    # the engine picks the new blocklist up on resume
+    from tspider_spark.config import CrawlConfig
+
+    assert CrawlConfig.from_meta(store.meta()["config"]).blocklist == [
+        "old.com", "evil.com",
+    ]
+
+
+def test_export_results_tool(spark, tmp_path):
+    import export_results
+
+    _store_with_results(spark, tmp_path / "s")
+    urls = export_results.main([str(tmp_path / "s"), "urls"], spark=spark)
+    assert urls == [
+        "http://h1.com/a?x=1", "http://h1.com/a?x=2", "http://h2.com/f",
+    ]
+    fields = export_results.main(
+        [str(tmp_path / "s"), "fields", "--fields", "method,url"], spark=spark
+    )
+    assert fields[0] == "GET\thttp://h1.com/a?x=1"
+    poc = export_results.main([str(tmp_path / "s"), "pocsuite"], spark=spark)
+    assert sorted(poc) == [
+        "h1.com\thttp://h1.com/a?x\thttp://h1.com/a?x=1",
+        "h2.com\thttp://h2.com/f\thttp://h2.com/f",
+    ]
+    out = tmp_path / "urls.txt"
+    export_results.main(
+        [str(tmp_path / "s"), "urls", "--out", str(out)], spark=spark
+    )
+    assert out.read_text().splitlines() == urls
+
+
+def test_rebuild_seen_cache_tool(spark, tmp_path):
+    import rebuild_seen_cache
+
+    store = _store_with_results(spark, tmp_path / "s")
+    n = rebuild_seen_cache.main([str(tmp_path / "s")], spark=spark)
+    assert n == 2
+    keys = {r["saved_key"] for r in store.read("seen_saved").collect()}
+    assert keys == {"GET-http://h1.com/a?x", "POST-http://h2.com/f"}
