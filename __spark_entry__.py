@@ -596,20 +596,66 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_e1_e8_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1-E8: span extraction over the synthetic interleaved corpus —
-    every doc fetched once, candidates in exact emission order (the
-    per-row span invariant is pinned by tests/test_extract.py)."""
+    """E1-E8: the real extract_candidates operator over a span table
+    synthesized deterministically from documents.doc_id (the corpus
+    generator's Python isn't SQL-expressible, but the operator's
+    semantics are — this input covers every rule: scheme validation,
+    protocol-relative resolution, fragment strip, empty-form drop,
+    in-page dedupe, request-before-static emission order, and
+    cross-section fingerprint dedupe). Oracle-checked value-exact;
+    the interleaved-corpus run stays pinned by tests/test_extract.py."""
     from tspider_spark.operators.extract import extract_candidates
-    from tspider_spark.sources.corpus import CorpusSpec, corpus_to_spark, generate_corpus
 
-    docs, _ = generate_corpus(CorpusSpec(seed=42, n_domains=3, hosts_per_domain=2))
-    ddf = corpus_to_spark(spark, docs)
-    fetched = ddf.select(
-        F.col("doc_id").alias("task_url"),
+    d = F.col("doc_id")
+    docs = _load(spark, sf_dir, "documents").filter(d < 200)
+    sch = F.when(d % 2 == 0, "https").otherwise("http")
+    page = F.concat(
+        sch, F.lit("://site"), (d % 4).cast("string"), F.lit(".com/page/"),
+        d.cast("string"),
+    )
+
+    def span(kind, text, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    ext = F.concat(
+        F.lit("http://ext"), (d % 7).cast("string"), F.lit(".com/a/"),
+        (d % 13).cast("string"),
+    )
+    spans = F.filter(
+        F.array(
+            span("link", ext, 0),
+            span("link", F.concat(F.lit("//cdn"), (d % 5).cast("string"),
+                                  F.lit(".com/lib.js")), 1),
+            span("link", F.lit("javascript:void(0)"), 2),
+            span("media", F.concat(F.lit("http://img"), (d % 3).cast("string"),
+                                   F.lit(".com/i/"), (d % 9).cast("string"),
+                                   F.lit(".png#frag")), 3),
+            span("link", ext, 4),
+            span("form", F.concat(F.lit("POST /submit?u="),
+                                  (d % 11).cast("string"), F.lit("&t=")), 5),
+            span("form", F.lit("get /search"), 6),
+            span("request", F.when(d % 3 == 0, ext), 7),
+            span("request", F.when(d % 3 == 0,
+                                   F.concat(F.lit("http://api"),
+                                            (d % 4).cast("string"),
+                                            F.lit(".com/v1/"),
+                                            (d % 6).cast("string"))), 8),
+            span("link", F.concat(F.lit("https://sec"), (d % 2).cast("string"),
+                                  F.lit(".com/x")), 9),
+        ),
+        lambda s: s["text"].isNotNull(),
+    )
+    fetched = docs.select(
+        page.alias("task_url"),
         F.lit(0).alias("depth"),
-        F.monotonically_increasing_id().alias("task_rank"),
-        "doc_id",
-        "spans",
+        d.alias("task_rank"),
+        page.alias("doc_id"),
+        spans.alias("spans"),
     )
     return extract_candidates(fetched).select(
         "task_url", "seq", "method", "url", "postdata", "type"
@@ -700,6 +746,42 @@ def oracle_sql() -> dict[str, str]:
     minhash_hashes = ", ".join(
         f"min(('0x' || substring(md5('{j}:' || shingle), 1, 15))::BIGINT) as s{j}"
         for j in range(8)
+    )
+    # simhash: same portable md5-derived 60-bit word hash as Spark's
+    # simhash_signatures; 60 per-bit vote sums -> signature -> 4x15-bit
+    # chunk self-join -> exact hamming via bit_count(xor)
+    sim_votes = ", ".join(
+        f"sum(case when (hv >> {b}) & 1 = 1 then 1 else -1 end) as b{b}"
+        for b in range(60)
+    )
+    sim_expr = " + ".join(
+        f"(case when b{b} > 0 then (1::BIGINT << {b}) else 0::BIGINT end)"
+        for b in range(60)
+    )
+    simhash_sql = (
+        _DUP_DOCS_SQL.format(limit=300)
+        + f"""
+ , swords as (
+   select doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) as w
+   from dup_docs
+ ), sh2 as (
+   select doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT as hv
+   from swords where w <> ''
+ ), votes as (
+   select doc_id, {sim_votes} from sh2 group by doc_id
+ ), sim as (
+   select doc_id, {sim_expr} as sim from votes
+ ), chunks as (
+   select doc_id, sim, c, (sim >> (c * 15)) & 32767 as v
+   from sim cross join (select unnest([0, 1, 2, 3]) as c) t
+ ), spairs as (
+   select distinct a.doc_id ia, b.doc_id ib, a.sim sa, b.sim sb
+   from chunks a join chunks b
+     on a.c = b.c and a.v = b.v and a.doc_id < b.doc_id
+ )
+ select ia, ib, bit_count(xor(sa, sb))::INTEGER as hamming
+ from spairs where bit_count(xor(sa, sb)) <= 3
+"""
     )
     jaccard_pairs_sql = (
         _DUP_DOCS_SQL.format(limit=300)
@@ -939,5 +1021,59 @@ def oracle_sql() -> dict[str, str]:
         count(*) as n_docs
  from documents group by 1
 """,
-        # crawl_full_run / media_decode / simhash_dups: rows-only
+        "simhash_dups": simhash_sql,
+        # expected-semantics oracle for the extraction operator: the
+        # validity rules (javascript: drop, fragment strip, '//'
+        # resolution, empty-form drop) are encoded in the construction;
+        # emission order and both dedupe passes replay as windows
+        "e1_e8_extraction": """
+ with docs as (select doc_id as d from documents where doc_id < 200),
+ pages as (
+   select d, (case when d % 2 = 0 then 'https' else 'http' end) as sch,
+     (case when d % 2 = 0 then 'https' else 'http' end)
+       || '://site' || (d % 4) || '.com/page/' || d as page
+   from docs
+ ),
+ raw as (
+   select d, page, 1 as section, 0 as offs, 'GET' as method,
+          'http://ext' || (d % 7) || '.com/a/' || (d % 13) as url,
+          '' as postdata, 'static' as type from pages
+   union all
+   select d, page, 1, 1, 'GET', sch || '://cdn' || (d % 5) || '.com/lib.js',
+          '', 'static' from pages
+   union all
+   select d, page, 1, 3, 'GET',
+          'http://img' || (d % 3) || '.com/i/' || (d % 9) || '.png',
+          '', 'static' from pages
+   union all
+   select d, page, 1, 4, 'GET',
+          'http://ext' || (d % 7) || '.com/a/' || (d % 13),
+          '', 'static' from pages
+   union all
+   select d, page, 1, 5, 'POST', '/submit', 'u=' || (d % 11) || '&t=',
+          'static' from pages
+   union all
+   select d, page, 0, 7, 'GET',
+          'http://ext' || (d % 7) || '.com/a/' || (d % 13),
+          '', 'request' from pages where d % 3 = 0
+   union all
+   select d, page, 0, 8, 'GET',
+          'http://api' || (d % 4) || '.com/v1/' || (d % 6),
+          '', 'request' from pages where d % 3 = 0
+   union all
+   select d, page, 1, 9, 'GET', 'https://sec' || (d % 2) || '.com/x',
+          '', 'static' from pages
+ ),
+ dd as (
+   select *, row_number() over (
+     partition by page, upper(method), url order by section, offs) as rn
+   from raw
+ )
+ select page as task_url,
+        row_number() over (partition by page order by section, offs) as seq,
+        method, url, postdata, type
+ from dd where rn = 1
+""",
+        # crawl_full_run / media_decode: rows-only (sequential
+        # stateful crawl loop / binary payload decode)
     }
