@@ -29,6 +29,15 @@ class CrawlConfig:
     # (seen sets up to ~10^9 keys); "copart": co-partitioned shard
     # join — nothing collected or replicated, the 10^10 regime
     bloom_probe: str = "broadcast"
+    # eagerly localCheckpoint the wave's candidate set instead of
+    # caching it: truncates the fetch->extract->url-derivation lineage
+    # so the ~200 downstream DataFrame ops analyze against a leaf
+    # rather than re-walking (and, through the hybrid union, re-
+    # DOUBLING) the full subtree — measured to dominate wave latency
+    # driver-side. Recovery note: checkpoint loss (executor death)
+    # fails the wave job; the per-wave atomic commit makes a wave
+    # re-run from committed state exact, so nothing is lost.
+    truncate_plan: bool = True
     # rewrite append-only state tables into one compact, key-laid-out
     # snapshot every N waves (0 = off) — bounds the per-wave read fan
     # of seen_scanned/frontier at long crawl horizons (the Iceberg

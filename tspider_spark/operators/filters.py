@@ -42,6 +42,34 @@ def not_blocklisted(blocklist: list, u: str = "u") -> Column:
     return ~F.arrays_overlap(F.col(f"{u}.block_names"), lit)
 
 
+def frontier_not_blocklisted(
+    blocklist: list, hostname_col: str = "hostname", domain_col: str = "domain"
+) -> Column:
+    """F10 re-check over frontier columns only (consumer.py:38): the
+    reference walk is [domain] plus every subdomain-suffix of hostname
+    down to domain — i.e. all dot-suffixes of hostname with
+    label-count between |domain| and |hostname|. Computed as JVM
+    string ops over the persisted (hostname, domain) pair, so the
+    wave's critical path never re-derives the URL struct or touches
+    the PSL. Rows with NULL domain (stores committed before the
+    frontier carried it) use the conservative all-suffixes walk
+    (>= 2 labels), identical to the reference walk unless a blocklist
+    entry is itself a public suffix."""
+    if not blocklist:
+        return F.lit(True)
+    lit = F.array(*[F.lit(x) for x in sorted(set(blocklist))])
+    parts = F.split(F.col(hostname_col), r"\.")
+    n = F.size(parts)
+    dn = F.coalesce(
+        F.size(F.split(F.col(domain_col), r"\.")), F.least(F.lit(2), n)
+    )
+    walk = F.transform(
+        F.sequence(dn, n),
+        lambda k: F.concat_ws(".", F.slice(parts, n - k + 1, k)),
+    )
+    return ~F.arrays_overlap(walk, lit)
+
+
 def method_is_get(method_col: str = "method") -> Column:
     """F13 (producer.py:98-108) — only GET is ever scheduled."""
     return F.col(method_col) == "GET"

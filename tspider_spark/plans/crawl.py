@@ -111,16 +111,20 @@ class CrawlEngine:
             F.coalesce("fetch_context", F.lit("")).alias("fetch_context"),
         )
         empty_budget = empty_df(self.spark, SCHEMAS["host_budget"])
+        # cache the rank INPUT: distributed_rank references its input
+        # subtree three times (local rank, bucket counts, offset join);
+        # without a cache barrier the whole upstream plan is duplicated
+        # per reference and Catalyst optimization time explodes
         admitted = admit_wave(
             cands, empty_budget, self.cfg.max_per_host, self.cfg.reduce_first
-        )
+        ).cache()
         admitted = assign_discovery_order(admitted, start=-1).cache()
 
         scope_key = F.col("domain") if self.cfg.tld else F.col("hostname")
         frontier = self._finalize_frontier(
             admitted.select(
-                "url", "hostname", F.lit(0).alias("depth"), "discovery_order",
-                "fetch_context",
+                "url", "hostname", "domain", F.lit(0).alias("depth"),
+                "discovery_order", "fetch_context",
             )
         )
         self.store.commit(
@@ -201,10 +205,10 @@ class CrawlEngine:
             return None  # A3: crawl complete
 
         # consumer-side blocklist re-check (consumer.py:38) — uses the
-        # *current* blocklist, which may have grown since scheduling
-        tasks = with_url_info(tasks, "url", out="tu").filter(
-            FL.not_blocklisted(self.cfg.blocklist, "tu")
-        )
+        # *current* blocklist, which may have grown since scheduling.
+        # Pure string ops over the persisted (hostname, domain): no URL
+        # re-derivation at the root of the wave plan.
+        tasks = tasks.filter(FL.frontier_not_blocklisted(self.cfg.blocklist))
 
         # --- fetch (S3): frontier ⋈ documents --------------------------
         # When the documents table carries a ``ctx`` column (auth-gated
@@ -243,7 +247,14 @@ class CrawlEngine:
 
         cands = extract_candidates(fetched)
         cands = with_url_info(cands, "url").filter(F.col("u.valid"))
-        cands.cache()
+        if self.cfg.truncate_plan:
+            # lineage barrier (see CrawlConfig.truncate_plan): the
+            # candidate set is materialized here either way — the
+            # checkpoint additionally makes it a *leaf* for every
+            # downstream analysis pass
+            cands = cands.localCheckpoint(eager=True)
+        else:
+            cands.cache()
 
         # --- F12/K1: saved-dedupe + results sink ------------------------
         whitelist = self.store.read("whitelist")
@@ -264,7 +275,7 @@ class CrawlEngine:
             .withColumn("_rn", F.row_number().over(w_saved))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-        )
+        ).cache()  # cache barrier: rank input is referenced 3x (see seed())
         # two-phase distributed rank: the new-saved set is NOT bounded
         # by the host cap (saving precedes the scope/budget gates), so
         # a global orderBy window would drag the whole wave's results
@@ -335,6 +346,7 @@ class CrawlEngine:
             F.col("u.hostname").alias("hostname"),
             F.col("u.scan_key").alias("scan_key"),
             F.col("u.url").alias("url"),
+            F.col("u.domain").alias("domain"),
             "task_rank",
             "seq",
             "synth_rank",
@@ -383,12 +395,14 @@ class CrawlEngine:
             admitted = admit_wave(
                 stream, host_budget, self.cfg.max_per_host, reduce_first=False
             )
-        admitted = assign_discovery_order(admitted, start=next_order - 1).cache()
+        admitted_raw = admitted.cache()  # rank-input cache barrier (see seed())
+        admitted = assign_discovery_order(admitted_raw, start=next_order - 1).cache()
 
         new_frontier = self._finalize_frontier(
             admitted.select(
                 "url",
                 "hostname",
+                "domain",
                 F.lit(depth + 1).alias("depth"),
                 "discovery_order",
                 "fetch_context",
@@ -451,7 +465,7 @@ class CrawlEngine:
                 "last_scheduled": n_sched,
             },
         )
-        for df in (cands, cands_t, results, admitted):
+        for df in (cands, cands_t, new_saved, results, admitted_raw, admitted):
             df.unpersist()
         if self.cfg.compact_every and (depth + 1) % self.cfg.compact_every == 0:
             # bound the append-dir fan: periodic snapshot rewrite

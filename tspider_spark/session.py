@@ -31,6 +31,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the wave pipeline caches every stage boundary; without this
+        # AQE is silently disabled below each InMemoryRelation and tiny
+        # shuffles keep the full static partition count
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("TSPIDER_DRIVER_MEM", "8g"))
         # throughput-batch workload: ParallelGC measured ~25% faster

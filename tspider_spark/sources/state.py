@@ -33,6 +33,13 @@ SCHEMAS = {
         [
             T.StructField("url", T.StringType()),
             T.StructField("hostname", T.StringType()),
+            # registered domain, persisted so the consumer-side
+            # blocklist re-check (F10 on the CURRENT blocklist) is a
+            # pure string suffix-walk — no URL re-derivation / PSL
+            # lookup on the wave's critical path. NULL on stores
+            # committed before this column existed; the re-check then
+            # falls back to the conservative all-suffixes walk.
+            T.StructField("domain", T.StringType()),
             T.StructField("depth", T.IntegerType()),
             T.StructField("discovery_order", T.LongType()),
             T.StructField("slot", T.IntegerType()),  # politeness slot per host
