@@ -100,8 +100,11 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
     from tspider_spark.session import get_spark, warm_python_workers
 
     # identical shuffle layout at both parallelism levels: the scaling
-    # comparison must vary ONLY the core count
-    n_part = int(os.environ.get("TSPIDER_BENCH_SHUFFLE", "128"))
+    # comparison must vary ONLY the core count. 256 (8x the hi core
+    # count) measured ~10% faster than 128 at 32 cores — finer tasks
+    # shrink the stage-tail idle that AQE can't rebalance mid-stage —
+    # and is the regime a real cluster runs anyway (partitions >> cores)
+    n_part = int(os.environ.get("TSPIDER_BENCH_SHUFFLE", "256"))
     spark = get_spark(f"bench-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=n_part)
     own_corpus = corpus_path is None

@@ -106,11 +106,14 @@ def fast_eligible(url_col) -> "F.Column":
     return url_col.isNotNull() & url_col.rlike(FAST_URL_RE)
 
 
-def _jvm_url_fields(url_col, ml_col) -> dict:
+def _jvm_url_fields(url_col, ml_col, hostname_col=None) -> dict:
     """Whole-stage-codegen derivation for fast-path URLs, one Column
     per field. Field-exact twin of urlpure.parse_url on the
     FAST_URL_RE domain. ``ml_col``: the PSL match length resolved by
-    _with_psl_match_len (suffix label count of the public suffix)."""
+    _with_psl_match_len (suffix label count of the public suffix).
+    ``hostname_col``: the hostname already derived below the PSL join
+    — passing it avoids re-running the netloc substring chain (the
+    join boundary defeats codegen subexpression elimination)."""
     BIG = F.lit(1 << 30)
     u = url_col
     defrag = F.substring_index(u, "#", 1)
@@ -124,7 +127,11 @@ def _jvm_url_fields(url_col, ml_col) -> dict:
         F.instr(after_netloc, "?") > 0,
         F.substring(after_netloc, F.instr(after_netloc, "?") + 1, BIG),
     ).otherwise("")
-    hostname = F.lower(F.regexp_replace(netloc, ":[0-9]*$", ""))
+    hostname = (
+        hostname_col
+        if hostname_col is not None
+        else F.lower(F.regexp_replace(netloc, ":[0-9]*$", ""))
+    )
     filename = F.substring_index(path, "/", -1)
     ext = F.when(
         F.instr(filename, ".") > 0, F.substring_index(filename, ".", -1)
@@ -204,9 +211,12 @@ def _jvm_url_fields(url_col, ml_col) -> dict:
     }
 
 
-def _jvm_url_struct(url_col, ml_col) -> "F.Column":
+def _jvm_url_struct(url_col, ml_col, hostname_col=None) -> "F.Column":
     return F.struct(
-        *[c.alias(n) for n, c in _jvm_url_fields(url_col, ml_col).items()]
+        *[
+            c.alias(n)
+            for n, c in _jvm_url_fields(url_col, ml_col, hostname_col).items()
+        ]
     )
 
 
@@ -256,7 +266,13 @@ def _with_psl_match_len(df, url_col, out: str):
     match, else the 1-label default; single-label wildcard bases
     (*.ck, ...) are a 15-literal IN check."""
     c = F.col(url_col) if isinstance(url_col, str) else url_col
-    hostname = _hostname_of(c)
+    # derive the hostname ONCE, below the join, and materialize it as a
+    # column: every later reference (join key, rule resolution, and the
+    # caller's struct projection via ``_psl_h``) is then an attribute
+    # read — the join boundary otherwise defeats codegen subexpression
+    # elimination and the netloc substring chain runs 3x per row
+    df = df.withColumn("_psl_h", _hostname_of(c))
+    hostname = F.col("_psl_h")
     parts = F.split(hostname, r"\.")
     n = F.size(parts)
     key = F.when(
@@ -309,6 +325,7 @@ def _with_psl_match_len(df, url_col, out: str):
     ml = F.when(
         F.col("_psl_key").isNull(), w1
     ).otherwise(F.when(exc_lvl.isNotNull(), exc_lvl - 1).otherwise(best))
+    # _psl_h is kept: with_url_info feeds it to the struct projection
     return df.withColumn(out, ml).drop("_psl_k", "_psl_key", "_psl_m2", "_psl_rules")
 
 
@@ -336,6 +353,8 @@ def with_url_info(df, url_col: str = "url", out: str = "u", hybrid: bool = True)
     if not hybrid:
         return df.withColumn(out, derive_url(c))
     fast = _with_psl_match_len(df.filter(fast_eligible(c)), c, "_psl_ml")
-    fast = fast.withColumn(out, _jvm_url_struct(c, F.col("_psl_ml"))).drop("_psl_ml")
+    fast = fast.withColumn(
+        out, _jvm_url_struct(c, F.col("_psl_ml"), F.col("_psl_h"))
+    ).drop("_psl_ml", "_psl_h")
     slow = df.filter(~fast_eligible(c) | c.isNull()).withColumn(out, derive_url(c))
     return fast.unionByName(slow)
