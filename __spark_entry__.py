@@ -527,6 +527,36 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_dups(docs, n=3, tau=0.9).select("ia", "ib", "jaccard")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the n-gram
+    Jaccard pair graph (hash-min label propagation, per-round lineage
+    truncation), one canonical keeper per component. The curation step
+    that turns pairwise dedup output into a keep/drop decision."""
+    from tspider_spark.operators.textdedup import dedup_clusters, ngram_jaccard_dups
+
+    docs = _dup_docs(spark, sf_dir, 300)
+    pairs = ngram_jaccard_dups(docs, n=3, tau=0.9)
+    return dedup_clusters(docs.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id", "keep"
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by predicted language —
+    hash-based (md5-derived uniform), so the sample is reproducible
+    across engines/cluster sizes and stable under corpus growth."""
+    from tspider_spark.operators.curate import sample_by_hash
+    from tspider_spark.operators.textstats import with_text_stats
+
+    d = with_text_stats(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred"
+    )
+    rates = {"en": 0.5, "es": 0.3, "de": 0.2, "fr": 0.1}
+    return sample_by_hash(
+        d, rates, stratum_col="lang_pred", default_rate=0.05
+    ).select("doc_id", "lang_pred")
+
+
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tspider_spark.operators.similarity import brute_force_topk
 
@@ -696,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "dedup_clusters": q_dedup_clusters,
+        "sample_stratified": q_sample_stratified,
         "ann_brute_topk": q_ann_brute_topk,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "token_count_dist": q_token_count_dist,
@@ -993,6 +1025,62 @@ def oracle_sql() -> dict[str, str]:
         + f" select doc_id, {minhash_hashes} from sh group by doc_id",
         "minhash_lsh_dups": jaccard_pairs_sql,
         "ngram_jaccard_dups": jaccard_pairs_sql,
+        # connected components over the same pair graph: recursive
+        # min-label reachability (DuckDB recursive CTE; UNION distinct
+        # terminates on the cyclic doubled-edge graph)
+        "dedup_clusters": (
+            _DUP_DOCS_SQL.format(limit=300).replace(
+                "with dup_docs", "with recursive dup_docs", 1
+            )
+            + ","
+            + _shingle_sql("dup_docs")
+            + """
+ , inter as (
+   select a.doc_id ia, b.doc_id ib, count(*) n
+   from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+   group by 1, 2
+ ), sz as (select doc_id, count(*) c from sh group by 1),
+ pairs as (
+   select ia, ib
+   from inter join sz sa on sa.doc_id = ia join sz sb on sb.doc_id = ib
+   where n * 1.0 / (sa.c + sb.c - n) >= 0.9
+ ),
+ edges as (
+   select ia as a, ib as b from pairs
+   union all
+   select ib as a, ia as b from pairs
+ ),
+ reach(v, r) as (
+   select doc_id, doc_id from dup_docs
+   union
+   select e.b, reach.r from reach join edges e on e.a = reach.v
+ )
+ select v as doc_id, min(r) as cluster_id, (v = min(r)) as keep
+ from reach group by v
+"""
+        ),
+        "sample_stratified": f"""
+ with v as (
+   select doc_id, text,
+          len(string_split_regex(trim(lower(text)), '\\s+')) as n_tokens,
+          {_lang_votes_sql()}
+   from documents
+ ), langs as (
+   select doc_id,
+     (case when greatest(l_en, l_es, l_de, l_fr) = 0 then 'und'
+           when l_en = greatest(l_en, l_es, l_de, l_fr) then 'en'
+           when l_es = greatest(l_en, l_es, l_de, l_fr) then 'es'
+           when l_de = greatest(l_en, l_es, l_de, l_fr) then 'de'
+           else 'fr' end) as lang_pred
+   from v
+ )
+ select doc_id, lang_pred from langs
+ where ('0x' || substring(md5('sample:' || doc_id), 1, 15))::BIGINT
+         / 1152921504606846976.0
+       < (case lang_pred when 'en' then 0.5 when 'es' then 0.3
+                         when 'de' then 0.2 when 'fr' then 0.1
+                         else 0.05 end)
+""",
         "ann_brute_topk": """
  with q as (select vec_id qid, embedding::DOUBLE[] qv from embeddings where vec_id < 8),
  c as (select vec_id nid, embedding::DOUBLE[] cv from embeddings),

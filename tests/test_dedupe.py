@@ -124,3 +124,47 @@ def test_store_compaction(spark, tmp_path):
     assert store.meta()["next_depth"] == 3  # meta untouched
     # idempotent: nothing left to compact
     assert store.compact() == []
+
+
+def test_dedup_clusters_components(spark):
+    from tspider_spark.operators.textdedup import dedup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # chain 0-1-2-3, pair 5-6, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (5, 6)], "ia long, ib long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_clusters(ids, pairs).collect()
+    }
+    assert got == {
+        0: (0, True), 1: (0, False), 2: (0, False), 3: (0, False),
+        4: (4, True), 5: (5, True), 6: (5, False), 7: (7, True),
+    }
+
+
+def test_sample_by_hash_deterministic_and_stratified(spark):
+    from pyspark.sql import functions as F
+
+    from tspider_spark.operators.curate import sample_by_hash
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(4000)],
+        "doc_id long, lang string",
+    )
+    rates = {"en": 0.5, "de": 0.1}
+    a = sample_by_hash(df, rates, stratum_col="lang")
+    b = sample_by_hash(df, rates, stratum_col="lang")
+    rows_a = sorted(r["doc_id"] for r in a.collect())
+    assert rows_a == sorted(r["doc_id"] for r in b.collect())  # deterministic
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # 2000 docs per stratum; binomial 3-sigma bounds
+    assert 900 < by_lang["en"] < 1100
+    assert 130 < by_lang.get("de", 0) < 270
+    # different salt -> different (but still deterministic) sample
+    c = sample_by_hash(df, rates, stratum_col="lang", salt="other")
+    assert sorted(r["doc_id"] for r in c.collect()) != rows_a

@@ -250,3 +250,65 @@ def simhash_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("ia", "ib", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components -> canonical doc per cluster)
+
+
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Training-data curation step after near-dup pair generation:
+    group pairs into connected components and pick ONE canonical doc
+    per component (the min id). Returns (id, cluster_id, keep).
+
+    ``ids``: one row per document (singletons become their own
+    cluster). ``pairs``: undirected near-dup edges (ia, ib) from any
+    of the pair generators (LSH, n-gram Jaccard, SimHash, cosine).
+
+    Hash-min label propagation: every node starts labeled with its own
+    id; each round, labels flow across edges and every node keeps the
+    min; converges in <= graph-diameter rounds (near-dup components
+    are short chains in practice, so 2-4 rounds). Each round is one
+    broadcast-or-shuffle join + a map-side-combinable min aggregation
+    — no driver-side graph state, scales to any component count. The
+    per-round ``localCheckpoint`` truncates the iterative lineage
+    (plans would otherwise grow by one join per round, and driver
+    analysis would dominate — see SURVEY §4 round-2 notes).
+    """
+    edges = pairs.select(F.col("ia").alias("_a"), F.col("ib").alias("_b"))
+    edges = edges.unionByName(
+        edges.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    ).localCheckpoint(eager=True)
+    labels = ids.select(
+        F.col(id_col).alias("_v"), F.col(id_col).alias("_lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["_a"] == labels["_v"], "inner"
+        ).select(F.col("_b").alias("_v"), "_lbl")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("_v")
+            .agg(F.min("_lbl").alias("_lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("_lbl", "_old"), "_v", "inner"
+            )
+            .filter(F.col("_lbl") < F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("_v").alias(id_col),
+        F.col("_lbl").alias("cluster_id"),
+        (F.col("_v") == F.col("_lbl")).alias("keep"),
+    )
