@@ -527,6 +527,21 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_dups(docs, n=3, tau=0.9).select("ia", "ib", "jaccard")
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization (session_window, 30-min inactivity
+    gap) per user over the events table — the streaming-native dynamic
+    session operator driven in batch mode for the oracle check."""
+    from tspider_spark.streaming.stream import user_sessions
+
+    d = _load(spark, sf_dir, "events")
+    return user_sessions(d).select(
+        "user_id",
+        F.unix_timestamp("session_start").cast("long").alias("sstart_epoch"),
+        "n_events",
+        "total_value",
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the n-gram
     Jaccard pair graph (hash-min label propagation, per-round lineage
@@ -728,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
+        "user_sessions": q_user_sessions,
         "ann_brute_topk": q_ann_brute_topk,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "token_count_dist": q_token_count_dist,
@@ -1059,6 +1075,29 @@ def oracle_sql() -> dict[str, str]:
  from reach group by v
 """
         ),
+        # gaps-and-islands sessionization, exact twin of Spark's
+        # session_window semantics: a new session starts only when the
+        # gap since the previous event EXCEEDS 30 min (an event at
+        # exactly prev + gap still merges — verified by unit test)
+        "user_sessions": """
+ with o as (
+   select user_id, event_id, ts, value,
+          lag(ts) over (partition by user_id order by ts, event_id) as pts
+   from events
+ ), flagged as (
+   select *, (case when pts is null
+                   or ts > pts + INTERVAL '30 minutes' then 1 else 0 end) as f
+   from o
+ ), grp as (
+   select *, sum(f) over (
+     partition by user_id order by ts, event_id
+     rows between unbounded preceding and current row) as g
+   from flagged
+ )
+ select user_id, floor(epoch(min(ts)))::BIGINT as sstart_epoch,
+        count(*) as n_events, round(sum(value), 2) as total_value
+ from grp group by user_id, g
+""",
         "sample_stratified": f"""
  with v as (
    select doc_id, text,

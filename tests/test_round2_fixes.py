@@ -233,3 +233,19 @@ def test_merge_results_deterministic_winner(spark, tmp_path):
     assert urls["http://h.com/a?x"] == "http://h.com/a?x=2"
     # idempotent re-run
     assert merge_results(s1, mk(rows)) == 0
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path / "tt_store"))
+    r1 = spark.createDataFrame([("m-a",)], "saved_key string")
+    r2 = spark.createDataFrame([("m-b",)], "saved_key string")
+    v1 = store.commit(appends={"seen_saved": r1})
+    v2 = store.commit(appends={"seen_saved": r2})
+    assert store.snapshots() == [v1, v2]
+    cur = {r["saved_key"] for r in store.read("seen_saved").collect()}
+    old = {r["saved_key"] for r in store.read("seen_saved", version=v1).collect()}
+    assert cur == {"m-a", "m-b"} and old == {"m-a"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.read("seen_saved", version=99)

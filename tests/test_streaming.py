@@ -102,3 +102,34 @@ def test_foreach_batch_bridge(spark, tmp_path):
     assert budget and all(v <= 3 for v in budget.values())
     seen = store.read("seen_scanned").count()
     assert seen == sum(budget.values())
+
+
+def test_user_sessions_gap_semantics(spark):
+    import datetime as dt
+
+    from tspider_spark.streaming.stream import user_sessions
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: events at 0, 10, 25 -> one session (gaps < 30);
+        # then 60 -> new session (gap 35 >= 30)
+        (1, ts(0), 1.0), (1, ts(10), 2.0), (1, ts(25), 3.0), (1, ts(60), 4.0),
+        # user 2: an exactly-30-min gap still MERGES (inclusive end);
+        # 31 min later -> new session
+        (2, ts(0), 5.0), (2, ts(30), 6.0), (2, ts(61), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in user_sessions(df).collect()
+    }
+    assert got == {
+        (1, ts(0)): (3, 6.0),
+        (1, ts(60)): (1, 4.0),
+        (2, ts(0)): (2, 11.0),
+        (2, ts(61)): (1, 7.0),
+    }

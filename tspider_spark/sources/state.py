@@ -124,10 +124,33 @@ class StateStore:
             return json.load(f)
 
     def _write_manifest(self, m: dict):
+        # Iceberg-analog snapshot log: every commit ALSO writes an
+        # immutable manifest-v{N}.json; manifest.json stays the atomic
+        # current pointer. Time travel = loading an old snapshot's
+        # manifest (read(table, version=N)). Compaction deletes data
+        # dirs it superseded, which expires the snapshots referencing
+        # them — Iceberg's expire_snapshots semantics.
+        snap = os.path.join(self.root, f"manifest-v{m['version']:06d}.json")
+        with open(snap + ".tmp", "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(snap + ".tmp", snap)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path)  # atomic commit point
+
+    def snapshots(self) -> list:
+        """Available snapshot versions, ascending (Iceberg: snapshot
+        log). Versions whose data a later compaction removed may no
+        longer be readable."""
+        import re
+
+        out = []
+        for name in os.listdir(self.root):
+            mm = re.fullmatch(r"manifest-v(\d{6})\.json", name)
+            if mm:
+                out.append(int(mm.group(1)))
+        return sorted(out)
 
     @property
     def version(self) -> int:
@@ -138,8 +161,21 @@ class StateStore:
 
     # --- read ----------------------------------------------------------
 
-    def read(self, table: str) -> DataFrame:
-        dirs = self.manifest()["tables"].get(table, [])
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Current state of ``table``; with ``version`` the state as of
+        that committed snapshot (Iceberg ``VERSION AS OF``)."""
+        if version is None:
+            m = self.manifest()
+        else:
+            snap = os.path.join(self.root, f"manifest-v{version:06d}.json")
+            if not os.path.exists(snap):
+                raise ValueError(
+                    f"snapshot v{version} not found (never committed, "
+                    f"pre-snapshot-log store, or expired by compaction)"
+                )
+            with open(snap) as f:
+                m = json.load(f)
+        dirs = m["tables"].get(table, [])
         paths = [os.path.join(self.root, d) for d in dirs]
         if not paths:
             return empty_df(self.spark, SCHEMAS[table])

@@ -103,3 +103,37 @@ def run_foreach_batch_crawl_step(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def user_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Event-time sessionization: merge a key's events into sessions
+    separated by >= ``gap`` of inactivity — ``F.session_window``, the
+    native dynamic-gap session operator (works identically over a
+    bounded DataFrame and a watermarked stream; on a stream add
+    ``withWatermark(ts_col, ...)`` upstream and the state store
+    expires closed sessions). One exchange on the key; the session
+    merge is state-store/sort-local.
+
+    Returns (key, session_start, n_events, total_value) with
+    session_start = the session's first event time.
+    """
+    return (
+        events.groupBy(
+            F.col(key_col), F.session_window(F.col(ts_col), gap).alias("_w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("_w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
