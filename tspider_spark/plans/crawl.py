@@ -149,9 +149,13 @@ class CrawlEngine:
         admitted.unpersist()
 
     # ------------------------------------------------------------------
-    def seed_from_text_file(self, path: str, fresh: bool = True):
+    def seed_from_text_file(
+        self, path: str, fresh: bool = True, fetch_context: str = ""
+    ):
         """S2 — one URL per line, blanks skipped, line number = seed
-        order (producer.create_task_from_file, producer.py:116-127)."""
+        order (producer.create_task_from_file, producer.py:116-127).
+        ``fetch_context``: auth context applied to every seed (the
+        --cookie-file analog, tspider.py:32)."""
         from pyspark.sql.functions import monotonically_increasing_id, trim
 
         raw = self.spark.read.text(path).select(trim("value").alias("url"))
@@ -159,7 +163,12 @@ class CrawlEngine:
         lines = raw.withColumn("seed_order",
                                monotonically_increasing_id().cast("int"))
         seeds = lines.filter(F.col("url") != "")
-        self.seed(seeds.select("url", "seed_order"), fresh=fresh)
+        self.seed(
+            seeds.select(
+                "url", "seed_order", F.lit(fetch_context).alias("fetch_context")
+            ),
+            fresh=fresh,
+        )
 
     # ------------------------------------------------------------------
     def add_blocklist(self, dnsname: str):

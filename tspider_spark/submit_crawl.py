@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--max-waves", type=int, default=None)
     ap.add_argument("--max-per-host", type=int, default=100)
     ap.add_argument("--tld", action="store_true")
+    ap.add_argument("--cookie-file", default=None,
+                    help="auth context for every seed (reference "
+                         "tspider.py:32): the file's content hash becomes "
+                         "the crawl's fetch_context; documents carrying a "
+                         "matching ctx column render their authed variants")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the last committed snapshot")
     args = ap.parse_args(argv)
@@ -69,10 +74,20 @@ def main(argv=None):
     else:
         cfg = CrawlConfig(tld=args.tld, max_per_host=args.max_per_host)
         eng = CrawlEngine(spark, documents, args.state, cfg)
+        ctx = ""
+        if args.cookie_file:
+            import hashlib
+
+            with open(args.cookie_file, "rb") as f:
+                ctx = "cookie:" + hashlib.md5(f.read()).hexdigest()[:12]
         if args.seeds_file:
-            eng.seed_from_text_file(args.seeds_file)
+            eng.seed_from_text_file(args.seeds_file, fetch_context=ctx)
         else:
-            eng.seed(list(seeds))
+            seeds_df = spark.createDataFrame(
+                [(s, i, ctx) for i, s in enumerate(seeds)],
+                "url string, seed_order int, fetch_context string",
+            )
+            eng.seed(seeds_df)
 
     stats = eng.run(max_waves=args.max_waves)
     order_head = [
