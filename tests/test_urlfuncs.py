@@ -318,3 +318,61 @@ def test_derive_url_udf(spark):
             assert r["domain"] == info.domain
             assert r["block_names"] == info.block_names
             assert r["blocked"] == info.blocked
+
+
+class TestPSLProperty:
+    """Property test: the optimized resolver (set-lookup scan in
+    functions/psl.py) against an independent brute-force implementation
+    of the publicsuffix.org algorithm applied rule-by-rule."""
+
+    @staticmethod
+    def _brute(hostname: str) -> str:
+        from tspider_spark.functions.psl import EXACT, EXCEPTIONS, WILDCARD_BASES
+
+        labels = hostname.lower().strip(".").split(".")
+        n = len(labels)
+        matches = []
+        for rule in EXACT:
+            rl = rule.split(".")
+            if len(rl) <= n and labels[n - len(rl):] == rl:
+                matches.append(len(rl))
+        for base in WILDCARD_BASES:
+            bl = base.split(".")
+            if len(bl) + 1 <= n and labels[n - len(bl):] == bl:
+                matches.append(len(bl) + 1)
+        exc = [
+            len(e.split("."))
+            for e in EXCEPTIONS
+            if len(e.split(".")) <= n and labels[n - len(e.split(".")):] == e.split(".")
+        ]
+        if exc:
+            match_len = max(exc) - 1
+        else:
+            match_len = max(matches) if matches else 1
+        if n <= match_len:
+            return ".".join(labels)
+        return ".".join(labels[n - match_len - 1:])
+
+    def test_matches_brute_force_over_rule_derived_hosts(self):
+        import random
+
+        from tspider_spark.functions import psl
+
+        rng = random.Random(1234)
+        rules = (
+            sorted(psl.EXACT)[::97]
+            + sorted(psl.WILDCARD_BASES)
+            + sorted(psl.EXCEPTIONS)
+        )
+        hosts = []
+        for r in rules:
+            base = r.lstrip("!").lstrip("*.")
+            hosts.append(base)                       # the rule itself
+            hosts.append("x." + base)                # one label deeper
+            hosts.append("a.b." + base)              # two deeper
+            if "." in base:                          # one label shallower
+                hosts.append(base.split(".", 1)[1])
+            hosts.append(f"w{rng.randrange(1000)}." + base)
+        hosts += ["localhost", "com", "x.com", "a.b.c.d.e.x.com", "unknown-tld-xx"]
+        for h in hosts:
+            assert psl.get_public_suffix(h) == self._brute(h), h
