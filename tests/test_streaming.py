@@ -133,3 +133,48 @@ def test_user_sessions_gap_semantics(spark):
         (2, ts(0)): (2, 11.0),
         (2, ts(61)): (1, 7.0),
     }
+
+
+def test_stream_budget_admission_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState budget: admitted keys + budget survive
+    across micro-batches (file stream, one file per trigger)."""
+    import time
+
+    from tspider_spark.streaming.stream import stream_budget_admission
+
+    src = tmp_path / "cands"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [("a.com", "a.com/k1", "http://a.com/k1"),
+         ("a.com", "a.com/k2", "http://a.com/k2")],
+        "hostname string, scan_key string, url string",
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    time.sleep(1.1)  # distinct mtimes -> deterministic trigger order
+    b2 = spark.createDataFrame(
+        [("a.com", "a.com/k2", "http://a.com/k2-dup"),
+         ("a.com", "a.com/k3", "http://a.com/k3"),
+         ("a.com", "a.com/k4", "http://a.com/k4")],
+        "hostname string, scan_key string, url string",
+    )
+    b2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("hostname string, scan_key string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    admitted = stream_budget_admission(stream, max_per_host=2)
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName("budget_adm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["scan_key"] for r in spark.sql("select * from budget_adm").collect()}
+    # cap=2 -> strict '>' admits cap+1=3 keys; k2's duplicate is
+    # state-deduped across batches; k4 exceeds the carried budget
+    assert got == {"a.com/k1", "a.com/k2", "a.com/k3"}

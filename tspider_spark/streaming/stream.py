@@ -16,6 +16,10 @@ Operators:
 * ``run_foreach_batch_crawl_step`` — micro-batch bridge: drains a
   candidate stream through the SAME admission fold the batch engine
   uses, committing through the same StateStore (foreachBatch).
+* ``user_sessions`` — event-time sessionization (session_window).
+* ``stream_budget_admission`` — F8+F9 as a custom stateful operator
+  (applyInPandasWithState): per-host budget + admitted-key state
+  carried across micro-batches.
 """
 
 from __future__ import annotations
@@ -136,4 +140,55 @@ def user_sessions(
             "n_events",
             "total_value",
         )
+    )
+
+
+def stream_budget_admission(
+    candidates: DataFrame, max_per_host: int
+) -> DataFrame:
+    """F8+F9 as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``): per-host state carries the running
+    request count and the admitted keys across micro-batches, so a
+    host's budget is enforced continuously — the streaming twin of the
+    batch admission fold for deployments that trade exact global
+    ordering for latency.
+
+    Exactness of the admission decision (not order) holds because the
+    state is sufficient: an admitted key is remembered (duplicates
+    drop forever), and a key rejected on budget stays rejected (the
+    count never decreases). State stays tiny — at most ``cap`` keys
+    per host (the reference's strict ``>`` check admits up to cap+1
+    *requests* but state only ever holds admitted keys).
+
+    Input: streaming DataFrame (hostname, scan_key, url). Output:
+    admitted rows. Works identically on a bounded DataFrame via
+    ``availableNow`` file streams (pinned by the test).
+    """
+
+    def admit(key, pdf_iter, state):
+        # admission == "first (cap+1 − already-admitted) first-occurrence
+        # keys in arrival order" (strict '>' check, redis_utils.py:188)
+        # — all pandas batch ops, no per-row Python
+        if state.exists:
+            (count, seen_list) = state.get
+            seen = list(seen_list)
+        else:
+            count, seen = 0, []
+        out = []
+        for pdf in pdf_iter:
+            fresh = pdf[~pdf["scan_key"].isin(seen)].drop_duplicates("scan_key")
+            room = max(0, (max_per_host + 1) - count)
+            admitted = fresh.head(room)
+            count += len(admitted)
+            seen.extend(admitted["scan_key"].tolist())
+            out.append(admitted)
+        state.update((count, sorted(seen)))
+        return iter(out)
+
+    return candidates.groupBy("hostname").applyInPandasWithState(
+        admit,
+        outputStructType="hostname string, scan_key string, url string",
+        stateStructType="reqcount long, admitted array<string>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )
