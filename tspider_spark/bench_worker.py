@@ -157,14 +157,22 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
         docs, F.col("task_url") == F.col("doc_id"), "inner")
     # narrow to the scheduling stream's columns BEFORE caching — the
     # cache is read twice (hybrid fast/slow branches); headers maps and
-    # postdata would double the cached bytes for nothing
-    cands = extract_candidates(fetched, partitions=0).select("url", "task_rank", "seq")
+    # postdata would double the cached bytes for nothing. The cached
+    # _fe flag makes each branch filter a boolean read instead of a
+    # second regex pass over 24M urls.
+    from tspider_spark.functions.urlfuncs import fast_eligible
+
+    cands = (
+        extract_candidates(fetched, partitions=0)
+        .select("url", "task_rank", "seq")
+        .withColumn("_fe", fast_eligible(F.col("url")))
+    )
     cands.persist()
     if os.environ.get("TSPIDER_BENCH_BARRIER"):
         cands.count()  # optional mid-pipeline materialization barrier
 
     stream = (
-        with_url_info(cands, "url")
+        with_url_info(cands, "url", eligible_col="_fe")
         .filter(F.col("u.valid") & FL.stateless_valid([]))
         .select(
             F.col("u.hostname").alias("hostname"),

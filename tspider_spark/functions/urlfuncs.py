@@ -329,7 +329,13 @@ def _with_psl_match_len(df, url_col, out: str):
     return df.withColumn(out, ml).drop("_psl_k", "_psl_key", "_psl_m2", "_psl_rules")
 
 
-def with_url_info(df, url_col: str = "url", out: str = "u", hybrid: bool = True):
+def with_url_info(
+    df,
+    url_col: str = "url",
+    out: str = "u",
+    hybrid: bool = True,
+    eligible_col: str | None = None,
+):
     """Attach the derived-URL struct column ``out`` to ``df``.
 
     hybrid=True routes plain-http(s) rows through the JVM expressions
@@ -352,9 +358,15 @@ def with_url_info(df, url_col: str = "url", out: str = "u", hybrid: bool = True)
     c = F.col(url_col)
     if not hybrid:
         return df.withColumn(out, derive_url(c))
-    fast = _with_psl_match_len(df.filter(fast_eligible(c)), c, "_psl_ml")
+    # eligible_col: caller-precomputed fast_eligible flag (stored in
+    # their cache/checkpoint), so the branch filters read a boolean
+    # instead of each re-running the regex over the full input. The
+    # column is consumed (dropped from the output).
+    elig = fast_eligible(c) if eligible_col is None else F.col(eligible_col)
+    drop = [eligible_col] if eligible_col else []
+    fast = _with_psl_match_len(df.filter(elig), c, "_psl_ml")
     fast = fast.withColumn(
         out, _jvm_url_struct(c, F.col("_psl_ml"), F.col("_psl_h"))
-    ).drop("_psl_ml", "_psl_h")
-    slow = df.filter(~fast_eligible(c) | c.isNull()).withColumn(out, derive_url(c))
+    ).drop("_psl_ml", "_psl_h", *drop)
+    slow = df.filter(~elig | c.isNull()).withColumn(out, derive_url(c)).drop(*drop)
     return fast.unionByName(slow)

@@ -307,6 +307,14 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a component with diameter > max_iter would silently come out
+        # split — refuse instead (raise max_iter; near-dup graphs are
+        # short chains, so hitting this means the input is not one)
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing)"
+        )
     return labels.select(
         F.col("_v").alias(id_col),
         F.col("_lbl").alias("cluster_id"),

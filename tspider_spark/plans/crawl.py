@@ -255,7 +255,21 @@ class CrawlEngine:
             fetched = t.join(self.documents, cond, "inner")
 
         cands = extract_candidates(fetched)
-        cands = with_url_info(cands, "url").filter(F.col("u.valid"))
+        # materialize the raw extraction ONCE before the hybrid URL
+        # derivation: with_url_info's two-branch union otherwise scans
+        # (and re-executes) the whole fetch+extract pipeline twice per
+        # wave. The precomputed _fe flag makes each branch filter a
+        # boolean read instead of a second regex pass.
+        from tspider_spark.functions.urlfuncs import fast_eligible
+
+        cands_raw = cands.withColumn("_fe", fast_eligible(F.col("url")))
+        if self.cfg.truncate_plan:
+            cands_raw = cands_raw.localCheckpoint(eager=True)
+        else:
+            cands_raw.cache()
+        cands = with_url_info(cands_raw, "url", eligible_col="_fe").filter(
+            F.col("u.valid")
+        )
         if self.cfg.truncate_plan:
             # lineage barrier (see CrawlConfig.truncate_plan): the
             # candidate set is materialized here either way — the
@@ -474,7 +488,9 @@ class CrawlEngine:
                 "last_scheduled": n_sched,
             },
         )
-        for df in (cands, cands_t, new_saved, results, admitted_raw, admitted):
+        for df in (
+            cands_raw, cands, cands_t, new_saved, results, admitted_raw, admitted
+        ):
             df.unpersist()
         if self.cfg.compact_every and (depth + 1) % self.cfg.compact_every == 0:
             # bound the append-dir fan: periodic snapshot rewrite
