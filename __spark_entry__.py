@@ -527,6 +527,19 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_dups(docs, n=3, tau=0.9).select("ia", "ib", "jaccard")
 
 
+_BM25_TERMS = ["data", "learning", "model", "training"]
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of each document to a fixed bag-of-words
+    query — lexical corpus-curation scoring, fully declarative (stats
+    via broadcast cross join, no driver scalars, no UDF)."""
+    from tspider_spark.operators.textstats import bm25_scores
+
+    d = _load(spark, sf_dir, "documents")
+    return bm25_scores(d, _BM25_TERMS).select("doc_id", "bm25")
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time sessionization (session_window, 30-min inactivity
     gap) per user over the events table — the streaming-native dynamic
@@ -744,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
+        "bm25_scores": q_bm25_scores,
         "ann_brute_topk": q_ann_brute_topk,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "token_count_dist": q_token_count_dist,
@@ -1097,6 +1111,31 @@ def oracle_sql() -> dict[str, str]:
  select user_id, floor(epoch(min(ts)))::BIGINT as sstart_epoch,
         count(*) as n_events, round(sum(value), 2) as total_value
  from grp group by user_id, g
+""",
+        "bm25_scores": """
+ with words as (
+   select doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) as w
+   from documents
+ ), nz as (select doc_id, w from words where w <> ''),
+ doclen as (select doc_id, count(*)::DOUBLE as dl from nz group by 1),
+ stats as (select count(*)::DOUBLE as n, avg(dl) as avgdl from doclen),
+ tf as (
+   select doc_id, w, count(*)::DOUBLE as tf from nz
+   where w in ('data', 'learning', 'model', 'training')
+   group by 1, 2
+ ),
+ dfreq as (select w, count(*)::DOUBLE as dfr from tf group by 1)
+ select tf.doc_id,
+        round(sum(
+          ln(1.0 + (s.n - d.dfr + 0.5) / (d.dfr + 0.5))
+          * (tf.tf * 2.2)
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+        ), 6) as bm25
+ from tf
+ join dfreq d using (w)
+ join doclen l on l.doc_id = tf.doc_id
+ cross join stats s
+ group by tf.doc_id
 """,
         "sample_stratified": f"""
  with v as (

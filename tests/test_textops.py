@@ -134,3 +134,21 @@ def test_ivf_topk_recall(spark, emb_df):
         for r in ivf_topk(queries, emb_df, k=5, n_lists=8, n_probe=8, dim=64).collect()
     }
     assert full == exact
+
+
+def test_bm25_ranks_relevant_docs_higher(spark):
+    from tspider_spark.operators.textstats import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "training data for the model is training data"),
+            (2, "model training"),
+            (3, "nothing relevant here at all whatsoever today"),
+            (4, "data"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["training", "data"]).collect()}
+    assert 3 not in got                    # zero matching terms -> absent
+    assert got[1] > got[4] > 0             # more matches -> higher score
+    assert got[2] > 0

@@ -148,3 +148,61 @@ def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(text))
         .withColumn("fingerprint", doc_fingerprint(text))
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of each document to a bag-of-words query —
+    the standard lexical scorer for corpus curation (e.g. keep docs
+    relevant to a domain seed list). Fully declarative: corpus stats
+    (N, avgdl) ride a broadcast cross join instead of driver scalars,
+    term stats are one aggregation each, and the score is a JVM
+    projection — no collect, no UDF, shuffles only on (id) and (term).
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (positive-clamped variant);
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    Returns (id, bm25) for documents matching ≥1 query term, rounded
+    to 6 decimals (cross-engine float portability).
+    """
+    terms = [t.lower() for t in query_terms]
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text))), r"\s+")).alias("_w"),
+    ).filter(F.col("_w") != "")
+    doclen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    tf = (
+        words.filter(F.col("_w").isin(terms))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    dfreq = tf.groupBy("_w").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "_w")
+        # doclen is per-document (N rows) — shuffle join, never broadcast
+        .join(doclen.select(id_col, "_dl"), id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(1.0 + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1))
+            / (
+                F.col("_tf")
+                + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.round(F.sum("_s"), 6).alias("bm25"))
