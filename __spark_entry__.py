@@ -639,8 +639,11 @@ def q_crawl_full_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode over the corpus's media refs: image refs get
+    REAL netpbm payloads (pure-numpy P6 decode, header-exact dims);
+    audio/video stay on the deterministic stub path."""
     from tspider_spark.operators.multimodal import (
-        attach_fake_payload,
+        attach_ppm_payload,
         decode_media,
         media_refs_from_documents,
     )
@@ -648,7 +651,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs, _ = generate_corpus(CorpusSpec(seed=42, n_domains=2))
     refs = media_refs_from_documents(corpus_to_spark(spark, docs))
-    return decode_media(attach_fake_payload(refs)).select(
+    return decode_media(attach_ppm_payload(refs)).select(
         "media_ref", "kind", "n_bytes", "width", "height", "n_frames", "sha"
     )
 

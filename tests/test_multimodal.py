@@ -69,3 +69,56 @@ def test_media_refs_from_corpus(spark):
     refs = media_refs_from_documents(corpus_to_spark(spark, docs))
     assert refs.count() > 0
     assert all(".jpg" in r["media_ref"] for r in refs.collect())
+
+
+def test_ppm_roundtrip_exact():
+    import numpy as np
+
+    from tspider_spark.operators.multimodal import encode_ppm, parse_ppm
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (13, 21, 3), dtype=np.uint8)
+    w, h, c, back = parse_ppm(encode_ppm(img))
+    assert (w, h, c) == (21, 13, 3)
+    assert (back == img).all()
+    gray = rng.randint(0, 256, (5, 9), dtype=np.uint8)
+    w, h, c, back = parse_ppm(encode_ppm(gray))
+    assert (w, h, c) == (9, 5, 1)
+    assert (back == gray).all()
+    # netpbm comments + arbitrary header whitespace
+    hdr = b"P6\n# a comment\n 4\t2 # inline-ish\n255\n" + bytes(range(24))
+    w, h, c, arr = parse_ppm(hdr)
+    assert (w, h, c) == (4, 2, 3) and arr.shape == (2, 4, 3)
+
+
+def test_real_ppm_decode_through_spark(spark):
+    import numpy as np
+
+    from tspider_spark.operators.multimodal import (
+        attach_ppm_payload,
+        decode_media,
+        encode_ppm,
+        extract_features,
+        parse_ppm,
+    )
+
+    refs = spark.createDataFrame(
+        [("http://img0.com/a.png",), ("http://img1.com/b.jpg",),
+         ("http://v.com/c.mp4",)],
+        "media_ref string",
+    )
+    decoded = decode_media(attach_ppm_payload(refs))
+    rows = {r["media_ref"]: r for r in decoded.collect()}
+    for ref in ("http://img0.com/a.png", "http://img1.com/b.jpg"):
+        r = rows[ref]
+        w, h, c, arr = parse_ppm(bytes(r["payload"]))
+        assert (r["width"], r["height"]) == (w, h)  # header-exact
+        assert r["n_bytes"] == len(bytes(r["payload"]))
+    assert rows["http://v.com/c.mp4"]["kind"] == "video"
+
+    feats = {r["media_ref"]: r["feature"] for r in extract_features(decoded).collect()}
+    for ref in ("http://img0.com/a.png",):
+        _, _, _, arr = parse_ppm(bytes(rows[ref]["payload"]))
+        expected_mean = arr.reshape(-1, 3).astype(np.float32).mean(axis=0) / 255.0
+        got = np.array(feats[ref][:3])
+        assert np.allclose(got, expected_mean, atol=1e-5)  # pixel-exact features

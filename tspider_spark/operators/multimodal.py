@@ -4,13 +4,17 @@ payloads with typed metadata, processed through Arrow-batched
 feature-extract / resize / frame-sample stages in a training-data
 pipeline.
 
-The container has no image/audio libraries, so the actual codecs are
-STUBBED (clearly marked): ``decode_media(real_decoder=True)`` raises
-``NotImplementedError`` unless PIL/av are importable, and the default
-is a DETERMINISTIC FAKE decoder that derives metadata from the payload
-bytes. The Spark-side contract — schema, Arrow batch shape, partition
-behaviour — is real and tested; swapping in a real codec changes only
-the per-batch numpy section.
+Codec status (the container has no PIL/av):
+
+* netpbm **P6/P5 (PPM/PGM) decode is REAL** — pure-numpy header+raster
+  parsing (``parse_ppm``/``encode_ppm``), round-trip-exact and
+  exercised end to end by ``attach_ppm_payload`` → ``decode_media`` →
+  ``extract_features`` (pixel-exact mean/std/histogram features);
+* compressed formats (jpg/png/audio/video) stay STUBBED behind a
+  deterministic fake (clearly marked; ``decode_media(
+  real_decoder=True)`` raises ``NotImplementedError`` until PIL/av are
+  importable). The Spark-side contract — schema, Arrow batch shape,
+  partition behaviour — is identical on both paths.
 """
 
 from __future__ import annotations
@@ -81,12 +85,22 @@ def decode_media(
         for pdf in batches:
             payloads = pdf["payload"]
             n_bytes = payloads.map(len).astype("int64")
-            digests = payloads.map(
-                lambda b: hashlib.blake2b(bytes(b), digest_size=8).digest()
-            )
-            d0 = digests.map(lambda d: d[0]).astype("int32")
-            d1 = digests.map(lambda d: d[1]).astype("int32")
-            d2 = digests.map(lambda d: d[2]).astype("int32")
+            widths, heights = [], []
+            for b in payloads:
+                bb = bytes(b)
+                if bb[:2] in (b"P6", b"P5"):
+                    # REAL decode: netpbm payloads parse header-exact
+                    w, h, _, _ = parse_ppm(bb)
+                else:
+                    # stub path for formats whose codecs aren't in the
+                    # container: hash-derived deterministic dims
+                    d = hashlib.blake2b(bb, digest_size=8).digest()
+                    w, h = 16 * (1 + d[0] % 64), 16 * (1 + d[1] % 64)
+                widths.append(w)
+                heights.append(h)
+            d2 = payloads.map(
+                lambda b: hashlib.blake2b(bytes(b), digest_size=8).digest()[2]
+            ).astype("int32")
             is_video = pdf["kind"] == "video"
             yield pd.DataFrame(
                 {
@@ -94,8 +108,8 @@ def decode_media(
                     "kind": pdf["kind"],
                     "payload": payloads,
                     "n_bytes": n_bytes,
-                    "width": 16 * (1 + d0 % 64),
-                    "height": 16 * (1 + d1 % 64),
+                    "width": pd.Series(widths, index=pdf.index, dtype="int32"),
+                    "height": pd.Series(heights, index=pdf.index, dtype="int32"),
                     "n_frames": np.where(is_video, 1 + d2 % 120, 1).astype("int32"),
                     "sha": payloads.map(
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()
@@ -115,11 +129,31 @@ def extract_features(decoded: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             out = []
             for b in pdf["payload"]:
-                seed = int.from_bytes(
-                    hashlib.blake2b(bytes(b), digest_size=4).digest(), "little"
-                )
-                rng = np.random.RandomState(seed)
-                out.append(rng.standard_normal(dim).astype(np.float32))
+                bb = bytes(b)
+                if bb[:2] in (b"P6", b"P5") and dim >= 6:
+                    # REAL pixel features: per-channel mean/std + a
+                    # luma histogram filling the remaining dims
+                    _, _, c, arr = parse_ppm(bb)
+                    px = arr.reshape(-1, 3) if c == 3 else np.repeat(
+                        arr.reshape(-1, 1), 3, axis=1
+                    )
+                    px = px.astype(np.float32)
+                    luma = px.mean(axis=1)
+                    hist, _ = np.histogram(luma, bins=dim - 6, range=(0, 255))
+                    v = np.concatenate(
+                        [
+                            px.mean(axis=0) / 255.0,
+                            px.std(axis=0) / 255.0,
+                            hist.astype(np.float32) / max(len(luma), 1),
+                        ]
+                    ).astype(np.float32)
+                    out.append(v)
+                else:
+                    seed = int.from_bytes(
+                        hashlib.blake2b(bb, digest_size=4).digest(), "little"
+                    )
+                    rng = np.random.RandomState(seed)
+                    out.append(rng.standard_normal(dim).astype(np.float32))
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
@@ -153,4 +187,85 @@ def media_refs_from_documents(documents: DataFrame) -> DataFrame:
         .filter(F.col("s.media_ref").isNotNull())
         .select(F.col("s.media_ref").alias("media_ref"))
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: PPM (P6) / PGM (P5) — pure numpy, no external libraries.
+# The container lacks PIL/av, but the netpbm raster formats need only
+# byte parsing, so this path is a fully real decode: header-exact
+# dimensions and pixel-exact rasters (round-trip pinned by tests).
+
+
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    """Encode HxW (PGM, P5) or HxWx3 (PPM, P6) uint8 array."""
+    if arr.ndim == 2:
+        magic = b"P5"
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"expected HxW or HxWx3 uint8, got {arr.shape}")
+    h, w = arr.shape[0], arr.shape[1]
+    return magic + b"\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def parse_ppm(b: bytes):
+    """Decode P5/P6 bytes -> (width, height, channels, HxW[x3] uint8).
+    Handles netpbm comment lines and arbitrary header whitespace."""
+    if not (b.startswith(b"P6") or b.startswith(b"P5")):
+        raise ValueError("not a P5/P6 netpbm payload")
+    channels = 3 if b.startswith(b"P6") else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            pos = b.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    raster = np.frombuffer(b, dtype=np.uint8, count=w * h * channels, offset=pos)
+    shape = (h, w, 3) if channels == 3 else (h, w)
+    return w, h, channels, raster.reshape(shape)
+
+
+def attach_ppm_payload(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """Blob-store stand-in that serves REAL rasters: each ref gets a
+    deterministic hash-seeded P6 image (image refs) or the md5-derived
+    opaque bytes (audio/video — codecs for those stay stubbed). The
+    decode stage then exercises the real parser end to end."""
+    from collections.abc import Iterator as _It
+
+    kinded = df.withColumn("kind", _kind_from_ref(ref_col))
+
+    def gen(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            payloads = []
+            for ref, kind in zip(pdf[ref_col], pdf["kind"]):
+                seed = int.from_bytes(
+                    hashlib.blake2b(str(ref).encode(), digest_size=4).digest(),
+                    "little",
+                )
+                if kind == "image":
+                    rng = np.random.RandomState(seed)
+                    w, h = 8 + seed % 25, 8 + (seed >> 8) % 17
+                    payloads.append(
+                        encode_ppm(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
+                    )
+                else:
+                    payloads.append(
+                        hashlib.md5(str(ref).encode()).digest() * 8
+                    )
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    return kinded.mapInPandas(
+        gen, f"{ref_col} string, kind string, payload binary"
     )
