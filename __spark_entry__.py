@@ -555,6 +555,16 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (MOSS):
+    k-gram rolling hashes, window-min selection — position-robust
+    fingerprints for containment/near-dup detection."""
+    from tspider_spark.operators.textdedup import winnow_fingerprints
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return winnow_fingerprints(docs, k=8, window=4).select("doc_id", "fp")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the n-gram
     Jaccard pair graph (hash-min label propagation, per-round lineage
@@ -757,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
@@ -1114,6 +1125,31 @@ def oracle_sql() -> dict[str, str]:
  select user_id, floor(epoch(min(ts)))::BIGINT as sstart_epoch,
         count(*) as n_events, round(sum(value), 2) as total_value
  from grp group by user_id, g
+""",
+        # winnowing: same k-gram rolling hash + window-min in SQL
+        # (1-based positions; full windows only, short docs keep i=1)
+        "winnow_fingerprints": """
+ with d as (
+   select doc_id,
+          regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') as norm
+   from documents where doc_id < 300
+ ), pos as (
+   select doc_id, norm,
+          unnest(generate_series(1, greatest(length(norm) - 8 + 1, 1))) as i
+   from d
+ ), hashed as (
+   select doc_id, i,
+          ('0x' || substring(md5(substring(norm, i, 8)), 1, 15))::BIGINT as h,
+          count(*) over (partition by doc_id) as p
+   from pos
+ ), wmin as (
+   select doc_id, i, p,
+          min(h) over (partition by doc_id order by i
+                       rows between current row and 3 following) as wm
+   from hashed
+ )
+ select distinct doc_id, wm as fp
+ from wmin where i <= greatest(p - 4 + 1, 1)
 """,
         "bm25_scores": """
  with words as (

@@ -168,3 +168,28 @@ def test_sample_by_hash_deterministic_and_stratified(spark):
     # different salt -> different (but still deterministic) sample
     c = sample_by_hash(df, rates, stratum_col="lang", salt="other")
     assert sorted(r["doc_id"] for r in c.collect()) != rows_a
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    from tspider_spark.operators.textdedup import winnow_fingerprints
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, "PREFIX AAA " + shared + " SUFFIX BBB"),
+            (2, "totally different lead-in text then " + shared),
+            (3, "no overlap with anything else at all in this one honestly"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=k, window=w)
+    rows = fps.collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    # winnowing guarantee: a shared substring of length >= k + w - 1
+    # yields at least one shared fingerprint, regardless of position
+    assert sets[1] & sets[2]
+    # and the unrelated doc shares nothing with either
+    assert not (sets[3] & sets[1]) and not (sets[3] & sets[2])

@@ -320,3 +320,64 @@ def dedup_clusters(
         F.col("_lbl").alias("cluster_id"),
         (F.col("_v") == F.col("_lbl")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document fingerprinting)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (the MOSS
+    scheme): hash every character k-gram, slide a window of ``window``
+    consecutive positions, keep each window's minimum hash — the
+    selected set is a position-robust fingerprint: any shared
+    substring of length >= k + window - 1 guarantees a shared
+    fingerprint. Used for near-dup / containment detection where
+    shingle sets are too coarse.
+
+    All JVM: posexplode of the position range -> substring k-gram ->
+    portable md5-derived 60-bit hash -> min over a rows-window
+    per doc (ordered by position; one exchange on the doc id) ->
+    distinct. Returns (id, fp) pairs.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({_norm_sql(text)}) - {k} + 1, 1)), "
+                f"i -> substring({_norm_sql(text)}, i, {k}))"
+            )
+        ).alias("pos", "gram"),
+    )
+    h = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    # only FULL windows select a fingerprint (positions 0..P-w);
+    # docs with fewer than w positions keep their single global min
+    return (
+        grams.select(id_col, "pos", h.alias("h"))
+        .withColumn("_wmin", F.min("h").over(w))
+        .withColumn(
+            "_last",
+            F.greatest(
+                F.max("pos").over(Window.partitionBy(id_col)) - window + 1,
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("pos") <= F.col("_last"))
+        .select(F.col(id_col), F.col("_wmin").alias("fp"))
+        .distinct()
+    )
+
+
+def _norm_sql(text: str) -> str:
+    return f"regexp_replace(trim(lower({text})), '\\\\s+', ' ')"
