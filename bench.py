@@ -55,6 +55,12 @@ BENCH_QUERIES = [
     "ann_brute_topk",
     "text_stats",
     "crawl_full_run",
+    # round-2 additions (keys above stay comparable across rounds)
+    "dedup_clusters",
+    "winnow_fingerprints",
+    "bm25_scores",
+    "sample_stratified",
+    "user_sessions",
 ]
 
 

@@ -109,3 +109,17 @@ def test_noncanonical_seed(spark, tmp_path, corpus):
     cfg = CrawlConfig(tld=False, max_per_host=10)
     oracle, engine = run_both(spark, tmp_path, corpus, cfg)
     assert_parity(oracle, engine)
+
+
+def test_parity_on_alternate_corpus_seed(spark, tmp_path):
+    """Different corpus seed => different URL shapes, link graph, and
+    hot-host layout; parity must hold regardless (guards against
+    fixtures-only correctness)."""
+    corpus = generate_corpus(
+        CorpusSpec(seed=1337, n_domains=3, hosts_per_domain=2, hot_host_pages=12)
+    )
+    oracle, engine = run_both(
+        spark, tmp_path, corpus, CrawlConfig(tld=True, max_per_host=7)
+    )
+    assert len(oracle.crawl_order) > 20, "corpus too inert to be a real test"
+    assert_parity(oracle, engine)
