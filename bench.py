@@ -150,6 +150,12 @@ def main():
 
     spark = get_spark("bench-queries", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
+    # measure warm-state query times (same policy as the wave worker):
+    # without this the FIRST query absorbs ~5-8s of one-time Arrow
+    # python-worker fork+import cost that isn't its own
+    from tspider_spark.session import warm_python_workers
+
+    warm_python_workers(spark, CPUS)
     qs = entry.queries()
     timings = {}
     for name in BENCH_QUERIES:
