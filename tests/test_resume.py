@@ -99,3 +99,38 @@ def test_runtime_blocklist_addition(spark, tmp_path):
         blocked_domain not in (r["headers"] or {}).get("Referer", "")
         for r in later
     )
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    """Optimistic-concurrency check (Iceberg CommitFailedException
+    analog): if another writer swaps the manifest between a commit's
+    base read and its own swap, the slower commit must raise and leave
+    the store exactly as the winner left it."""
+    import pytest
+
+    from tspider_spark.sources.state import ConcurrentCommitError, StateStore
+
+    root = str(tmp_path / "race")
+    s1 = StateStore(spark, root)
+    s2 = StateStore(spark, root)
+    s1.commit(meta={"base": True})  # v1
+
+    # interleave: after s1's base manifest read, s2 lands v2
+    orig = s1.manifest
+    fired = []
+
+    def racy():
+        m = orig()
+        if not fired:
+            fired.append(1)
+            s2.commit(meta={"winner": True})
+        return m
+
+    s1.manifest = racy
+    with pytest.raises(ConcurrentCommitError):
+        s1.commit(meta={"loser": True})
+
+    fresh = StateStore(spark, root)
+    assert fresh.version == 2
+    assert fresh.meta().get("winner") is True
+    assert "loser" not in fresh.meta()

@@ -96,6 +96,13 @@ APPEND_TABLES = ("frontier", "seen_scanned", "seen_saved", "results", "fetch_met
 REPLACE_TABLES = ("host_budget", "whitelist")
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed a snapshot between this commit's base
+    read and its manifest swap (Iceberg: CommitFailedException). The
+    store is unchanged by the failed commit — only orphan data files
+    were written; callers re-read state and retry."""
+
+
 def empty_df(spark: SparkSession, schema: T.StructType) -> DataFrame:
     """Zero-partition empty DataFrame. ``spark.createDataFrame([], schema)``
     builds a ParallelCollectionRDD with default-parallelism python-backed
@@ -248,6 +255,19 @@ class StateStore:
         elif writes:
             df, rel = writes[0]
             df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        # Iceberg-analog optimistic concurrency: the commit was built
+        # against manifest version v-1; if another writer swapped the
+        # manifest while our table files were being written, refuse
+        # rather than silently clobbering their commit (our files are
+        # only orphans at this point — nothing is corrupted). A true
+        # CAS needs a locking catalog (Iceberg: the catalog's atomic
+        # swap); this detects every non-simultaneous conflict.
+        cur = self.manifest()["version"]
+        if cur != v - 1:
+            raise ConcurrentCommitError(
+                f"store advanced to v{cur} while committing v{v} "
+                f"(built against v{v - 1}); re-read state and retry"
+            )
         m["version"] = v
         m["tables"] = tables
         if meta:
