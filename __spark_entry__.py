@@ -740,6 +740,48 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dups(docs, max_hamming=3).select("ia", "ib", "hamming")
 
 
+def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filter inputs: per-doc top 2-/3-gram character
+    coverage (Rae et al. 2021 §A1.1)."""
+    from tspider_spark.operators.quality import repetition_stats
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs, ns=(2, 3))
+
+
+# deterministic re-lining of the (newline-free) documents corpus so the
+# C4 line filter has real per-line variety: words chunked 5 per line,
+# terminal '.' added except every third line per (doc_id + line_no) % 3
+_LINED_EXPR = (
+    "array_join(transform("
+    "sequence(1, cast(ceil(size(split(trim(lower(text)), '\\\\s+')) / 5.0) as int)), "
+    "i -> concat(concat_ws(' ', slice(split(trim(lower(text)), '\\\\s+'), (i-1)*5+1, 5)), "
+    "case when (doc_id + i) % 3 = 0 then '' else '.' end)), '\\n')"
+)
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over the
+    deterministically re-lined corpus."""
+    from tspider_spark.operators.quality import c4_line_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    lined = docs.select("doc_id", F.expr(_LINED_EXPR).alias("text"))
+    return c4_line_filter(lined)
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing a 4-gram with the
+    held-out 'eval' slice (doc_id % 97 == 0). 4-grams because the
+    synthetic docs are short; the paper default is 13."""
+    from tspider_spark.operators.quality import decontam_flags
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontam_flags(corpus, ev, n=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t1_t2_url_enrich": q_t1_t2_url_enrich,
@@ -775,6 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "token_count_dist": q_token_count_dist,
+        "repetition_ratios": q_repetition_ratios,
+        "c4_line_filter": q_c4_line_filter,
+        "decontam_overlap": q_decontam_overlap,
         # rows-only (non-SQL-expressible)
         "crawl_full_run": q_crawl_full_run,
         "media_decode": q_media_decode,
@@ -1225,6 +1270,64 @@ def oracle_sql() -> dict[str, str]:
  select len(string_split_regex(trim(lower(text)), '\\s+')) as n_tokens,
         count(*) as n_docs
  from documents group by 1
+""",
+        "repetition_ratios": """
+ with words as (
+   select doc_id, length(trim(text)) as doc_chars,
+          string_split_regex(trim(lower(text)), '\\s+') w
+   from documents
+ ), grams as (
+   select doc_id, doc_chars, 2 as n, array_to_string(w[i:i+1], ' ') gram
+   from (select *, unnest(range(1, greatest(len(w)-1, 0)+1)) i from words)
+   union all
+   select doc_id, doc_chars, 3 as n, array_to_string(w[i:i+2], ' ') gram
+   from (select *, unnest(range(1, greatest(len(w)-2, 0)+1)) i from words)
+ ), counts as (
+   select doc_id, doc_chars, n, gram, count(*) cnt from grams group by all
+ ), top as (
+   select *, row_number() over (partition by doc_id, n
+                                order by cnt desc, gram asc) rn
+   from counts
+ )
+ select a.doc_id, a.gram as top2_gram,
+        round(least(1.0, a.cnt * length(a.gram) / a.doc_chars), 6) as top2_frac,
+        b.gram as top3_gram,
+        round(least(1.0, b.cnt * length(b.gram) / b.doc_chars), 6) as top3_frac
+ from (select * from top where n = 2 and rn = 1) a
+ left join (select * from top where n = 3 and rn = 1) b using (doc_id)
+""",
+        "c4_line_filter": """
+ with words as (
+   select doc_id, string_split_regex(trim(lower(text)), '\\s+') w from documents
+ ), lined as (
+   select doc_id, array_to_string(
+     list_transform(range(1, cast(ceil(len(w) / 5.0) as int) + 1),
+       i -> array_to_string(w[(i-1)*5+1:(i-1)*5+5], ' ')
+            || case when (doc_id + i) % 3 = 0 then '' else '.' end),
+     chr(10)) as text
+   from words
+ ), kept as (
+   select doc_id, text,
+     list_filter(string_split(text, chr(10)), l ->
+       regexp_matches(trim(l), '[.!?"]$')
+       and len(string_split_regex(trim(l), '\\s+')) >= 3
+       and not contains(lower(l), 'lorem ipsum')
+       and not contains(lower(l), 'javascript')
+       and not contains(lower(l), '{')) as kl
+   from lined
+ )
+ select doc_id, array_to_string(kl, chr(10)) as clean_text,
+        len(string_split(text, chr(10))) as n_lines, len(kl) as n_kept
+ from kept
+""",
+        "decontam_overlap": "with "
+        + _shingle_sql("documents", 4).lstrip()
+        + """
+ , ev as (select distinct shingle from sh where doc_id % 97 = 0)
+ select s.doc_id, count(*) as n_contaminated_grams
+ from sh s join ev using (shingle)
+ where s.doc_id % 97 <> 0
+ group by 1
 """,
         "simhash_dups": simhash_sql,
         # expected-semantics oracle for the extraction operator: the

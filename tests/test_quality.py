@@ -1,0 +1,82 @@
+"""Corpus-quality curation operators (Gopher repetition, C4 line
+filter, n-gram decontamination) — value pins + physical-plan shape."""
+
+from __future__ import annotations
+
+from tspider_spark.operators.quality import (
+    c4_line_filter,
+    decontam_flags,
+    repetition_stats,
+)
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, "x y z w v u t s"), (3, "q q q q")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # doc 1: "a b" occurs 3x, len 3, doc len 13 -> 9/13
+    assert rows[1]["top2_gram"] == "a b"
+    assert abs(rows[1]["top2_frac"] - round(9 / 13, 6)) < 1e-9
+    # overlapping occurrences cap at 1.0 ("q q" 3x in 7 chars)
+    assert rows[3]["top2_frac"] == 1.0
+    # unique grams tie-break by gram text ascending
+    assert rows[2]["top2_gram"] == "t s"
+    # 4-gram column present when requested
+    r4 = {r["doc_id"]: r for r in repetition_stats(df, ns=(2, 4)).collect()}
+    assert r4[3]["top4_gram"] == "q q q q"
+
+
+def test_repetition_stats_short_doc_no_global_window(spark):
+    df = spark.createDataFrame([(1, "one"), (2, "a b")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(df, ns=(2, 3)).collect()}
+    # 1-word doc: no 2-grams at all -> absent entirely
+    assert 1 not in rows
+    # 2-word doc: has a 2-gram, no 3-gram -> null 3-columns
+    assert rows[2]["top2_gram"] == "a b" and rows[2]["top3_gram"] is None
+    # the ranking window is partitioned (doc_id, n) — never global
+    import re
+
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert re.search(r"windowspecdefinition\(doc_id#\d+L?, n#", plan)
+
+
+def test_c4_line_filter_rules(spark):
+    text = (
+        "Good line with punctuation.\n"
+        "short.\n"
+        "no terminal punct here\n"
+        "Another fine sentence!\n"
+        "this line has javascript inside.\n"
+        "lorem ipsum dolor sit amet.\n"
+        'He said "stop".\n'
+        "code line { x = 1; } done."
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = c4_line_filter(df).collect()[0]
+    assert row["n_lines"] == 8
+    assert row["n_kept"] == 3
+    assert row["clean_text"].split("\n") == [
+        "Good line with punctuation.",
+        "Another fine sentence!",
+        'He said "stop".',
+    ]
+
+
+def test_decontam_flags_broadcasts_eval_side(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j"), (3, "c d e f g")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(99, "b c d e f")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_contaminated_grams"]
+           for r in decontam_flags(docs, ev, n=3).collect()}
+    # doc1 shares 'b c d'+'c d e'; doc3 shares 'c d e'+'d e f'; doc2 none
+    assert got == {1: 2, 3: 2}
+    plan = (
+        decontam_flags(docs, ev, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles to join

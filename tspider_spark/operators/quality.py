@@ -1,0 +1,155 @@
+"""Corpus-quality curation from the public LLM-data-pipeline
+literature: Gopher-style repetition statistics (Rae et al. 2021,
+"Scaling Language Models" §A1.1), C4-style line filtering (Raffel et
+al. 2020 §2.2), and benchmark decontamination by n-gram overlap
+(Brown et al. 2020 §C; Dolma, Soldaini et al. 2024).
+
+These complement the near-dup operators in ``textdedup``: dedupe
+removes redundant documents; these score/clean the survivors before
+training. All three are pure JVM column expressions — no Python UDFs —
+so they stay inside whole-stage codegen and scale as:
+
+- ``repetition_stats``: ONE shuffle keyed (doc_id, n, gram) with
+  map-side partial aggregation, then a window partitioned by
+  (doc_id, n) — never a global window. Gram fan-out is bounded by
+  words-per-doc x len(ns).
+- ``c4_line_filter``: shuffle-free projection (higher-order ``filter``
+  over the split-lines array); Catalyst pushes it below/above
+  neighbors freely.
+- ``decontam_flags``: the eval side is tiny by construction (a
+  benchmark suite is KBs-MBs vs a 100 TB corpus), so it broadcasts;
+  the corpus side is a map-only scan + partial count — no corpus
+  shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _words(text: str) -> str:
+    return f"split(trim(lower({text})), '\\\\s+')"
+
+
+def gram_array(n: int, text: str = "text") -> Column:
+    """ALL word n-gram occurrences (non-distinct, in order) — unlike
+    ``textdedup.shingles`` which is the distinct set. sequence(1,0) is
+    descending in Spark, so short docs short-circuit to array()."""
+    w = _words(text)
+    return F.expr(
+        f"case when size({w}) >= {n} then "
+        f"transform(sequence(1, size({w}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({w}, i, {n}))) "
+        f"else array() end"
+    )
+
+
+def repetition_stats(
+    df: DataFrame, ns: tuple = (2, 3, 4), id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Gopher repetition filter inputs: for each n in ``ns``, the
+    fraction of the doc's characters covered by its single most
+    frequent word n-gram (count x len(gram) / len(doc), capped at 1.0
+    since overlapping occurrences double-count characters; ties broken
+    by gram text ascending for determinism). Docs above ~0.2 at n=2
+    are boilerplate/templating candidates in the Gopher recipe.
+
+    Output: (id_col, top{n}_gram, top{n}_frac) per n, one row per doc.
+    """
+    grams = None
+    for n in ns:
+        g = df.select(
+            F.col(id_col),
+            F.lit(n).alias("n"),
+            F.length(F.expr(f"trim({text})")).alias("doc_chars"),
+            F.explode(gram_array(n, text)).alias("gram"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counts = grams.groupBy(id_col, "n", "doc_chars", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy(id_col, "n").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn(
+            "frac",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("cnt") * F.length("gram") / F.col("doc_chars"),
+                ),
+                6,
+            ),
+        )
+    )
+    out = None
+    for n in ns:
+        part = top.filter(F.col("n") == n).select(
+            id_col,
+            F.col("gram").alias(f"top{n}_gram"),
+            F.col("frac").alias(f"top{n}_frac"),
+        )
+        out = part if out is None else out.join(part, id_col, "left")
+    return out
+
+
+# C4 line-level heuristics (Raffel et al. 2020 §2.2): keep a line only
+# if it ends in terminal punctuation, has >= min_words words, and is
+# free of boilerplate markers. The bad-marker list is the public C4
+# one (lorem ipsum, javascript, curly brace as a code tell).
+_C4_BAD_MARKERS = ("lorem ipsum", "javascript", "{")
+
+
+def c4_line_filter(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", min_words: int = 3
+) -> DataFrame:
+    """Per-document line cleaning: split on newline, keep lines that
+    (a) end with . ! ? or closing quote, (b) have >= ``min_words``
+    whitespace words, (c) contain no boilerplate marker. Returns the
+    cleaned text plus kept/total line counts; shuffle-free."""
+    marker_checks = " and ".join(
+        f"not contains(lower(l), '{m}')" for m in _C4_BAD_MARKERS
+    )
+    kept = F.expr(
+        f"filter(split({text}, '\\n'), l -> "
+        f"trim(l) rlike '[.!?\"]$' "
+        f"and size(split(trim(l), '\\\\s+')) >= {min_words} "
+        f"and {marker_checks})"
+    )
+    lines = F.expr(f"split({text}, '\\n')")
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+    )
+
+
+def decontam_flags(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Dolma): flag every
+    corpus doc sharing at least one word n-gram with the eval set
+    (13-grams in the papers; pass smaller n for short docs). Returns
+    (id_col, n_contaminated_grams) for flagged docs only — anti-join
+    the result against the corpus to drop them.
+
+    The eval side is collapsed to its distinct gram set and broadcast,
+    so the corpus is scanned once with a map-side hash probe — the
+    only aggregation shuffle is on the (rare) flagged doc ids."""
+    from tspider_spark.operators.textdedup import shingles
+
+    d = shingles(docs, n, id_col, text)
+    e = shingles(eval_docs, n, id_col, text).select("shingle").distinct()
+    return (
+        d.join(F.broadcast(e), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
