@@ -770,6 +770,23 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(lined)
 
 
+def q_paragraph_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style corpus-level paragraph dedupe over the doubled-docs
+    corpus (every copy's paragraphs are exact dups of the original's,
+    so copies must come back empty)."""
+    from tspider_spark.operators.quality import paragraph_dedupe
+
+    docs = _dup_docs(spark, sf_dir, 300)
+    para_text = F.expr(
+        "array_join(transform("
+        "sequence(1, cast(ceil(size(split(trim(lower(text)), '\\\\s+')) / 6.0) as int)), "
+        "i -> concat_ws(' ', slice(split(trim(lower(text)), '\\\\s+'), (i-1)*6+1, 6))), "
+        "'\\n\\n')"
+    )
+    lined = docs.select("doc_id", para_text.alias("text"))
+    return paragraph_dedupe(lined)
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing a 4-gram with the
     held-out 'eval' slice (doc_id % 97 == 0). 4-grams because the
@@ -819,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_dist": q_token_count_dist,
         "repetition_ratios": q_repetition_ratios,
         "c4_line_filter": q_c4_line_filter,
+        "paragraph_dedupe": q_paragraph_dedupe,
         "decontam_overlap": q_decontam_overlap,
         # rows-only (non-SQL-expressible)
         "crawl_full_run": q_crawl_full_run,
@@ -1319,6 +1337,30 @@ def oracle_sql() -> dict[str, str]:
  select doc_id, array_to_string(kl, chr(10)) as clean_text,
         len(string_split(text, chr(10))) as n_lines, len(kl) as n_kept
  from kept
+""",
+        "paragraph_dedupe": _DUP_DOCS_SQL.format(limit=300) + """
+ , wds as (
+   select doc_id, string_split_regex(trim(lower(text)), '\\s+') w from dup_docs
+ ), ptext as (
+   select doc_id,
+     list_transform(range(1, cast(ceil(len(w) / 6.0) as int) + 1),
+       i -> array_to_string(w[(i-1)*6+1:(i-1)*6+6], ' ')) ps
+   from wds
+ ), paras as (
+   select doc_id, pos, trim(ps[pos]) para
+   from (select doc_id, ps, unnest(range(1, len(ps)+1)) pos from ptext)
+   where length(trim(ps[pos])) > 0
+ ), marked as (
+   select *, row_number() over (partition by para
+                                order by doc_id, pos) rn
+   from paras
+ )
+ select doc_id,
+   coalesce(string_agg(case when rn = 1 then para end, e'\\n\\n' order by pos),
+            '') as clean_text,
+   count(*) as n_paras,
+   sum(case when rn = 1 then 1 else 0 end) as n_kept
+ from marked group by doc_id
 """,
         "decontam_overlap": "with "
         + _shingle_sql("documents", 4).lstrip()

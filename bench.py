@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "bm25_scores",
     "sample_stratified",
     "user_sessions",
+    "repetition_ratios",
+    "decontam_overlap",
+    "paragraph_dedupe",
 ]
 
 

@@ -80,3 +80,36 @@ def test_decontam_flags_broadcasts_eval_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles to join
+
+
+def test_paragraph_dedupe_keep_first_and_rebuild(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\ngamma delta\n\nalpha beta"),
+            (2, "gamma delta\n\nepsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    from tspider_spark.operators.quality import paragraph_dedupe
+
+    rows = {r["doc_id"]: r for r in paragraph_dedupe(df).collect()}
+    # doc1: in-doc repeat of 'alpha beta' dropped (pos 0 wins)
+    assert rows[1]["clean_text"] == "alpha beta\n\ngamma delta"
+    assert rows[1]["n_paras"] == 3 and rows[1]["n_kept"] == 2
+    # doc2: 'gamma delta' already owned by doc1
+    assert rows[2]["clean_text"] == "epsilon zeta"
+    assert rows[2]["n_kept"] == 1
+    # keep-first is an aggregation (partial-agg skew-safe), not a
+    # per-paragraph window sort
+    plan = paragraph_dedupe(df)._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(para" not in plan
+
+
+def test_paragraph_dedupe_fully_duplicate_doc_is_emptied(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    from tspider_spark.operators.quality import paragraph_dedupe
+
+    rows = {r["doc_id"]: r for r in paragraph_dedupe(df).collect()}
+    assert rows[2]["clean_text"] == "" and rows[2]["n_kept"] == 0

@@ -128,6 +128,53 @@ def c4_line_filter(
     )
 
 
+def paragraph_dedupe(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", sep: str = "\n\n"
+) -> DataFrame:
+    """Corpus-level paragraph dedupe (Dolma, Soldaini et al. 2024
+    §4.1.3; CCNet, Wenzek et al. 2020): across the WHOLE corpus keep
+    only the first occurrence — ordered by (doc, position) — of each
+    distinct trimmed paragraph, and rebuild every document from its
+    surviving paragraphs in original order.
+
+    Keep-first is computed as ``groupBy(paragraph).agg(min(struct(doc,
+    pos)))`` + a co-partitioned join back, NOT a row_number window per
+    paragraph: partial (map-side) aggregation makes a boilerplate
+    paragraph with 10^8 occurrences a non-event, whereas a window
+    would sort all of them in one partition — the classic hot-key
+    skew of web boilerplate ("thank you for reading").
+
+    Output: (id_col, clean_text, n_paras, n_kept); docs whose every
+    paragraph was seen earlier come back with clean_text = ''.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text), sep)).alias("pos", "para"),
+    ).withColumn("para", F.trim("para")).filter(F.length("para") > 0)
+    winner = paras.groupBy("para").agg(
+        F.min(F.struct(id_col, "pos")).alias("_w")
+    )
+    marked = paras.join(winner, "para").withColumn(
+        "_keep",
+        (F.col("_w")[id_col] == F.col(id_col)) & (F.col("_w")["pos"] == F.col("pos")),
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("_keep").cast("int")).alias("n_kept"),
+    )
+
+
 def decontam_flags(
     docs: DataFrame,
     eval_docs: DataFrame,
