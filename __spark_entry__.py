@@ -787,6 +787,22 @@ def q_paragraph_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedupe(lined)
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-authority PageRank over the events-derived host link graph
+    (frontier prioritization input; 10 iterations, d=0.85)."""
+    from tspider_spark.operators.graph import pagerank
+
+    ev = _load(spark, sf_dir, "events")
+    src = F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string"))
+    dst = F.concat(
+        F.lit("h"), ((F.col("user_id") * 7 + F.col("event_id")) % 37).cast("string")
+    )
+    edges = ev.select(src.alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    return pagerank(edges, iters=10)
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing a 4-gram with the
     held-out 'eval' slice (doc_id % 97 == 0). 4-grams because the
@@ -838,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "paragraph_dedupe": q_paragraph_dedupe,
         "decontam_overlap": q_decontam_overlap,
+        "host_pagerank": q_host_pagerank,
         # rows-only (non-SQL-expressible)
         "crawl_full_run": q_crawl_full_run,
         "media_decode": q_media_decode,
@@ -879,6 +896,7 @@ def _shingle_sql(src: str = "documents", n: int = 3) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from tspider_spark.operators.graph import pagerank_oracle_sql
     from tspider_spark.operators.textstats import LANG_STOPWORDS
 
     en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
@@ -1362,6 +1380,12 @@ def oracle_sql() -> dict[str, str]:
    sum(case when rn = 1 then 1 else 0 end) as n_kept
  from marked group by doc_id
 """,
+        "host_pagerank": pagerank_oracle_sql(
+            "edges as (select 'h' || (user_id % 37) as src, "
+            "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
+            "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",
+            iters=10,
+        ),
         "decontam_overlap": "with "
         + _shingle_sql("documents", 4).lstrip()
         + """

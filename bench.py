@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "repetition_ratios",
     "decontam_overlap",
     "paragraph_dedupe",
+    "host_pagerank",
 ]
 
 

@@ -1,0 +1,145 @@
+"""Host-graph authority scoring: distributed PageRank (Page et al.
+1999) over the crawl's host link graph.
+
+A production crawler prioritizes its frontier by host authority
+(OPIC/PageRank-style scores are standard in large-scale crawl
+schedulers); the reference's FIFO queue has no analog, so this is a
+§2.8 extension feeding the same admission fold (join the scores onto
+the frontier and order by (depth, -rank, discovery_order)).
+
+Scale design — every iteration is one shuffle keyed on the node id:
+
+- contributions: edges ⋈ ranks on src (both sides hash-partitioned on
+  the join key; AQE handles hot-host skew), then groupBy(dst) with
+  map-side partial sums.
+- the graph-size scalar N and per-iteration dangling mass are carried
+  as broadcast 1-row cross joins (the BM25 pattern) — no driver-side
+  ``collect``/scalars, so the whole loop is one lazy plan per
+  iteration.
+- iterative lineage: each iteration ends with an eager
+  ``localCheckpoint`` cutting the ranks lineage. This is not optional
+  polish: one iteration references rank_t TWICE (contributions and
+  dangling mass), so an uncut plan grows ~3^k — measured 308 s for 10
+  iterations on a 37-node graph without the cut vs ~20 s with it (all
+  driver-side analysis, not executor work). ``checkpoint_every`` > 1
+  trades driver analysis for fewer materializations; 1 is right for
+  any deep loop.
+
+Semantics (pinned by tests + the chained-CTE DuckDB oracle):
+rank_0 = 1/N; rank_{t+1}(v) = (1-d)/N + d * (sum over in-neighbors u
+of rank_t(u)/outdeg(u) + dangling_t/N) where dangling_t is the total
+rank of nodes with no out-edges (redistributed uniformly). Ranks sum
+to 1 at every iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """PageRank over the distinct directed edge set. Returns
+    (node, rank) for every node appearing as source or target,
+    rank rounded to 6 places."""
+    e = edges.select(src, dst).distinct()
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_row = nodes.agg(F.count("*").alias("_n"))  # 1 row, broadcast below
+    deg = e.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("_deg"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    # deg joined once onto the rank table so each iteration reuses it
+    base = nodes.join(deg, "node", "left").crossJoin(F.broadcast(n_row))
+
+    for i in range(iters):
+        r = base.join(ranks, "node")
+        contrib = (
+            r.filter(F.col("_deg").isNotNull())
+            .join(e, F.col("node") == F.col(src))
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
+        )
+        dangling = r.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_deg").isNull(), F.col("rank"))), F.lit(0.0)
+            ).alias("_dm")
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dm") / F.col("_n"))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def pagerank_oracle_sql(
+    edges_cte: str, iters: int = 10, damping: float = 0.85
+) -> str:
+    """Chained-CTE SQL twin of :func:`pagerank` (no recursive CTE:
+    each iteration is a plain SELECT). The ``edges_cte`` must define a
+    relation ``edges(src, dst)``; the generated statement is
+    ``with <edges_cte>, ... select node, rank``.
+
+    The per-iteration rank CTEs are declared ``AS MATERIALIZED``
+    (DuckDB/PostgreSQL syntax): each pr_t is referenced twice
+    (contributions + dangling), and DuckDB 1.0 inlines plain CTEs at
+    every reference — the Spark-side 3^k lineage blowup exactly
+    mirrored in the oracle engine (measured 348 s for 10 iterations on
+    a 37-node graph without MATERIALIZED, ~0.1 s with it)."""
+    # float literals are cast to double explicitly (DuckDB parses bare
+    # numeric literals as DECIMAL — decimal arithmetic would diverge
+    # from Spark's double arithmetic before round(6)); (1 - damping) is
+    # pre-computed in Python so both engines use the identical double.
+    d = f"cast({damping!r} as double)"
+    teleport = f"cast({1.0 - damping!r} as double)"
+    parts = [
+        edges_cte,
+        "e as (select distinct src, dst from edges)",
+        "nodes as (select src as node from e union select dst from e)",
+        "nn as (select count(*) as n from nodes)",
+        "deg as (select src as node, count(*) as deg from e group by 1)",
+        "pr0 as materialized "
+        "(select node, cast(1.0 as double) / nn.n as rank from nodes, nn)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"c{t} as (select e.dst as node, sum(p.rank / deg.deg) as c "
+            f"from pr{t} p join deg using (node) join e on e.src = p.node "
+            f"group by 1)"
+        )
+        parts.append(
+            f"dm{t} as (select coalesce(sum(p.rank), cast(0 as double)) as dm "
+            f"from pr{t} p left join deg using (node) where deg.deg is null)"
+        )
+        parts.append(
+            f"pr{t + 1} as materialized (select n.node, "
+            f"{teleport} / nn.n + {d} * "
+            f"(coalesce(c{t}.c, cast(0 as double)) + dm{t}.dm / nn.n) as rank "
+            f"from nodes n left join c{t} on n.node = c{t}.node, nn, dm{t})"
+        )
+    return (
+        "with " + ",\n ".join(parts)
+        + f"\n select node, round(rank, 6) as rank from pr{iters}"
+    )
