@@ -787,6 +787,18 @@ def q_paragraph_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedupe(lined)
 
 
+_RECIPE_TARGETS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+def q_recipe_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe mixing: per-language keep rates realizing the target
+    token mixture without upsampling (binding stratum at rate 1)."""
+    from tspider_spark.operators.curate import recipe_rates
+
+    docs = _load(spark, sf_dir, "documents")
+    return recipe_rates(docs, _RECIPE_TARGETS, stratum_col="lang")
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-authority PageRank over the events-derived host link graph
     (frontier prioritization input; 10 iterations, d=0.85)."""
@@ -855,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedupe": q_paragraph_dedupe,
         "decontam_overlap": q_decontam_overlap,
         "host_pagerank": q_host_pagerank,
+        "recipe_rates": q_recipe_rates,
         # rows-only (non-SQL-expressible)
         "crawl_full_run": q_crawl_full_run,
         "media_decode": q_media_decode,
@@ -1379,6 +1392,23 @@ def oracle_sql() -> dict[str, str]:
    count(*) as n_paras,
    sum(case when rn = 1 then 1 else 0 end) as n_kept
  from marked group by doc_id
+""",
+        "recipe_rates": """
+ with per as (
+   select lang,
+     cast(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) as double)
+       as weight,
+     cast(case lang when 'en' then 0.4 when 'de' then 0.2
+                    when 'es' then 0.2 when 'fr' then 0.1
+                    when 'zh' then 0.1 end as double) as target_frac
+   from documents group by lang
+ ), p as (
+   select * from per where target_frac is not null and target_frac > 0
+ ), s as (select min(weight / target_frac) as scale from p)
+ select lang, weight, target_frac,
+        round(target_frac * s.scale / weight, 6) as rate,
+        round(target_frac * s.scale, 6) as expected_weight
+ from p, s
 """,
         "host_pagerank": pagerank_oracle_sql(
             "edges as (select 'h' || (user_id % 37) as src, "

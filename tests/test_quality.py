@@ -113,3 +113,30 @@ def test_paragraph_dedupe_fully_duplicate_doc_is_emptied(spark):
 
     rows = {r["doc_id"]: r for r in paragraph_dedupe(df).collect()}
     assert rows[2]["clean_text"] == "" and rows[2]["n_kept"] == 0
+
+
+def test_recipe_rates_mixture_and_no_upsampling(spark):
+    from tspider_spark.operators.curate import recipe_rates, sample_by_hash
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", "w " * 10) for i in range(200)],
+        "doc_id long, lang string, text string",
+    )
+    rates = recipe_rates(df, {"en": 0.5, "de": 0.25}, stratum_col="lang")
+    got = {r["lang"]: r for r in rates.collect()}
+    # en: 1000 tokens / 0.5 = 2000; de: 1000 / 0.25 = 4000 -> en binds
+    assert got["en"]["rate"] == 1.0
+    assert got["de"]["rate"] == 0.5  # 0.25 * 2000 / 1000
+    assert got["en"]["expected_weight"] == 1000.0
+    assert got["de"]["expected_weight"] == 500.0
+    # unlisted stratum absent; rates feed sample_by_hash directly
+    kept = sample_by_hash(
+        df, {r["lang"]: r["rate"] for r in rates.collect()},
+        stratum_col="lang",
+    )
+    en, de = (
+        kept.filter(kept.lang == "en").count(),
+        kept.filter(kept.lang == "de").count(),
+    )
+    assert en == 100  # rate 1 keeps everything
+    assert 30 <= de <= 70  # deterministic hash draw near 50

@@ -134,3 +134,38 @@ def test_concurrent_commit_detected(spark, tmp_path):
     assert fresh.version == 2
     assert fresh.meta().get("winner") is True
     assert "loser" not in fresh.meta()
+
+
+def test_concurrent_compaction_detected(spark, tmp_path):
+    """compact() swaps a wholesale manifest from its base read — a
+    commit landing mid-rewrite must abort the compaction, not vanish."""
+    import pytest
+
+    from tspider_spark.sources.state import (
+        SCHEMAS, ConcurrentCommitError, StateStore,
+    )
+
+    root = str(tmp_path / "crace")
+    s1 = StateStore(spark, root)
+    s2 = StateStore(spark, root)
+    row = spark.createDataFrame([("h", "h/a")], SCHEMAS["seen_scanned"])
+    s1.commit(appends={"seen_scanned": row})  # v1
+    s1.commit(appends={"seen_scanned": row})  # v2 -> two dirs to compact
+
+    orig = s1.manifest
+    fired = []
+
+    def racy():
+        m = orig()
+        if not fired:
+            fired.append(1)
+            s2.commit(appends={"seen_scanned": row})  # v3 lands mid-compact
+        return m
+
+    s1.manifest = racy
+    with pytest.raises(ConcurrentCommitError):
+        s1.compact(["seen_scanned"])
+
+    fresh = StateStore(spark, root)
+    assert fresh.version == 3
+    assert fresh.read("seen_scanned").count() == 3  # nothing lost

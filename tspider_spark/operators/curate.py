@@ -53,3 +53,52 @@ def sample_by_hash(
         for k, v in sorted(rates.items()):
             rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
     return df.withColumn("_u", u).filter(F.col("_u") < rate).drop("_u")
+
+
+def recipe_rates(
+    df: DataFrame,
+    targets: dict,
+    stratum_col: str = "lang",
+    weight_col: str | None = None,
+    text: str = "text",
+) -> DataFrame:
+    """Data-recipe mixing (the Pile / Dolma step before sampling):
+    given target mixture fractions per stratum, compute the per-stratum
+    KEEP RATES that realize the largest corpus with exactly that
+    mixture WITHOUT upsampling any stratum (every rate <= 1; the
+    binding stratum gets rate 1). weight = ``weight_col`` if given,
+    else whitespace token count of ``text``.
+
+    scale = min over strata of weight_s / target_s;
+    rate_s = target_s * scale / weight_s.
+
+    Output: (stratum_col, weight, target_frac, rate, expected_weight).
+    Feed the rates into :func:`sample_by_hash` for the deterministic
+    draw. One tiny aggregation (|strata| rows) + a broadcast cross
+    join for the scale scalar — no driver-side collect.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.size(F.split(F.trim(F.lower(F.col(text))), r"\s+")).cast("double")
+    )
+    tgt = F.lit(None).cast("double")
+    for k, v in sorted(targets.items()):
+        tgt = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(tgt)
+    per = (
+        df.select(F.col(stratum_col), w.alias("_w"))
+        .groupBy(stratum_col)
+        .agg(F.sum("_w").alias("weight"))
+        .withColumn("target_frac", tgt)
+        .filter(F.col("target_frac").isNotNull() & (F.col("target_frac") > 0))
+    )
+    scale = per.agg(F.min(F.col("weight") / F.col("target_frac")).alias("_scale"))
+    return per.crossJoin(F.broadcast(scale)).select(
+        stratum_col,
+        "weight",
+        "target_frac",
+        F.round(
+            F.col("target_frac") * F.col("_scale") / F.col("weight"), 6
+        ).alias("rate"),
+        F.round(F.col("target_frac") * F.col("_scale"), 6).alias("expected_weight"),
+    )

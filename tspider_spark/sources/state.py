@@ -316,6 +316,15 @@ class StateStore:
             compacted.append(table)
         if not compacted:
             return []
+        # same optimistic-concurrency gate as commit(): compaction
+        # swaps a manifest built from its base read, so a concurrent
+        # commit landing mid-rewrite would be silently lost without it
+        cur = self.manifest()["version"]
+        if cur != v - 1:
+            raise ConcurrentCommitError(
+                f"store advanced to v{cur} while compacting to v{v} "
+                f"(built against v{v - 1}); re-read state and retry"
+            )
         m["version"] = v
         self._write_manifest(m)
         for rel in old_dirs:
