@@ -122,3 +122,64 @@ def test_real_ppm_decode_through_spark(spark):
         expected_mean = arr.reshape(-1, 3).astype(np.float32).mean(axis=0) / 255.0
         got = np.array(feats[ref][:3])
         assert np.allclose(got, expected_mean, atol=1e-5)  # pixel-exact features
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from tspider_spark.operators.multimodal import encode_wav, parse_wav
+
+    mono = np.arange(-500, 500, dtype=np.int16)
+    rate, ch, back = parse_wav(encode_wav(mono, 22050))
+    assert (rate, ch) == (22050, 1)
+    assert np.array_equal(back[:, 0], mono)
+
+    stereo = np.stack([mono, mono[::-1]], axis=1)
+    rate, ch, back = parse_wav(encode_wav(stereo, 8000))
+    assert (rate, ch) == (8000, 2)
+    assert np.array_equal(back, stereo)
+
+    # unknown odd-sized chunk between fmt and data is skipped, padded
+    b = encode_wav(mono[:8], 16000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"xyz" + b"\x00"
+    patched = b[:fmt_end] + extra + b[fmt_end:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate, ch, back = parse_wav(patched)
+    assert rate == 16000 and np.array_equal(back[:, 0], mono[:8])
+
+
+def test_real_wav_decode_through_spark(spark):
+    import numpy as np
+
+    from tspider_spark.operators.multimodal import (
+        attach_media_payload,
+        decode_media,
+        extract_features,
+        parse_wav,
+    )
+
+    refs = spark.createDataFrame(
+        [("http://a.com/x.wav",), ("http://a.com/y.mp3",),
+         ("http://img0.com/a.png",)],
+        "media_ref string",
+    )
+    decoded = decode_media(attach_media_payload(refs))
+    rows = {r["media_ref"]: r for r in decoded.collect()}
+    for ref in ("http://a.com/x.wav", "http://a.com/y.mp3"):
+        r = rows[ref]
+        assert r["kind"] == "audio"
+        rate, ch, samples = parse_wav(bytes(r["payload"]))
+        # width/height carry samples-per-channel / channel count
+        assert r["width"] == samples.shape[0] and r["height"] == ch
+        assert ch in (1, 2) and rate in (8000, 16000, 24000)
+
+    feats = {r["media_ref"]: np.array(r["feature"])
+             for r in extract_features(decoded).collect()}
+    for ref in ("http://a.com/x.wav",):
+        _, _, samples = parse_wav(bytes(rows[ref]["payload"]))
+        x = samples.astype(np.float32).mean(axis=1) / 32768.0
+        assert np.allclose(feats[ref][1], np.sqrt(np.mean(x * x)), atol=1e-5)
+        assert np.isfinite(feats[ref]).all()

@@ -8,9 +8,12 @@ Codec status (the container has no PIL/av):
 
 * netpbm **P6/P5 (PPM/PGM) decode is REAL** — pure-numpy header+raster
   parsing (``parse_ppm``/``encode_ppm``), round-trip-exact and
-  exercised end to end by ``attach_ppm_payload`` → ``decode_media`` →
-  ``extract_features`` (pixel-exact mean/std/histogram features);
-* compressed formats (jpg/png/audio/video) stay STUBBED behind a
+  exercised end to end by ``attach_media_payload`` → ``decode_media``
+  → ``extract_features`` (pixel-exact mean/std/histogram features);
+* WAV **RIFF PCM16 decode is REAL** — pure-numpy chunk-walking parser
+  (``parse_wav``/``encode_wav``), sample-exact round trip, real
+  waveform features (level/RMS/zero-cross/magnitude histogram);
+* compressed formats (jpg/png/mp3/video) stay STUBBED behind a
   deterministic fake (clearly marked; ``decode_media(
   real_decoder=True)`` raises ``NotImplementedError`` until PIL/av are
   importable). The Spark-side contract — schema, Arrow batch shape,
@@ -91,6 +94,12 @@ def decode_media(
                 if bb[:2] in (b"P6", b"P5"):
                     # REAL decode: netpbm payloads parse header-exact
                     w, h, _, _ = parse_ppm(bb)
+                elif bb[:4] == b"RIFF":
+                    # REAL decode: PCM WAV — for audio rows width
+                    # carries samples-per-channel, height the channel
+                    # count (documented overload of the image dims)
+                    _, ch, samples = parse_wav(bb)
+                    w, h = int(samples.shape[0]), int(ch)
                 else:
                     # stub path for formats whose codecs aren't in the
                     # container: hash-derived deterministic dims
@@ -145,6 +154,20 @@ def extract_features(decoded: DataFrame, dim: int = 16) -> DataFrame:
                             px.mean(axis=0) / 255.0,
                             px.std(axis=0) / 255.0,
                             hist.astype(np.float32) / max(len(luma), 1),
+                        ]
+                    ).astype(np.float32)
+                    out.append(v)
+                elif bb[:4] == b"RIFF" and dim >= 4:
+                    # REAL waveform features: level stats + zero-cross
+                    # rate + a coarse magnitude histogram
+                    _, _, samples = parse_wav(bb)
+                    x = samples.astype(np.float32).mean(axis=1) / 32768.0
+                    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    hist, _ = np.histogram(np.abs(x), bins=dim - 3, range=(0, 1))
+                    v = np.concatenate(
+                        [
+                            [x.mean(), float(np.sqrt(np.mean(x * x))), zcr],
+                            hist.astype(np.float32) / max(len(x), 1),
                         ]
                     ).astype(np.float32)
                     out.append(v)
@@ -235,11 +258,12 @@ def parse_ppm(b: bytes):
     return w, h, channels, raster.reshape(shape)
 
 
-def attach_ppm_payload(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
-    """Blob-store stand-in that serves REAL rasters: each ref gets a
-    deterministic hash-seeded P6 image (image refs) or the md5-derived
-    opaque bytes (audio/video — codecs for those stay stubbed). The
-    decode stage then exercises the real parser end to end."""
+def attach_media_payload(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """Blob-store stand-in that serves REAL media: each ref gets a
+    deterministic hash-seeded P6 image (image refs) or PCM16 WAV clip
+    (audio refs); video refs get md5-derived opaque bytes (those
+    codecs stay stubbed). The decode stage then exercises the real
+    parsers end to end."""
     from collections.abc import Iterator as _It
 
     kinded = df.withColumn("kind", _kind_from_ref(ref_col))
@@ -252,11 +276,21 @@ def attach_ppm_payload(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
                     hashlib.blake2b(str(ref).encode(), digest_size=4).digest(),
                     "little",
                 )
+                rng = np.random.RandomState(seed)
                 if kind == "image":
-                    rng = np.random.RandomState(seed)
                     w, h = 8 + seed % 25, 8 + (seed >> 8) % 17
                     payloads.append(
                         encode_ppm(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
+                    )
+                elif kind == "audio":
+                    n = 256 + seed % 512
+                    ch = 1 + (seed >> 16) % 2
+                    rate = 8000 * (1 + seed % 3)
+                    payloads.append(
+                        encode_wav(
+                            rng.randint(-(2**15), 2**15, (n, ch), dtype=np.int16),
+                            sample_rate=rate,
+                        )
                     )
                 else:
                     payloads.append(
@@ -269,3 +303,60 @@ def attach_ppm_payload(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     return kinded.mapInPandas(
         gen, f"{ref_col} string, kind string, payload binary"
     )
+
+
+# backwards-compatible name from when only the netpbm path was real
+attach_ppm_payload = attach_media_payload
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: WAV (RIFF PCM16) — pure numpy, no external libraries.
+# Like netpbm for images, uncompressed PCM needs only byte parsing, so
+# the audio decode path is fully real: header-exact sample rate /
+# channel count and sample-exact waveforms (round-trip pinned by
+# tests). Compressed audio (mp3/ogg) stays honestly stubbed.
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:
+    """Encode int16 PCM — shape (n,) mono or (n, channels) — as a
+    canonical RIFF/WAVE file (fmt + data chunks)."""
+    import struct
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    n, ch = arr.shape
+    data = arr.tobytes()
+    block_align = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(b: bytes):
+    """Decode RIFF/WAVE PCM16 bytes -> (sample_rate, n_channels,
+    (n, channels) int16 array). Walks the chunk list (skipping unknown
+    chunks, honoring the odd-size pad byte), PCM16 only."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, ch, data = 12, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, ch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_format != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, ch, samples.reshape(-1, ch)
