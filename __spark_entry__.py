@@ -827,6 +827,25 @@ def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam_flags(corpus, ev, n=4)
 
 
+def q_substring_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2022 substring-level exact dedupe (8-token windows)
+    over the doubled-docs corpus: every copy is one long duplicated
+    window chain of its original, so copies come back fully cut."""
+    from tspider_spark.operators.quality import substring_dedupe
+
+    docs = _dup_docs(spark, sf_dir, 300)
+    return substring_dedupe(docs, length=8)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: per-doc mean bits/token under the
+    corpus unigram distribution (Wenzek et al. 2020 §3.2)."""
+    from tspider_spark.operators.quality import unigram_logprob
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t1_t2_url_enrich": q_t1_t2_url_enrich,
@@ -868,11 +887,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": q_decontam_overlap,
         "host_pagerank": q_host_pagerank,
         "recipe_rates": q_recipe_rates,
-        # rows-only (non-SQL-expressible)
-        "crawl_full_run": q_crawl_full_run,
-        "media_decode": q_media_decode,
+        "substring_dedupe": q_substring_dedupe,
+        "unigram_logprob": q_unigram_logprob,
         "simhash_dups": q_simhash_dups,
         "e1_e8_extraction": q_e1_e8_extraction,
+        # rows-only (non-SQL-expressible: sequential stateful crawl
+        # loop / binary payload decode)
+        "crawl_full_run": q_crawl_full_run,
+        "media_decode": q_media_decode,
     }
 
 
@@ -1477,6 +1499,50 @@ def oracle_sql() -> dict[str, str]:
         row_number() over (partition by page order by section, offs) as seq,
         method, url, postdata, type
  from dd where rn = 1
+""",
+        # windows over the UNFILTERED split array (positions count ''
+        # tokens, matching Spark's gram_array), tokens filtered after
+        "substring_dedupe": _DUP_DOCS_SQL.format(limit=300)
+        + """
+ , words as (
+   select doc_id, string_split_regex(trim(lower(text)), '\\s+') w
+   from dup_docs
+ ), occ as (
+   select doc_id, w, unnest(range(1, greatest(len(w) - 8 + 1, 0) + 1)) i
+   from words
+ ), occ2 as (
+   select doc_id, i, array_to_string(w[i:i+7], ' ') as gram from occ
+ ), marked as (
+   select *, row_number() over (partition by gram order by doc_id, i) rn
+   from occ2
+ ), cov as (
+   select distinct doc_id, pos from (
+     select doc_id, unnest(range(i, i + 8)) pos from marked where rn > 1
+   )
+ ), toksidx as (
+   select doc_id, unnest(range(1, len(w) + 1)) pos, w from words
+ ), toks as (
+   select doc_id, pos, w[pos] as word from toksidx where w[pos] <> ''
+ )
+ select t.doc_id,
+   coalesce(string_agg(case when c.pos is null then t.word end, ' '
+                       order by t.pos), '') as clean_text,
+   count(*) as n_tokens,
+   sum(case when c.pos is not null then 1 else 0 end) as n_dup_tokens
+ from toks t left join cov c on t.doc_id = c.doc_id and t.pos = c.pos
+ group by t.doc_id
+""",
+        "unigram_logprob": """
+ with toks as (
+   select doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) as w
+   from documents
+ ), t2 as (select doc_id, w from toks where w <> ''),
+ freq as (select w, count(*) as cnt from t2 group by w),
+ tot as (select sum(cnt) as total from freq)
+ select doc_id, count(*) as n_tokens,
+        round(avg(log2(total / cnt)), 6) as bits_per_token
+ from t2 join freq using (w) cross join tot
+ group by doc_id
 """,
         # crawl_full_run / media_decode: rows-only (sequential
         # stateful crawl loop / binary payload decode)

@@ -140,3 +140,78 @@ def test_recipe_rates_mixture_and_no_upsampling(spark):
     )
     assert en == 100  # rate 1 keeps everything
     assert 30 <= de <= 70  # deterministic hash draw near 50
+
+
+def test_substring_dedupe_cuts_duplicated_windows(spark):
+    from tspider_spark.operators.quality import substring_dedupe
+
+    # doc 1 and doc 2 share the 4-token window "p q r s" mid-document;
+    # doc 1 (first by id) keeps it, doc 2 loses exactly those 4 tokens.
+    df = spark.createDataFrame(
+        [
+            (1, "a b p q r s c d"),
+            (2, "x y p q r s z w"),
+            (3, "all unique tokens here live alone"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in substring_dedupe(df, length=4).collect()}
+    assert rows[1]["clean_text"] == "a b p q r s c d"
+    assert rows[1]["n_dup_tokens"] == 0
+    assert rows[2]["clean_text"] == "x y z w"
+    assert rows[2]["n_tokens"] == 8 and rows[2]["n_dup_tokens"] == 4
+    assert rows[3]["n_dup_tokens"] == 0
+
+
+def test_substring_dedupe_self_overlap_keeps_uncovered_prefix(spark):
+    from tspider_spark.operators.quality import substring_dedupe
+
+    # "a a a a a" with length=2: windows at 0..3 are all "a a"; winner
+    # is start 0, dups at 1,2,3 cover positions 1..4 -> only token 0
+    # survives (the documented position-set semantics).
+    df = spark.createDataFrame([(1, "a a a a a")], "doc_id long, text string")
+    r = substring_dedupe(df, length=2).collect()[0]
+    assert r["clean_text"] == "a" and r["n_dup_tokens"] == 4
+    # an exact whole-doc copy is fully cut
+    df2 = spark.createDataFrame(
+        [(1, "m n o p q r"), (2, "m n o p q r")], "doc_id long, text string"
+    )
+    rows = {x["doc_id"]: x for x in substring_dedupe(df2, length=3).collect()}
+    assert rows[1]["clean_text"] == "m n o p q r"
+    assert rows[2]["clean_text"] == "" and rows[2]["n_dup_tokens"] == 6
+
+
+def test_substring_dedupe_short_docs_untouched(spark):
+    from tspider_spark.operators.quality import substring_dedupe
+
+    # docs shorter than the window length produce no windows at all,
+    # even when they are exact duplicates of each other
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+    )
+    rows = {x["doc_id"]: x for x in substring_dedupe(df, length=8).collect()}
+    assert rows[1]["clean_text"] == "tiny doc"
+    assert rows[2]["clean_text"] == "tiny doc"
+
+
+def test_unigram_logprob_hand_values(spark):
+    import math
+
+    from tspider_spark.operators.quality import unigram_logprob
+
+    # corpus: tokens a a a b -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert rows[1]["n_tokens"] == 3
+    assert abs(rows[1]["bits_per_token"] - round(math.log2(4 / 3), 6)) < 1e-9
+    assert abs(rows[2]["bits_per_token"] - 2.0) < 1e-9
+
+
+def test_unigram_logprob_no_python_udfs(spark):
+    from tspider_spark.operators.quality import unigram_logprob
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

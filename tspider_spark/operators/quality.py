@@ -175,6 +175,109 @@ def paragraph_dedupe(
     )
 
 
+def substring_dedupe(
+    df: DataFrame, length: int = 8, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Substring-level exact dedupe (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): across the WHOLE
+    corpus, any ``length``-token window that occurs more than once
+    keeps only its first occurrence — ordered by (doc, position) — and
+    every other occurrence's tokens are cut from their documents. The
+    granularity between doc-level (``textdedup.dedup_exact``) and
+    paragraph-level (``paragraph_dedupe``): it removes boilerplate
+    embedded mid-document that neither catches.
+
+    Semantics: covered = the union of non-winner occurrence spans
+    [start, start+length); a token survives iff no such span covers
+    it. A winner occurrence therefore survives except where a later
+    duplicated window overlaps it (self-overlapping runs like
+    "a a a a" collapse to their uncovered prefix) — deterministic,
+    and exactly what the position-set formulation says.
+
+    Scale: the window fan-out is ~1 row per corpus token; keep-first
+    is groupBy(gram).agg(min(struct)) with map-side partial
+    aggregation, so a boilerplate window with 10^8 occurrences never
+    concentrates on one task (same skew argument as
+    ``paragraph_dedupe``). The coverage explode is bounded by
+    length x duplicated occurrences (rare by construction), and the
+    final rebuild is one aggregation keyed by doc. All JVM.
+
+    Output: (id_col, clean_text, n_tokens, n_dup_tokens), one row per
+    doc with >= 1 non-empty token.
+    """
+    w = _words(text)
+    toks = (
+        df.select(F.col(id_col), F.posexplode(F.expr(w)).alias("pos", "word"))
+        .filter(F.col("word") != "")
+    )
+    occ = df.select(
+        F.col(id_col), F.posexplode(gram_array(length, text)).alias("start", "gram")
+    )
+    winner = occ.groupBy("gram").agg(F.min(F.struct(id_col, "start")).alias("_w"))
+    dups = occ.join(winner, "gram").filter(
+        ~((F.col("_w")[id_col] == F.col(id_col)) & (F.col("_w")["start"] == F.col("start")))
+    )
+    covered = dups.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(length - 1))).alias(
+            "pos"
+        ),
+    ).distinct()
+    marked = toks.join(
+        covered.withColumn("_cov", F.lit(1)), [id_col, "pos"], "left"
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_cov").isNull(), F.struct("pos", "word"))
+                    )
+                ),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("_cov").isNotNull(), 1).otherwise(0)).alias("n_dup_tokens"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality proxy (Wenzek et al. 2020
+    §3.2 use a real 5-gram KenLM; the unigram corpus LM is the
+    degenerate-but-useful case that needs no external model): score
+    each document by the mean negative log2-probability of its tokens
+    under the corpus unigram distribution. Low bits/token = repetitive
+    high-frequency boilerplate; high = rare-token noise (both tails
+    are filter candidates in the CCNet recipe).
+
+    Scale: one groupBy(word) with partial aggregation builds the
+    frequency table (vocab-sized — shuffled, NOT broadcast, since a
+    web-scale vocab is billions of types); the probe join keys on the
+    unique-key freq side so hot stopwords stay an ordinary hash-join
+    probe, and the per-doc mean partial-aggregates. All JVM.
+
+    Output: (id_col, n_tokens, bits_per_token) per doc with >= 1
+    non-empty token; bits rounded to 6 places for portability.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.expr(_words(text))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    freq = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    scored = toks.join(freq, "word").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.log2(F.col("total") / F.col("cnt"))), 6).alias(
+            "bits_per_token"
+        ),
+    )
+
+
 def decontam_flags(
     docs: DataFrame,
     eval_docs: DataFrame,
