@@ -616,6 +616,22 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs_lsh(dup, tau=0.95, dim=64).select("ia", "ib")
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedupe over the doubled embeddings: every
+    copy lands in its original's cluster at cosine 1.0 and must come
+    back kept=0."""
+    from tspider_spark.operators.similarity import semdedup
+
+    e = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1200)
+    dup = e.select("vec_id", "embedding").unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    dup = dup.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return semdedup(dup, tau=0.95, n_clusters=16)
+
+
 def q_token_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tspider_spark.operators.textstats import token_count
 
@@ -889,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recipe_rates": q_recipe_rates,
         "substring_dedupe": q_substring_dedupe,
         "unigram_logprob": q_unigram_logprob,
+        "semdedup": q_semdedup,
         "simhash_dups": q_simhash_dups,
         "e1_e8_extraction": q_e1_e8_extraction,
         # rows-only (non-SQL-expressible: sequential stateful crawl
@@ -1531,6 +1548,34 @@ def oracle_sql() -> dict[str, str]:
    sum(case when c.pos is not null then 1 else 0 end) as n_dup_tokens
  from toks t left join cov c on t.doc_id = c.doc_id and t.pos = c.pos
  group by t.doc_id
+""",
+        "semdedup": """
+ with base as (select vec_id, embedding::DOUBLE[] v from embeddings
+               where vec_id < 1200),
+ dup as (
+   select vec_id, v from base
+   union all select vec_id + 100000, v from base
+ ), cent as (
+   select vec_id cid, v cv from dup order by vec_id limit 16
+ ), scored as (
+   select d.vec_id, cid, list_cosine_similarity(d.v, cv) s
+   from dup d cross join cent
+ ), asg as (
+   select vec_id, cid as cluster_id from (
+     select *, row_number() over (partition by vec_id
+                                  order by s desc, cid asc) rn
+     from scored
+   ) where rn = 1
+ ), ev as (
+   select a.vec_id, a.cluster_id, d.v from asg a join dup d using (vec_id)
+ ), dropped as (
+   select distinct b.vec_id from ev a join ev b
+   on a.cluster_id = b.cluster_id and a.vec_id < b.vec_id
+   where list_cosine_similarity(a.v, b.v) >= 0.95
+ )
+ select a.vec_id, a.cluster_id,
+        case when d.vec_id is null then 1 else 0 end as kept
+ from asg a left join dropped d using (vec_id)
 """,
         "unigram_logprob": """
  with toks as (

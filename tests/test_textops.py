@@ -152,3 +152,43 @@ def test_bm25_ranks_relevant_docs_higher(spark):
     assert 3 not in got                    # zero matching terms -> absent
     assert got[1] > got[4] > 0             # more matches -> higher score
     assert got[2] > 0
+
+
+def test_semdedup_drops_copy_keeps_first(spark):
+    from tspider_spark.operators.similarity import semdedup
+
+    # two tight directions: e0-ish (ids 1, 2 identical; 5 nearly so)
+    # and e1-ish (id 3; id 4 orthogonal-ish) — with n_clusters=2 the
+    # centroids are the vectors of ids 1 and 2 (identical), so ties
+    # go to centroid 1 and every e0-like row lands in cluster 1.
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [0.999, 0.0447, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup(df, tau=0.95, n_clusters=2).collect()}
+    assert out[1]["kept"] == 1 and out[1]["cluster_id"] == 1
+    # exact copy of a lower id in the same cluster -> dropped
+    assert out[2]["kept"] == 0
+    # near-copy (cos ~ 0.999) also dropped, id 1 is the keeper
+    assert out[5]["kept"] == 0 and out[5]["cluster_id"] == 1
+    # items without a lower-id near-dup survive
+    assert out[3]["kept"] == 1 and out[4]["kept"] == 1
+
+
+def test_semdedup_all_jvm(spark):
+    from tspider_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = (
+        semdedup(df, n_clusters=2)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the centroid side of the assignment join must be broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

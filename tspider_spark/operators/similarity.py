@@ -125,6 +125,76 @@ def cosine_dup_pairs_lsh(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    tau: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedupe (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space, then within each cluster drop every item whose
+    cosine to a LOWER-ID same-cluster item is >= ``tau`` (keep-first
+    by id — the paper keeps an arbitrary representative per dup
+    group; keep-first makes that choice deterministic).
+
+    Clustering here is a deterministic partitioner, not learned
+    k-means: centroids are the ``n_clusters`` smallest-id vectors and
+    assignment is argmax cosine (ties to the smallest centroid id).
+    As with ``ivf_topk``, the cluster step only bounds the candidate
+    set — dedup decisions always come from exact cosines — so
+    centroid quality affects recall across cluster boundaries (a
+    limitation SemDeDup itself shares), never precision.
+
+    Scale: assignment is a broadcast cross join against n_clusters
+    rows with JVM fold dot products (swap in ``ivf_assign_udf``'s
+    numpy matmul when n_clusters is large); the pairwise step
+    shuffles once on cluster_id and is quadratic only within a
+    cluster — exactly the complexity bound the paper's per-cluster
+    design exists to provide.
+
+    Output: (id_col, cluster_id, kept:int) for every input row.
+    """
+    cent = F.broadcast(
+        df.orderBy(id_col)
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+    scored = (
+        df.select(id_col, vec_col)
+        .crossJoin(cent)
+        .withColumn("s", dot_expr(vec_col, "cv") / (norm_expr(vec_col) * norm_expr("cv")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("s"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("cid").alias("cluster_id"), vec_col)
+    )
+    a = assigned.select(
+        F.col(id_col).alias("ia"), "cluster_id", F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("ib"), "cluster_id", F.col(vec_col).alias("vb")
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(dot_expr("va", "vb") / (norm_expr("va") * norm_expr("vb")) >= tau)
+        .select(F.col("ib").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.when(F.col("_drop").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )
+
+
 def ivf_assign_udf(centroids: np.ndarray):
     c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
