@@ -786,6 +786,27 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(lined)
 
 
+def q_dup_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-line fractions over the re-lined corpus, with
+    a planted duplicate (first line re-appended) on even doc_ids."""
+    from tspider_spark.operators.quality import dup_line_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    lined = docs.select("doc_id", F.expr(_LINED_EXPR).alias("t0"))
+    planted = lined.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("t0"), F.lit("\n"), F.element_at(F.split("t0", "\n"), 1)
+            ),
+        )
+        .otherwise(F.col("t0"))
+        .alias("text"),
+    )
+    return dup_line_stats(planted)
+
+
 def q_paragraph_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma-style corpus-level paragraph dedupe over the doubled-docs
     corpus (every copy's paragraphs are exact dups of the original's,
@@ -906,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedupe": q_substring_dedupe,
         "unigram_logprob": q_unigram_logprob,
         "semdedup": q_semdedup,
+        "dup_line_stats": q_dup_line_stats,
         "simhash_dups": q_simhash_dups,
         "e1_e8_extraction": q_e1_e8_extraction,
         # rows-only (non-SQL-expressible: sequential stateful crawl
@@ -1407,6 +1429,36 @@ def oracle_sql() -> dict[str, str]:
  select doc_id, array_to_string(kl, chr(10)) as clean_text,
         len(string_split(text, chr(10))) as n_lines, len(kl) as n_kept
  from kept
+""",
+        "dup_line_stats": """
+ with words as (
+   select doc_id, string_split_regex(trim(lower(text)), '\\s+') w from documents
+ ), lined as (
+   select doc_id, array_to_string(
+     list_transform(range(1, cast(ceil(len(w) / 5.0) as int) + 1),
+       i -> array_to_string(w[(i-1)*5+1:(i-1)*5+5], ' ')
+            || case when (doc_id + i) % 3 = 0 then '' else '.' end),
+     chr(10)) as text
+   from words
+ ), planted as (
+   select doc_id,
+     case when doc_id % 2 = 0
+          then text || chr(10) || string_split(text, chr(10))[1]
+          else text end as text
+   from lined
+ ), ln as (
+   select doc_id, trim(line) as line from (
+     select doc_id, unnest(string_split(text, chr(10))) as line from planted
+   ) where length(trim(line)) > 0
+ ), counts as (
+   select doc_id, line, count(*) cnt from ln group by all
+ )
+ select doc_id, sum(cnt) as n_lines,
+   round(sum(case when cnt > 1 then cnt else 0 end) / sum(cnt), 6)
+     as dup_line_frac,
+   round(sum(case when cnt > 1 then cnt * length(line) else 0 end)
+         / sum(cnt * length(line)), 6) as dup_line_char_frac
+ from counts group by doc_id
 """,
         "paragraph_dedupe": _DUP_DOCS_SQL.format(limit=300) + """
  , wds as (

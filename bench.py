@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "decontam_overlap",
     "paragraph_dedupe",
     "host_pagerank",
+    "substring_dedupe",
+    "unigram_logprob",
+    "semdedup",
+    "dup_line_stats",
 ]
 
 

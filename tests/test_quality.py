@@ -215,3 +215,28 @@ def test_unigram_logprob_no_python_udfs(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dup_line_stats_values(spark):
+    from tspider_spark.operators.quality import dup_line_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa\nbb\naa\ncc"),        # 'aa' x2 of 4 lines
+            (2, "x\ny\nz"),               # no dups
+            (3, "same\nsame\nsame"),      # all dup
+            (4, "long line here\nshort\nlong line here\n\n  "),  # empties ignored
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dup_line_stats(df).collect()}
+    assert rows[1]["n_lines"] == 4
+    assert abs(rows[1]["dup_line_frac"] - 0.5) < 1e-9
+    # chars: aa(2)+aa(2) dup of aa,bb,aa,cc = 4/8
+    assert abs(rows[1]["dup_line_char_frac"] - 0.5) < 1e-9
+    assert rows[2]["dup_line_frac"] == 0.0
+    assert rows[3]["dup_line_frac"] == 1.0
+    # doc 4: 3 non-empty lines; "long line here" (14 ch) x2 + "short" (5)
+    assert rows[4]["n_lines"] == 3
+    assert abs(rows[4]["dup_line_frac"] - round(2 / 3, 6)) < 1e-9
+    assert abs(rows[4]["dup_line_char_frac"] - round(28 / 33, 6)) < 1e-9

@@ -175,6 +175,44 @@ def paragraph_dedupe(
     )
 
 
+def dup_line_stats(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Gopher's within-document duplicate-line signals (Rae et al.
+    2021 §A1.1): the fraction of a doc's lines that belong to a line
+    value occurring more than once in that doc, and the same fraction
+    weighted by characters. Definition pinned precisely: a line
+    occurrence counts as duplicated iff its trimmed text appears >= 2
+    times in the SAME document; empty lines are ignored.
+
+    Within-doc only, so the aggregation keys carry the doc id — no
+    corpus-wide hot keys; two partial-agg shuffles, all JVM.
+
+    Output: (id_col, n_lines, dup_line_frac, dup_line_char_frac).
+    """
+    lines = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text), "\n")).alias("line"))
+        .withColumn("line", F.trim("line"))
+        .filter(F.length("line") > 0)
+    )
+    counts = lines.groupBy(id_col, "line").agg(F.count("*").alias("cnt"))
+    return counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line")).otherwise(0)
+            )
+            / F.sum(F.col("cnt") * F.length("line")),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+
 def substring_dedupe(
     df: DataFrame, length: int = 8, id_col: str = "doc_id", text: str = "text"
 ) -> DataFrame:
