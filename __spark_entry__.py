@@ -616,6 +616,15 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs_lsh(dup, tau=0.95, dim=64).select("ia", "ib")
 
 
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact token-length quantiles (corpus profiling for
+    length filters); interpolation matches quantile_cont."""
+    from tspider_spark.operators.textstats import token_quantiles
+
+    d = _load(spark, sf_dir, "documents")
+    return token_quantiles(d, ps=(0.25, 0.5, 0.9, 0.99))
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedupe over the doubled embeddings: every
     copy lands in its original's cluster at cosine 1.0 and must come
@@ -928,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "semdedup": q_semdedup,
         "dup_line_stats": q_dup_line_stats,
+        "token_quantiles": q_token_quantiles,
         "simhash_dups": q_simhash_dups,
         "e1_e8_extraction": q_e1_e8_extraction,
         # rows-only (non-SQL-expressible: sequential stateful crawl
@@ -1429,6 +1439,18 @@ def oracle_sql() -> dict[str, str]:
  select doc_id, array_to_string(kl, chr(10)) as clean_text,
         len(string_split(text, chr(10))) as n_lines, len(kl) as n_kept
  from kept
+""",
+        "token_quantiles": """
+ with n as (
+   select lang, len(string_split_regex(trim(lower(text)), '\\s+')) as t
+   from documents
+ )
+ select lang, count(*) as n_docs,
+   round(quantile_cont(t, 0.25), 6) as p25,
+   round(quantile_cont(t, 0.5), 6) as p50,
+   round(quantile_cont(t, 0.9), 6) as p90,
+   round(quantile_cont(t, 0.99), 6) as p99
+ from n group by lang
 """,
         "dup_line_stats": """
  with words as (

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "semdedup",
     "dup_line_stats",
+    "token_quantiles",
 ]
 
 

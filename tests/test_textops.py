@@ -192,3 +192,18 @@ def test_semdedup_all_jvm(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the centroid side of the assignment join must be broadcast
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_token_quantiles_exact_and_approx(spark):
+    from tspider_spark.operators.textstats import token_quantiles
+
+    rows = [(i, "en", " ".join(["w"] * (i + 1))) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    ex = token_quantiles(df, ps=(0.5, 0.9)).collect()[0]
+    # lengths 1..100: p50 interpolates at rank 0.5*99 = 49.5 -> 50.5
+    assert ex["n_docs"] == 100
+    assert abs(ex["p50"] - 50.5) < 1e-9
+    assert abs(ex["p90"] - 90.1) < 1e-9
+    # the approx (sketch) twin lands within rank-error of exact
+    ap = token_quantiles(df, ps=(0.5, 0.9), exact=False, accuracy=10000).collect()[0]
+    assert abs(ap["p50"] - 50.5) <= 1.0 and abs(ap["p90"] - 90.1) <= 1.0

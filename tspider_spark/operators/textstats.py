@@ -206,3 +206,41 @@ def bm25_scores(
         )
     )
     return scored.groupBy(id_col).agg(F.round(F.sum("_s"), 6).alias("bm25"))
+
+
+def token_quantiles(
+    df: DataFrame,
+    ps: tuple = (0.5, 0.9),
+    stratum_col: str = "lang",
+    text: str = "text",
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-stratum token-length distribution — the corpus-profiling
+    step before setting length filters / packing sequence budgets.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (linear
+    interpolation at rank p*(n-1), matching DuckDB's quantile_cont
+    value-for-value) — it buffers each group's values in the
+    aggregation, so it is for profiling runs / bounded strata, NOT
+    the 10^10-row hot path. ``exact=False`` switches to
+    ``approx_percentile`` (Greenwald-Khanna sketch, constant memory,
+    mergeable across partitions) — the web-scale path; its error is
+    bounded by 1/accuracy of the rank.
+
+    Output: (stratum_col, n_docs, p<P>...) with p columns named by
+    percent (p50, p90, ...), rounded to 6 places.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {accuracy}"
+    aggs = [F.count("*").alias("n_docs")] + [
+        F.round(F.expr(f"{fn}(_n, {p}{extra})"), 6).alias(
+            f"p{int(round(p * 100))}"
+        )
+        for p in ps
+    ]
+    return (
+        df.select(F.col(stratum_col), token_count(text).alias("_n"))
+        .groupBy(stratum_col)
+        .agg(*aggs)
+    )
