@@ -616,6 +616,19 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs_lsh(dup, tau=0.95, dim=64).select("ia", "ib")
 
 
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard planning: per-language 2000-token training
+    shards by exclusive cumulative sum in doc-id order (super_shift=5
+    so the two-level cumsum really exercises multiple id-buckets)."""
+    from tspider_spark.operators.curate import pack_shards
+    from tspider_spark.operators.textstats import token_count
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count().alias("n_tokens")
+    )
+    return pack_shards(d, shard_tokens=2000, super_shift=5)
+
+
 def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language exact token-length quantiles (corpus profiling for
     length filters); interpolation matches quantile_cont."""
@@ -938,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "dup_line_stats": q_dup_line_stats,
         "token_quantiles": q_token_quantiles,
+        "pack_shards": q_pack_shards,
         "simhash_dups": q_simhash_dups,
         "e1_e8_extraction": q_e1_e8_extraction,
         # rows-only (non-SQL-expressible: sequential stateful crawl
@@ -1439,6 +1453,19 @@ def oracle_sql() -> dict[str, str]:
  select doc_id, array_to_string(kl, chr(10)) as clean_text,
         len(string_split(text, chr(10))) as n_lines, len(kl) as n_kept
  from kept
+""",
+        "pack_shards": """
+ with n as (
+   select doc_id, lang,
+          len(string_split_regex(trim(lower(text)), '\\s+')) as n_tokens
+   from documents
+ )
+ select doc_id, lang, n_tokens,
+   cast(floor(coalesce(sum(n_tokens) over (
+     partition by lang order by doc_id
+     rows between unbounded preceding and 1 preceding), 0) / 2000.0)
+     as bigint) as shard_id
+ from n
 """,
         "token_quantiles": """
  with n as (

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "semdedup",
     "dup_line_stats",
     "token_quantiles",
+    "pack_shards",
 ]
 
 

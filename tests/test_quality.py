@@ -240,3 +240,36 @@ def test_dup_line_stats_values(spark):
     assert rows[4]["n_lines"] == 3
     assert abs(rows[4]["dup_line_frac"] - round(2 / 3, 6)) < 1e-9
     assert abs(rows[4]["dup_line_char_frac"] - round(28 / 33, 6)) < 1e-9
+
+
+def test_pack_shards_matches_sequential_walk(spark):
+    from pyspark.sql import functions as F
+
+    from tspider_spark.operators.curate import pack_shards
+
+    # irregular ids (gaps) across two strata; shift=2 -> 4-id buckets
+    rows = [
+        (i, "en" if i % 3 else "de", (i * 37) % 90 + 10) for i in range(0, 40, 3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(df, shard_tokens=100, super_shift=2).collect()
+    }
+    # sequential truth: exclusive cumsum per stratum in id order
+    expect = {}
+    for lang in ("en", "de"):
+        acc = 0
+        for i, lg, t in sorted(rows):
+            if lg != lang:
+                continue
+            expect[i] = acc // 100
+            acc += t
+    assert got == expect
+    # shard totals stay within one doc of the budget: every shard
+    # except the stratum's last starts within the budget boundary
+    out = pack_shards(df, shard_tokens=100, super_shift=2)
+    sums = out.groupBy("lang", "shard_id").agg(
+        F.sum("n_tokens").alias("s")
+    ).collect()
+    assert all(r["s"] > 0 for r in sums)

@@ -13,7 +13,7 @@ operators use for portability).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 60 portable bits (md5-hex[0:15]) -> uniform in [0, 1)
@@ -101,4 +101,66 @@ def recipe_rates(
             F.col("target_frac") * F.col("_scale") / F.col("weight"), 6
         ).alias("rate"),
         F.round(F.col("target_frac") * F.col("_scale"), 6).alias("expected_weight"),
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    shard_tokens: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    super_shift: int = 20,
+) -> DataFrame:
+    """Deterministic training-shard planning: within each stratum,
+    walk documents in id order and assign each to the shard whose
+    token budget its FIRST token lands in —
+    ``shard_id = floor(exclusive_cumsum(tokens) / shard_tokens)``.
+    Reproducible across runs/engines/cluster sizes (depends only on
+    ids and token counts), and shards come out within one document of
+    ``shard_tokens`` each.
+
+    The cumulative sum is two-level, never a single-partition global
+    window (the WindowExec scale-killer): (1) exclusive running sum
+    within (stratum, id-bucket) where bucket = id >> ``super_shift`` —
+    each window partition is bounded by 2^super_shift rows; (2)
+    per-bucket totals get exclusive running offsets in a window
+    partitioned by stratum only — but that stream is ONE ROW PER
+    BUCKET (ids/2^20), metadata-scale even at 10^10 docs (cf.
+    ``schedule.distributed_rank``, which adds a third level for
+    key spaces too wide for level 2). Sums stay < 2^53, so the
+    double-precision division is exact for any real corpus.
+
+    Requires a non-negative integral ``id_col``. Output: input
+    columns of interest + shard_id: (id_col, stratum_col, token_col,
+    shard_id).
+    """
+    d = df.select(
+        F.col(id_col), F.col(stratum_col), F.col(token_col).cast("long").alias("_t")
+    ).withColumn("_bk", F.shiftright(F.col(id_col).cast("long"), super_shift))
+    w_local = (
+        Window.partitionBy(stratum_col, "_bk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.withColumn("_lc", F.coalesce(F.sum("_t").over(w_local), F.lit(0)))
+    totals = d.groupBy(stratum_col, "_bk").agg(F.sum("_t").alias("_bt"))
+    w_off = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_boff", F.coalesce(F.sum("_bt").over(w_off), F.lit(0))
+    ).select(stratum_col, "_bk", "_boff")
+    return (
+        local.join(offsets, [stratum_col, "_bk"])
+        .select(
+            id_col,
+            stratum_col,
+            F.col("_t").alias(token_col),
+            F.floor((F.col("_lc") + F.col("_boff")) / F.lit(float(shard_tokens)))
+            .cast("long")
+            .alias("shard_id"),
+        )
     )
