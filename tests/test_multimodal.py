@@ -183,3 +183,61 @@ def test_real_wav_decode_through_spark(spark):
         x = samples.astype(np.float32).mean(axis=1) / 32768.0
         assert np.allclose(feats[ref][1], np.sqrt(np.mean(x * x)), atol=1e-5)
         assert np.isfinite(feats[ref]).all()
+
+
+def test_bmp_roundtrip_padding_and_topdown():
+    import struct
+
+    import numpy as np
+
+    from tspider_spark.operators.multimodal import encode_bmp, parse_bmp
+
+    rng = np.random.RandomState(3)
+    # w=3 -> 9-byte rows padded to 12: exercises the stride math
+    img = rng.randint(0, 256, (5, 3, 3), dtype=np.uint8)
+    w, h, c, back = parse_bmp(encode_bmp(img))
+    assert (w, h, c) == (3, 5, 3) and (back == img).all()
+    # gray input replicates channels
+    gray = rng.randint(0, 256, (4, 6), dtype=np.uint8)
+    w, h, c, back = parse_bmp(encode_bmp(gray))
+    assert (back[:, :, 0] == gray).all() and (back[:, :, 1] == gray).all()
+    # top-down variant (negative height) parses to the same raster
+    b = bytearray(encode_bmp(img))
+    rows = bytes(b[54:])
+    stride = 12
+    flipped = b"".join(
+        rows[i * stride:(i + 1) * stride] for i in range(4, -1, -1)
+    )
+    b[18:26] = struct.pack("<ii", 3, -5)
+    td = bytes(b[:54]) + flipped
+    w, h, c, back = parse_bmp(td)
+    assert (back == img).all()
+
+
+def test_bmp_decode_and_codec_invariant_features(spark):
+    import numpy as np
+
+    from tspider_spark.operators.multimodal import (
+        attach_media_payload,
+        decode_media,
+        extract_features,
+        parse_bmp,
+    )
+
+    refs = spark.createDataFrame(
+        [("http://img0.com/pic.bmp",), ("http://img0.com/pic.png",)],
+        "media_ref string",
+    )
+    decoded = decode_media(attach_media_payload(refs))
+    rows = {r["media_ref"]: r for r in decoded.collect()}
+    r = rows["http://img0.com/pic.bmp"]
+    w, h, _, _ = parse_bmp(bytes(r["payload"]))
+    assert (r["width"], r["height"]) == (w, h)
+    # features must come off the REAL raster: check the bmp features
+    # against a direct recompute from the parsed pixels
+    feats = {r["media_ref"]: np.array(r["feature"])
+             for r in extract_features(decoded).collect()}
+    _, _, _, arr = parse_bmp(bytes(r["payload"]))
+    expected_mean = arr.reshape(-1, 3).astype(np.float32).mean(axis=0) / 255.0
+    assert np.allclose(feats["http://img0.com/pic.bmp"][:3], expected_mean,
+                       atol=1e-5)

@@ -10,6 +10,10 @@ Codec status (the container has no PIL/av):
   parsing (``parse_ppm``/``encode_ppm``), round-trip-exact and
   exercised end to end by ``attach_media_payload`` → ``decode_media``
   → ``extract_features`` (pixel-exact mean/std/histogram features);
+* BMP **24-bit BI_RGB decode is REAL** — pure-numpy
+  (``parse_bmp``/``encode_bmp``: BGR order, padded rows, bottom-up and
+  top-down rasters), served for ``.bmp`` refs; features are
+  codec-invariant (same raster → same features as netpbm);
 * WAV **RIFF PCM16 decode is REAL** — pure-numpy chunk-walking parser
   (``parse_wav``/``encode_wav``), sample-exact round trip, real
   waveform features (level/RMS/zero-cross/magnitude histogram);
@@ -94,6 +98,9 @@ def decode_media(
                 if bb[:2] in (b"P6", b"P5"):
                     # REAL decode: netpbm payloads parse header-exact
                     w, h, _, _ = parse_ppm(bb)
+                elif bb[:2] == b"BM":
+                    # REAL decode: uncompressed 24-bit BMP
+                    w, h, _, _ = parse_bmp(bb)
                 elif bb[:4] == b"RIFF":
                     # REAL decode: PCM WAV — for audio rows width
                     # carries samples-per-channel, height the channel
@@ -139,10 +146,14 @@ def extract_features(decoded: DataFrame, dim: int = 16) -> DataFrame:
             out = []
             for b in pdf["payload"]:
                 bb = bytes(b)
-                if bb[:2] in (b"P6", b"P5") and dim >= 6:
+                if (bb[:2] in (b"P6", b"P5", b"BM")) and dim >= 6:
                     # REAL pixel features: per-channel mean/std + a
-                    # luma histogram filling the remaining dims
-                    _, _, c, arr = parse_ppm(bb)
+                    # luma histogram filling the remaining dims —
+                    # codec-independent (same array -> same features
+                    # whether it arrived as netpbm or BMP)
+                    _, _, c, arr = (
+                        parse_bmp(bb) if bb[:2] == b"BM" else parse_ppm(bb)
+                    )
                     px = arr.reshape(-1, 3) if c == 3 else np.repeat(
                         arr.reshape(-1, 1), 3, axis=1
                     )
@@ -279,9 +290,11 @@ def attach_media_payload(df: DataFrame, ref_col: str = "media_ref") -> DataFrame
                 rng = np.random.RandomState(seed)
                 if kind == "image":
                     w, h = 8 + seed % 25, 8 + (seed >> 8) % 17
-                    payloads.append(
-                        encode_ppm(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
-                    )
+                    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+                    # format follows the ref's extension: .bmp refs get
+                    # real BMP bytes, every other image ref netpbm
+                    is_bmp = str(ref).split("?")[0].lower().endswith(".bmp")
+                    payloads.append(encode_bmp(img) if is_bmp else encode_ppm(img))
                 elif kind == "audio":
                     n = 256 + seed % 512
                     ch = 1 + (seed >> 16) % 2
@@ -307,6 +320,56 @@ def attach_media_payload(df: DataFrame, ref_col: str = "media_ref") -> DataFrame
 
 # backwards-compatible name from when only the netpbm path was real
 attach_ppm_payload = attach_media_payload
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: BMP (24-bit uncompressed BI_RGB) — pure numpy. Like
+# netpbm, uncompressed BMP needs only byte parsing: BGR pixel order,
+# 4-byte-padded rows, bottom-up storage (top-down when height < 0).
+# Round-trip and cross-codec feature equality pinned by tests.
+
+
+def encode_bmp(arr: "np.ndarray") -> bytes:
+    """Encode HxW (gray, replicated to channels) or HxWx3 RGB uint8 as
+    a 24-bit BI_RGB bottom-up BMP."""
+    import struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected HxW or HxWx3 uint8, got {arr.shape}")
+    h, w = a.shape[:2]
+    bgr = a[:, :, ::-1]
+    pad = (-(w * 3)) % 4
+    data = b"".join(
+        bgr[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    head = b"BM" + struct.pack("<IHHI", 14 + 40 + len(data), 0, 0, 54)
+    return head + info + data
+
+
+def parse_bmp(b: bytes):
+    """Decode 24-bit BI_RGB BMP bytes -> (width, height, 3, HxWx3 RGB
+    uint8). Honors the pixel-data offset, row padding, and top-down
+    (negative-height) rasters."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack("<I", b[10:14])[0]
+    _, w, h, _, bpp, comp = struct.unpack("<IiiHHI", b[14:34])
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit BI_RGB BMP supported")
+    topdown, hh = h < 0, abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    buf = np.frombuffer(b, np.uint8, count=stride * hh, offset=offset)
+    px = buf.reshape(hh, stride)[:, : w * 3].reshape(hh, w, 3)[:, :, ::-1]
+    if not topdown:
+        px = px[::-1]
+    return w, hh, 3, np.ascontiguousarray(px)
 
 
 # ---------------------------------------------------------------------------
