@@ -273,3 +273,33 @@ def test_pack_shards_matches_sequential_walk(spark):
         F.sum("n_tokens").alias("s")
     ).collect()
     assert all(r["s"] > 0 for r in sums)
+
+
+def test_new_ops_plan_shapes_no_global_window(spark):
+    """Every window in the new curation operators must carry a
+    partition spec — a bare windowspecdefinition(ORDER...) means the
+    single-partition WindowExec scale-killer."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tspider_spark.operators.curate import pack_shards
+    from tspider_spark.operators.quality import substring_dedupe, unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, "en", "alpha beta gamma delta epsilon zeta") for i in range(8)],
+        "doc_id long, lang string, text string",
+    )
+    toks = docs.select("doc_id", "lang", F.lit(10).alias("n_tokens"))
+    for df in (
+        substring_dedupe(docs.select("doc_id", "text"), length=3),
+        unigram_logprob(docs.select("doc_id", "text")),
+        pack_shards(toks, shard_tokens=25, super_shift=2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # windowspecdefinition's first arg must be a column, not a
+        # sort spec (global windows start with "col ASC/DESC")
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0]
+            assert " ASC" not in first and " DESC" not in first, m.group(0)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
