@@ -123,3 +123,52 @@ def test_parity_on_alternate_corpus_seed(spark, tmp_path):
     )
     assert len(oracle.crawl_order) > 20, "corpus too inert to be a real test"
     assert_parity(oracle, engine)
+
+
+def test_authority_priority_mode_matches_oracle(spark, tmp_path, corpus):
+    """cfg.priority='authority': within each depth, hosts drain by
+    ascending priority (unranked hosts last, discovery order). The
+    budget-admitted SET legitimately differs from BFS (priority
+    crawling is the point); exactness is pinned against the oracle's
+    sequential priority drain."""
+    from tspider_spark.functions.urlpure import parse_url
+
+    docs, seeds = corpus
+    hosts = sorted({d.split("/")[2] for d, _ in docs})
+    # reverse-alphabetical priorities invert the natural drain order,
+    # and leave one host unranked to exercise the drain-last fallback
+    ranked = list(reversed(hosts))[:-1]
+    prios = {h: i for i, h in enumerate(ranked)}
+
+    cfg = CrawlConfig(tld=True, max_per_host=5, priority="authority")
+    oracle = ReferenceOracle(docs, cfg, host_priorities=prios).run(seeds)
+
+    pr_df = spark.createDataFrame(
+        list(prios.items()), "hostname string, priority long"
+    )
+    engine = CrawlEngine(
+        spark, corpus_to_spark(spark, docs), str(tmp_path / "state"), cfg,
+        host_priorities=pr_df,
+    )
+    engine.seed(seeds)
+    engine.run()
+    assert_parity(oracle, engine)
+
+    # and the mode actually reorders: BFS on the same corpus/config
+    # yields a different crawl order (same seeds rank first either way)
+    bfs = ReferenceOracle(docs, CrawlConfig(tld=True, max_per_host=5)).run(seeds)
+    assert [u for u, _, _ in bfs.crawl_order] != [
+        u for u, _, _ in oracle.crawl_order
+    ]
+
+
+def test_rank_hosts_by_score_dense_desc(spark):
+    from tspider_spark.operators.schedule import rank_hosts_by_score
+
+    df = spark.createDataFrame(
+        [("a.com", 0.1), ("b.com", 0.7), ("c.com", 0.7), ("d.com", 0.05)],
+        "hostname string, score double",
+    )
+    got = {r["hostname"]: r["priority"] for r in rank_hosts_by_score(df).collect()}
+    # desc score; equal scores tie-break by hostname asc
+    assert got == {"b.com": 0, "c.com": 1, "a.com": 2, "d.com": 3}

@@ -21,6 +21,14 @@ class CrawlConfig:
     blocklist: list[str] = field(default_factory=list)
     # robots extension (A4 fixture); empty => reference parity
     robots_enabled: bool = False
+    # frontier ordering (extension; reference is strictly FIFO/BFS):
+    # "bfs" = discovery order within each depth (reference parity);
+    # "authority" = within each depth, hosts drain in ascending
+    # priority (e.g. PageRank rank via rank_hosts_by_score), ties and
+    # unranked hosts in discovery order. Requires CrawlEngine(...,
+    # host_priorities=df). Semantic config — round-trips through the
+    # store meta so resume keeps the same ordering.
+    priority: str = "bfs"
     # performance knobs
     use_bloom_prefilter: bool = False
     bloom_shards: int = 8
@@ -60,6 +68,7 @@ class CrawlConfig:
             "max_per_host": self.max_per_host,
             "blocklist": list(self.blocklist),
             "robots_enabled": self.robots_enabled,
+            "priority": self.priority,
         }
 
     @staticmethod
@@ -69,4 +78,5 @@ class CrawlConfig:
             max_per_host=int(meta.get("max_per_host", 100)),
             blocklist=list(meta.get("blocklist", [])),
             robots_enabled=bool(meta.get("robots_enabled", False)),
+            priority=str(meta.get("priority", "bfs")),
         )

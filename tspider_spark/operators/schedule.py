@@ -279,3 +279,54 @@ def politeness_slots(tasks: DataFrame, out: str = "slot") -> DataFrame:
     crawl_delay as the spacing when present)."""
     w = Window.partitionBy("hostname").orderBy("discovery_order")
     return tasks.withColumn(out, F.row_number().over(w).cast("int"))
+
+
+def authority_rank(
+    tasks: DataFrame, host_priorities: DataFrame, out: str = "wave_rank"
+) -> DataFrame:
+    """Priority-crawl wave ordering (extension; the reference is
+    strictly FIFO): remap a depth-frontier's task order to
+    (host priority asc, discovery_order asc). Hosts absent from the
+    priority table drain last, in discovery order.
+
+    ``host_priorities``: (hostname, priority) with non-negative
+    integral priorities — use ``rank_hosts_by_score`` to derive a
+    dense per-host rank from authority scores (e.g. ``graph.pagerank``
+    over the host link graph). Dense per-host ranks keep every
+    ``distributed_rank`` bucket at one host's tasks (<= cap+1 rows);
+    only the absent-host fallback bucket aggregates multiple hosts.
+
+    The output rank is a total order (discovery_order is unique), so
+    the admission fold downstream replays the sequential priority
+    drain exactly — the same closed-form-fold argument as BFS, which
+    never uses task_rank beyond its ordering.
+    """
+    pr = host_priorities.select(
+        "hostname", F.col("priority").cast("long").alias("_hp")
+    )
+    j = tasks.join(pr, "hostname", "left").withColumn(
+        "_prio", F.coalesce(F.col("_hp"), F.lit(1 << 62))
+    )
+    return distributed_rank(
+        j, ("_prio", "discovery_order"), out, start=-1
+    ).drop("_hp", "_prio")
+
+
+def rank_hosts_by_score(
+    scores: DataFrame, score_col: str = "score", out: str = "priority"
+) -> DataFrame:
+    """Dense host priorities from authority scores: rank hosts by
+    (score desc, hostname asc) without a global window. Scores are
+    quantized to 2^-30 buckets for the distributed rank's integer
+    lead; hosts whose scores collide within a bucket order by
+    hostname — deterministic either way."""
+    q = scores.withColumn(
+        "_neg",
+        F.greatest(
+            F.lit(0),
+            ((1 << 30) - 1 - F.floor(F.col(score_col) * (1 << 30))).cast("long"),
+        ),
+    )
+    return distributed_rank(q, ("_neg", "hostname"), out, start=-1).select(
+        "hostname", out
+    )

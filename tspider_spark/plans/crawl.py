@@ -52,6 +52,7 @@ from tspider_spark.operators.schedule import (
     admit_wave,
     admit_wave_salted,
     assign_discovery_order,
+    authority_rank,
     distributed_rank,
     politeness_slots,
 )
@@ -66,11 +67,21 @@ class CrawlEngine:
         state_path: str,
         config: CrawlConfig | None = None,
         robots: DataFrame | None = None,
+        host_priorities: DataFrame | None = None,
     ):
         self.spark = spark
         self.documents = documents
         self.cfg = config or CrawlConfig()
         self.robots = robots if (config and config.robots_enabled) else None
+        # authority-priority mode (cfg.priority="authority"): like
+        # ``documents``, the priority table is an input the caller
+        # re-supplies on resume (the MODE round-trips via store meta)
+        self.host_priorities = host_priorities
+        if self.cfg.priority == "authority" and host_priorities is None:
+            raise ValueError(
+                "priority='authority' needs a host_priorities DataFrame "
+                "(hostname, priority) — see schedule.rank_hosts_by_score"
+            )
         self.store = StateStore(spark, state_path)
 
     def _finalize_frontier(self, tasks: DataFrame) -> DataFrame:
@@ -219,6 +230,17 @@ class CrawlEngine:
         # re-derivation at the root of the wave plan.
         tasks = tasks.filter(FL.frontier_not_blocklisted(self.cfg.blocklist))
 
+        # authority-priority mode: remap this depth's task order to
+        # (host priority, discovery) — everything downstream (fetch,
+        # extraction windows, save order, admission fold, next-wave
+        # discovery ranks) follows task_rank's ordering only, so the
+        # wave replays the sequential priority drain exactly. Cached:
+        # distributed_rank references its input subtree three times.
+        rank_col = "discovery_order"
+        if self.cfg.priority == "authority":
+            tasks = authority_rank(tasks, self.host_priorities).cache()
+            rank_col = "wave_rank"
+
         # --- fetch (S3): frontier ⋈ documents --------------------------
         # When the documents table carries a ``ctx`` column (auth-gated
         # page variants), a task only "renders" docs visible to its
@@ -228,7 +250,7 @@ class CrawlEngine:
         t = tasks.select(
             F.col("url").alias("task_url"),
             F.col("depth"),
-            F.col("discovery_order").alias("task_rank"),
+            F.col(rank_col).alias("task_rank"),
             F.coalesce("fetch_context", F.lit("")).alias("fetch_context"),
         )
         cond = F.col("task_url") == F.col("doc_id")

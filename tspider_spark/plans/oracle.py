@@ -93,14 +93,25 @@ def extract_records(doc_id: str, spans) -> list:
 
 
 class ReferenceOracle:
-    def __init__(self, docs, config: CrawlConfig | None = None, robots: dict | None = None):
+    def __init__(
+        self,
+        docs,
+        config: CrawlConfig | None = None,
+        robots: dict | None = None,
+        host_priorities: dict | None = None,
+    ):
         """``robots``: {host: (disallow_prefixes, crawl_delay_ms)} —
-        north_rule extension; None/empty preserves reference parity."""
+        north_rule extension; None/empty preserves reference parity.
+        ``host_priorities``: {hostname: int} for the authority-priority
+        drain (cfg.priority="authority"): within each depth level,
+        tasks process in (priority asc, enqueue order) — unranked
+        hosts last, in enqueue order."""
         self.docs = {doc_id: spans for doc_id, spans in docs}
         self.cfg = config or CrawlConfig()
         self.res = OracleResult()
         self.blocklist = set(self.cfg.blocklist)
         self.robots = robots or {}
+        self.host_priorities = host_priorities
 
     # --- redis_utils semantics ---------------------------------------
 
@@ -177,18 +188,47 @@ class ReferenceOracle:
                 raise ValueError("not valid url: {}".format(s))
             if u.valid:
                 self._create_task(u, 0, add_whitelist=True)
-        # single-consumer FIFO drain
-        qi = 0
-        while qi < len(self._queue):
-            task_url, depth = self._queue[qi]
-            qi += 1
-            u = parse_url(task_url)
-            if self._is_blocked(u):  # consumer.py:38 re-check
-                continue
-            spans = self.docs.get(task_url)
-            self.res.fetched.append(task_url)
-            if spans is None:
-                continue  # render failure / 404: no results
-            for rec in extract_records(task_url, spans):
-                self._proc_record(rec, depth + 1)
+        if self.cfg.priority == "authority":
+            self._drain_priority()
+        else:
+            # single-consumer FIFO drain
+            qi = 0
+            while qi < len(self._queue):
+                self._process_task(*self._queue[qi])
+                qi += 1
         return self.res
+
+    def _process_task(self, task_url: str, depth: int):
+        u = parse_url(task_url)
+        if self._is_blocked(u):  # consumer.py:38 re-check
+            return
+        spans = self.docs.get(task_url)
+        self.res.fetched.append(task_url)
+        if spans is None:
+            return  # render failure / 404: no results
+        for rec in extract_records(task_url, spans):
+            self._proc_record(rec, depth + 1)
+
+    def _drain_priority(self):
+        """Authority-priority drain: level-synchronous (FIFO is depth-
+        ordered, so each depth is one contiguous queue run); within a
+        level, process in (host priority asc, enqueue order) —
+        children append to the next level as they are discovered."""
+        prios = self.host_priorities or {}
+        inf = float("inf")
+        i0 = 0
+        while i0 < len(self._queue):
+            d = self._queue[i0][1]
+            i1 = i0
+            while i1 < len(self._queue) and self._queue[i1][1] == d:
+                i1 += 1
+            level = self._queue[i0:i1]
+            order = sorted(
+                range(len(level)),
+                key=lambda k: (
+                    prios.get(parse_url(level[k][0]).hostname, inf), k
+                ),
+            )
+            for k in order:
+                self._process_task(*level[k])
+            i0 = i1
