@@ -905,6 +905,45 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+def q_authority_host_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense host priorities for the authority crawl mode
+    (cfg.priority="authority"): score each frontier host by its URL
+    share (count / max count) and rank (score desc, hostname asc) via
+    the three-level distributed rank — no single-partition window."""
+    from tspider_spark.operators.schedule import rank_hosts_by_score
+
+    hc = (
+        _clean(spark, sf_dir)
+        .groupBy(F.col("u.hostname").alias("hostname"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    mx = hc.agg(F.max("_c").alias("_m"))
+    scores = hc.crossJoin(F.broadcast(mx)).select(
+        "hostname", (F.col("_c") / F.col("_m")).alias("score")
+    )
+    return rank_hosts_by_score(scores)
+
+
+def q_authority_wave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-mode wave ordering: the clean frontier re-ranked to
+    (host priority asc, discovery order asc), with hosts whose
+    host-number % 3 == 0 left unranked to exercise the drain-last
+    fallback bucket."""
+    from tspider_spark.operators.schedule import authority_rank
+
+    tasks = _clean(spark, sf_dir).select(
+        F.col("u.hostname").alias("hostname"),
+        "url",
+        F.col("event_id").alias("discovery_order"),
+    )
+    pr = q_authority_host_ranks(spark, sf_dir).filter(
+        _host_num(F.col("hostname")) % 3 != 0
+    )
+    return authority_rank(tasks, pr).select(
+        "hostname", "url", "discovery_order", "wave_rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t1_t2_url_enrich": q_t1_t2_url_enrich,
@@ -945,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedupe": q_paragraph_dedupe,
         "decontam_overlap": q_decontam_overlap,
         "host_pagerank": q_host_pagerank,
+        "authority_host_ranks": q_authority_host_ranks,
+        "authority_wave_order": q_authority_wave_order,
         "recipe_rates": q_recipe_rates,
         "substring_dedupe": q_substring_dedupe,
         "unigram_logprob": q_unigram_logprob,
@@ -1549,6 +1590,39 @@ def oracle_sql() -> dict[str, str]:
         round(target_frac * s.scale / weight, 6) as rate,
         round(target_frac * s.scale, 6) as expected_weight
  from p, s
+""",
+        "authority_host_ranks": _CLEAN_SQL + """
+ , hc as (select hostname, count(*) as c from clean group by 1),
+ sc as (select hostname, c * 1.0 / (select max(c) from hc) as score
+        from hc)
+ select hostname,
+        row_number() over (
+          order by greatest(0, 1073741823
+                   - cast(floor(score * 1073741824) as bigint)) asc,
+                   hostname asc) - 1 as priority
+ from sc
+""",
+        "authority_wave_order": _CLEAN_SQL + """
+ , hc as (select hostname, count(*) as c from clean group by 1),
+ sc as (select hostname, c * 1.0 / (select max(c) from hc) as score
+        from hc),
+ pr0 as (
+   select hostname,
+          row_number() over (
+            order by greatest(0, 1073741823
+                     - cast(floor(score * 1073741824) as bigint)) asc,
+                     hostname asc) - 1 as priority
+   from sc
+ ),
+ pr as (
+   select * from pr0
+   where cast(regexp_extract(hostname, 'host([0-9]+)', 1) as int) % 3 <> 0
+ )
+ select c.hostname, c.url, c.event_id as discovery_order,
+        row_number() over (
+          order by coalesce(p.priority, 4611686018427387904),
+                   c.event_id) - 1 as wave_rank
+ from clean c left join pr p using (hostname)
 """,
         "host_pagerank": pagerank_oracle_sql(
             "edges as (select 'h' || (user_id % 37) as src, "

@@ -169,3 +169,39 @@ def test_concurrent_compaction_detected(spark, tmp_path):
     fresh = StateStore(spark, root)
     assert fresh.version == 3
     assert fresh.read("seen_scanned").count() == 3  # nothing lost
+
+
+def test_submit_cli_authority_resume(spark, tmp_path):
+    """--host-priorities CLI path: a kill-and-resume authority-mode
+    crawl via submit_crawl.main equals one uninterrupted run of the
+    sequential priority oracle (mode restored from store meta, table
+    re-supplied like --documents)."""
+    from tspider_spark.functions.urlpure import parse_url
+    from tspider_spark.submit_crawl import main
+
+    docs, seeds = _corpus()
+    hosts = sorted({parse_url(d).hostname for d, _ in docs})
+    prios = {h: i for i, h in enumerate(reversed(hosts))}
+    cfg = CrawlConfig(tld=True, max_per_host=6, priority="authority")
+    oracle = ReferenceOracle(docs, cfg, host_priorities=prios).run(seeds)
+
+    docs_path = str(tmp_path / "docs")
+    corpus_to_spark(spark, docs).write.parquet(docs_path)
+    pr_path = str(tmp_path / "prios")
+    spark.createDataFrame(
+        list(prios.items()), "hostname string, priority long"
+    ).write.parquet(pr_path)
+
+    state = str(tmp_path / "state")
+    base = ["--documents", docs_path, "--state", state,
+            "--host-priorities", pr_path, "--tld", "--max-per-host", "6"]
+    main(base + ["--seeds"] + seeds + ["--max-waves", "2"], stop_session=False)
+    main(base + ["--resume"], stop_session=False)
+
+    eng = CrawlEngine(
+        spark, spark.read.parquet(docs_path), state, cfg,
+        host_priorities=spark.read.parquet(pr_path),
+    )
+    got = [(r["url"], r["depth"], r["rank"])
+           for r in eng.crawl_order().collect()]
+    assert got == oracle.crawl_order

@@ -22,7 +22,7 @@ import json
 import sys
 
 
-def main(argv=None):
+def main(argv=None, stop_session=True):
     ap = argparse.ArgumentParser()
     ap.add_argument("--documents", required=True,
                     help="parquet dir with (doc_id, spans) or 'synthetic'")
@@ -39,6 +39,13 @@ def main(argv=None):
                          "matching ctx column render their authed variants")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the last committed snapshot")
+    ap.add_argument("--host-priorities", default=None,
+                    help="parquet dir with (hostname, priority) enabling "
+                         "authority-priority frontier ordering "
+                         "(cfg.priority='authority'); required again on "
+                         "--resume of an authority-mode crawl — the mode "
+                         "round-trips via store meta, the table is an "
+                         "input like --documents")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -66,14 +73,23 @@ def main(argv=None):
         documents = spark.read.parquet(args.documents)
         seeds = args.seeds
 
+    host_priorities = (
+        spark.read.parquet(args.host_priorities)
+        if args.host_priorities else None
+    )
     if args.resume:
         cfg = CrawlConfig.from_meta(
             StateStore(spark, args.state).meta().get("config", {})
         )
-        eng = CrawlEngine(spark, documents, args.state, cfg)
+        eng = CrawlEngine(spark, documents, args.state, cfg,
+                          host_priorities=host_priorities)
     else:
-        cfg = CrawlConfig(tld=args.tld, max_per_host=args.max_per_host)
-        eng = CrawlEngine(spark, documents, args.state, cfg)
+        cfg = CrawlConfig(
+            tld=args.tld, max_per_host=args.max_per_host,
+            priority="authority" if host_priorities is not None else "bfs",
+        )
+        eng = CrawlEngine(spark, documents, args.state, cfg,
+                          host_priorities=host_priorities)
         ctx = ""
         if args.cookie_file:
             import hashlib
@@ -99,7 +115,8 @@ def main(argv=None):
         "store_version": eng.store.version,
         "crawl_order_head": order_head,
     }))
-    spark.stop()
+    if stop_session:  # keep alive for in-process callers (tests)
+        spark.stop()
     return 0
 
 
