@@ -905,6 +905,32 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style PII redaction over documents salted with
+    deterministic emails / IPs / phones (the synthetic corpus has no
+    natural PII): placeholder tokens + disjoint per-doc counts."""
+    from tspider_spark.operators.quality import pii_redact
+
+    d = _load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact user"),
+                     (F.col("doc_id") % 100).cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" from 10.0."),
+                     (F.col("doc_id") % 200).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call (555) 867-5309"))
+        .otherwise(F.lit("")),
+    )
+    return pii_redact(d.select("doc_id", aug.alias("text")))
+
+
 def q_authority_host_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense host priorities for the authority crawl mode
     (cfg.priority="authority"): score each frontier host by its URL
@@ -984,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedupe": q_paragraph_dedupe,
         "decontam_overlap": q_decontam_overlap,
         "host_pagerank": q_host_pagerank,
+        "pii_redact": q_pii_redact,
         "authority_host_ranks": q_authority_host_ranks,
         "authority_wave_order": q_authority_wave_order,
         "recipe_rates": q_recipe_rates,
@@ -1036,6 +1063,7 @@ def _shingle_sql(src: str = "documents", n: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from tspider_spark.operators.graph import pagerank_oracle_sql
+    from tspider_spark.operators.quality import pii_redact_oracle_sql
     from tspider_spark.operators.textstats import LANG_STOPWORDS
 
     en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
@@ -1591,6 +1619,21 @@ def oracle_sql() -> dict[str, str]:
         round(target_frac * s.scale, 6) as expected_weight
  from p, s
 """,
+        "pii_redact": pii_redact_oracle_sql(
+            src="aug",
+            prelude="""aug as (
+  select doc_id,
+    text ||
+    case when doc_id % 5 = 0
+         then ' contact user' || (doc_id % 100) || '@example.com'
+         else '' end ||
+    case when doc_id % 7 = 0
+         then ' from 10.0.' || (doc_id % 200) || '.7' else '' end ||
+    case when doc_id % 11 = 0
+         then ' call (555) 867-5309' else '' end as text
+  from documents
+),""",
+        ),
         "authority_host_ranks": _CLEAN_SQL + """
  , hc as (select hostname, count(*) as c from clean group by 1),
  sc as (select hostname, c * 1.0 / (select max(c) from hc) as score

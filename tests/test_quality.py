@@ -303,3 +303,33 @@ def test_new_ops_plan_shapes_no_global_window(spark):
             first = m.group(1).split(",")[0]
             assert " ASC" not in first and " DESC" not in first, m.group(0)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_redact_semantics(spark):
+    """Dolma-style PII: placeholder tokens, disjoint sequential counts
+    (a redacted email's digits never recount as a phone), boundary
+    edges (999.x not an IP, 5-octet runs rejected, 1-letter TLD not
+    an email). Shuffle-free, no Python eval in the plan."""
+    from tspider_spark.operators.quality import pii_redact
+
+    rows = [
+        (1, "mail bob.smith+x@ex-ample.co.uk or call (555) 867-5309"),
+        (2, "server 10.0.200.7 and 255.255.255.255 but 999.1.1.1 no"),
+        (3, "a@b.io c%d@e.org and 123.456.7890 plus 555-111-2222"),
+        (4, "no pii here at all 1234"),
+        (5, "edge 1.2.3.4567 and x@y.z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pii_redact(df)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert got[1]["clean_text"] == "mail |||EMAIL||| or call |||PHONE|||"
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (1, 0, 1)
+    assert got[2]["clean_text"] == "server |||IP||| and |||IP||| but 999.1.1.1 no"
+    assert got[2]["n_ips"] == 2
+    assert (got[3]["n_emails"], got[3]["n_phones"]) == (2, 2)
+    assert got[4]["clean_text"] == "no pii here at all 1234"
+    assert got[5]["clean_text"] == "edge 1.2.3.4567 and x@y.z"
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -341,3 +341,72 @@ def decontam_flags(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated_grams"))
     )
+
+
+# --- PII redaction (Dolma §4.2 / BigScience data tooling) ---------------
+
+# (name, regex, replacement token). Patterns are deliberately kept in
+# the Java-regex ∩ RE2 dialect (no lookaround, no backrefs) so the
+# DuckDB oracle runs the exact same expressions. Redaction order is
+# load-bearing: emails first (they contain digit runs), then IPs (a
+# later phone pass must not eat 3-digit octet fragments), then phones.
+PII_PATTERNS = [
+    ("emails",
+     r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "|||EMAIL|||"),
+    ("ips",
+     r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+     r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b",
+     "|||IP|||"),
+    ("phones",
+     r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+     "|||PHONE|||"),
+]
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """PII redaction (Dolma, Soldaini et al. 2024 §4.2): replace
+    email / IPv4 / US-style phone matches with stable placeholder
+    tokens and report per-doc match counts. Returns
+    (id_col, clean_text, n_emails, n_ips, n_phones).
+
+    Counts are taken on the text as it stands BEFORE that pattern's
+    own redaction (sequential pipeline), so the three counters are
+    disjoint — a redacted email's digits can never recount as a
+    phone. Pure JVM ``regexp_count``/``regexp_replace`` projection:
+    shuffle-free at any scale, stays inside whole-stage codegen."""
+    cur = F.col(text)
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, tok)
+    return docs.select(
+        F.col(id_col), cur.alias("clean_text"), *counts
+    )
+
+
+def pii_redact_oracle_sql(
+    src: str = "documents", text: str = "text", prelude: str = ""
+) -> str:
+    """DuckDB twin of ``pii_redact`` (same patterns, same order).
+    ``prelude``: extra leading CTEs (``"name as (...),"``) so ``src``
+    can be a derived table."""
+    steps, prev = [], text
+    for i, (name, pat, _tok) in enumerate(PII_PATTERNS):
+        p = pat.replace("'", "''")
+        tok = _tok
+        steps.append(
+            f" s{i} as (select *,"
+            f" len(regexp_extract_all({prev}, '{p}')) as n_{name},"
+            f" regexp_replace({prev}, '{p}', '{tok}', 'g') as t{i}"
+            f" from {'s' + str(i - 1) if i else src})"
+        )
+        prev = f"t{i}"
+    n = len(PII_PATTERNS) - 1
+    cols = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return (
+        "with " + prelude + ",".join(steps)
+        + f" select doc_id, t{n} as clean_text, {cols} from s{n}"
+    )
