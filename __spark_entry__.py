@@ -905,6 +905,70 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+def _image_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image-ref universe derived from documents (the
+    sf tables carry no media columns; the span-level media path is
+    covered by media_decode over the synthetic corpus)."""
+    return (
+        _load(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("http://img.site/"),
+                (F.col("doc_id") % 211).cast("string"),
+                F.lit(".png"),
+            ).alias("media_ref")
+        )
+        .distinct()
+    )
+
+
+_IMAGE_REFS_SQL = """
+ refs as (
+   select distinct 'http://img.site/' || (doc_id % 211) || '.png'
+     as media_ref
+   from documents
+ )
+"""
+
+
+def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs over REAL decoded rasters:
+    each ref's payload plus a 3-pixel-flip re-encoded variant (#v);
+    aHash + pigeonhole hamming join must recover exactly the
+    (ref, ref#v) pairs — random images collide within hamming 8 with
+    probability ~1e-10 and the pipeline is fully deterministic, so
+    the pair structure is DuckDB-checkable without the binary."""
+    from tspider_spark.operators.multimodal import (
+        attach_media_payload,
+        decode_media,
+        image_near_dups,
+        perturb_images,
+    )
+
+    dec = decode_media(attach_media_payload(_image_refs(spark, sf_dir)))
+    alld = dec.unionByName(decode_media(perturb_images(dec)))
+    return image_near_dups(alld, max_hamming=8).select("ia", "ib")
+
+
+def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedupe by payload sha256: every ref unioned with a
+    byte-identical #copy must collapse to one group with the original
+    as keeper (lexicographic min) and n_copies = 2."""
+    from tspider_spark.operators.multimodal import (
+        attach_media_payload,
+        decode_media,
+        media_dedup_exact,
+    )
+
+    dec = decode_media(attach_media_payload(_image_refs(spark, sf_dir)))
+    copies = dec.withColumn(
+        "media_ref", F.concat(F.col("media_ref"), F.lit("#copy"))
+    )
+    return media_dedup_exact(dec.unionByName(copies)).select(
+        "keeper", "n_copies"
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma-style PII redaction over documents salted with
     deterministic emails / IPs / phones (the synthetic corpus has no
@@ -1011,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": q_decontam_overlap,
         "host_pagerank": q_host_pagerank,
         "pii_redact": q_pii_redact,
+        "image_near_dups": q_image_near_dups,
+        "media_dedup_exact": q_media_dedup_exact,
         "authority_host_ranks": q_authority_host_ranks,
         "authority_wave_order": q_authority_wave_order,
         "recipe_rates": q_recipe_rates,
@@ -1618,6 +1684,12 @@ def oracle_sql() -> dict[str, str]:
         round(target_frac * s.scale / weight, 6) as rate,
         round(target_frac * s.scale, 6) as expected_weight
  from p, s
+""",
+        "image_near_dups": "with" + _IMAGE_REFS_SQL + """
+ select media_ref as ia, media_ref || '#v' as ib from refs
+""",
+        "media_dedup_exact": "with" + _IMAGE_REFS_SQL + """
+ select media_ref as keeper, cast(2 as bigint) as n_copies from refs
 """,
         "pii_redact": pii_redact_oracle_sql(
             src="aug",

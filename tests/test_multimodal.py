@@ -241,3 +241,50 @@ def test_bmp_decode_and_codec_invariant_features(spark):
     expected_mean = arr.reshape(-1, 3).astype(np.float32).mean(axis=0) / 255.0
     assert np.allclose(feats["http://img0.com/pic.bmp"][:3], expected_mean,
                        atol=1e-5)
+
+
+def test_ahash_codec_independent(spark):
+    """The same raster encoded as netpbm and as BMP must produce the
+    SAME perceptual hash — aHash is a function of decoded pixels, not
+    container bytes."""
+    import numpy as np
+
+    from tspider_spark.operators.multimodal import (
+        ahash_images, encode_bmp, encode_ppm,
+    )
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, (19, 13, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("a.ppm", bytearray(encode_ppm(arr))),
+         ("a.bmp", bytearray(encode_bmp(arr)))],
+        "media_ref string, payload binary",
+    )
+    got = {r["media_ref"]: r["ahash"] for r in ahash_images(df).collect()}
+    assert got["a.ppm"] == got["a.bmp"]
+
+
+def test_image_near_dups_recovers_variants(spark):
+    """End to end over REAL decode: every image pairs with its
+    3-pixel-flip re-encoded variant within hamming 8, and no pair
+    forms between distinct random images; exact dedupe collapses
+    byte-identical copies to the lexicographic keeper."""
+    from pyspark.sql import functions as F
+    from tspider_spark.operators.multimodal import (
+        attach_media_payload, decode_media, image_near_dups,
+        media_dedup_exact, perturb_images,
+    )
+
+    refs = [(f"http://img.site/{i}.png",) for i in range(8)] + \
+           [(f"http://img.site/{i}.bmp",) for i in range(8, 16)]
+    dec = decode_media(
+        attach_media_payload(spark.createDataFrame(refs, "media_ref string"))
+    )
+    alld = dec.unionByName(decode_media(perturb_images(dec)))
+    got = {(r["ia"], r["ib"]) for r in image_near_dups(alld, 8).collect()}
+    assert got == {(r[0], r[0] + "#v") for r in refs}
+
+    copies = dec.withColumn("media_ref", F.concat("media_ref", F.lit("#c")))
+    groups = media_dedup_exact(dec.unionByName(copies)).collect()
+    assert len(groups) == 16
+    assert all(r["n_copies"] == 2 and "#c" not in r["keeper"] for r in groups)

@@ -423,3 +423,118 @@ def parse_wav(b: bytes):
         raise ValueError("missing fmt/data chunk")
     samples = np.frombuffer(data, dtype="<i2")
     return rate, ch, samples.reshape(-1, ch)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedupe over the REAL decoders: aHash on the decoded
+# luma raster (block-mean 8x8 -> threshold at the mean -> 64 bits),
+# paired with the generic bounded-hamming chunk join. Exact payload
+# dedupe rides the sha already computed by decode_media.
+
+
+AHASH_SCHEMA = "media_ref string, ahash long"
+
+
+def ahash_images(decoded: DataFrame, grid: int = 8) -> DataFrame:
+    """Average-hash each decodable image row (netpbm/BMP payloads):
+    luma -> grid x grid cell means (np.add.reduceat, codec-independent
+    because both parsers return the same raster) -> bit = cell >= mean
+    -> packed signed 64-bit. Non-image / stub-codec rows are dropped.
+    Arrow-batched; per image the work is one vectorized reduction."""
+
+    def ah(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, hashes = [], []
+            for ref, b in zip(pdf["media_ref"], pdf["payload"]):
+                bb = bytes(b)
+                if bb[:2] == b"BM":
+                    _, _, c, arr = parse_bmp(bb)
+                elif bb[:2] in (b"P6", b"P5"):
+                    _, _, c, arr = parse_ppm(bb)
+                else:
+                    continue
+                px = arr.astype(np.float32)
+                luma = px.mean(axis=2) if px.ndim == 3 else px
+                h, w = luma.shape
+                yb = np.linspace(0, h, grid + 1).astype(np.int64)[:-1]
+                xb = np.linspace(0, w, grid + 1).astype(np.int64)[:-1]
+                cells = np.add.reduceat(
+                    np.add.reduceat(luma, yb, axis=0), xb, axis=1
+                )
+                ylen = np.diff(np.append(yb, h)).astype(np.float32)
+                xlen = np.diff(np.append(xb, w)).astype(np.float32)
+                cells = cells / np.outer(ylen, xlen)
+                bits = (cells >= cells.mean()).flatten()
+                v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                refs.append(ref)
+                hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame({"media_ref": refs, "ahash": hashes})
+
+    return decoded.select("media_ref", "payload").mapInPandas(ah, AHASH_SCHEMA)
+
+
+def image_near_dups(decoded: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Perceptual near-duplicate image pairs: aHash signatures paired
+    by the pigeonhole chunk join (max_hamming+1 slices), exact JVM
+    popcount verify — same scale shape as the text simhash path."""
+    from tspider_spark.operators.textdedup import hamming_pairs
+
+    return hamming_pairs(
+        ahash_images(decoded), sig_col="ahash", id_col="media_ref",
+        bits=64, max_hamming=max_hamming,
+    )
+
+
+def media_dedup_exact(decoded: DataFrame) -> DataFrame:
+    """Exact payload dedupe across the media table: group on the
+    decode stage's sha256, keep the lexicographically-first ref
+    (deterministic), report the copy count. min/count partial-aggs —
+    one shuffle on sha, map-side combined."""
+    return (
+        decoded.groupBy("sha")
+        .agg(
+            F.min("media_ref").alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def perturb_images(decoded: DataFrame, n_flips: int = 3, suffix: str = "#v") -> DataFrame:
+    """Near-duplicate test doubles: re-emit each decodable image with
+    ``n_flips`` deterministic pixel inversions (ref-seeded positions)
+    re-encoded in the SAME codec, ref suffixed. Ground truth for the
+    perceptual pipeline: each (ref, ref+suffix) pair is a near-dup."""
+
+    def pert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, kinds, payloads = [], [], []
+            for ref, kind, b in zip(pdf["media_ref"], pdf["kind"], pdf["payload"]):
+                bb = bytes(b)
+                if bb[:2] == b"BM":
+                    _, _, c, arr = parse_bmp(bb)
+                elif bb[:2] in (b"P6", b"P5"):
+                    _, _, c, arr = parse_ppm(bb)
+                else:
+                    continue
+                seed = int.from_bytes(
+                    hashlib.blake2b(str(ref).encode(), digest_size=4).digest(),
+                    "little",
+                )
+                rng = np.random.RandomState(seed ^ 0x5EED)
+                out = arr.copy()
+                h, w = out.shape[0], out.shape[1]
+                ys = rng.randint(0, h, n_flips)
+                xs = rng.randint(0, w, n_flips)
+                out[ys, xs] = 255 - out[ys, xs]
+                refs.append(str(ref) + suffix)
+                kinds.append(kind)
+                payloads.append(
+                    encode_bmp(out) if bb[:2] == b"BM" else encode_ppm(out)
+                )
+            yield pd.DataFrame(
+                {"media_ref": refs, "kind": kinds, "payload": payloads}
+            )
+
+    return decoded.select("media_ref", "kind", "payload").mapInPandas(
+        pert, f"media_ref string, kind string, payload binary"
+    )

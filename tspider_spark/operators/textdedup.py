@@ -220,25 +220,52 @@ def simhash_dups(
     signature — pigeonhole), verified with an exact popcount. Fully
     JVM (simhash_signatures) and DuckDB-oracle-checkable."""
     s = simhash_signatures(df, id_col, text)
-    chunk_bits = SIMHASH_BITS // 4
+    return hamming_pairs(
+        s, sig_col="sim", id_col=id_col, bits=SIMHASH_BITS,
+        max_hamming=max_hamming, n_chunks=4,
+    )
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str,
+    bits: int,
+    max_hamming: int,
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Generic bounded-hamming pairing over fixed-width bit signatures
+    (simhash, perceptual image hashes, ...): chunk the ``bits``-bit
+    signature into ``n_chunks`` disjoint slices (default
+    ``max_hamming + 1``) — by pigeonhole a pair within the distance
+    bound must agree exactly on >= 1 slice — bucket-equi-join on
+    (chunk, value), then verify with an exact JVM popcount. Never a
+    cross join; bucket sizes are data-bounded (a slice value's
+    population), the standard LSH-shaped scale path."""
+    n_chunks = n_chunks or (max_hamming + 1)
+    chunk_bits = -(-bits // n_chunks)  # ceil: last slice may be short
     mask = (1 << chunk_bits) - 1
-    chunks = s.select(
+    chunks = sigs.select(
         id_col,
-        "sim",
+        sig_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned(F.col("sim"), c * chunk_bits)
+                    F.shiftrightunsigned(F.col(sig_col), c * chunk_bits)
                     .bitwiseAND(F.lit(mask))
                     .alias("v"),
                 )
-                for c in range(4)
+                for c in range(n_chunks)
             ])
         ).alias("cc"),
-    ).select(id_col, "sim", "cc.chunk", "cc.v")
-    a = chunks.select(F.col(id_col).alias("ia"), F.col("sim").alias("sa"), "chunk", "v")
-    b = chunks.select(F.col(id_col).alias("ib"), F.col("sim").alias("sb"), "chunk", "v")
+    ).select(id_col, sig_col, "cc.chunk", "cc.v")
+    a = chunks.select(
+        F.col(id_col).alias("ia"), F.col(sig_col).alias("sa"), "chunk", "v"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("ib"), F.col(sig_col).alias("sb"), "chunk", "v"
+    )
     pairs = (
         a.join(b, ["chunk", "v"])
         .filter(F.col("ia") < F.col("ib"))
