@@ -172,3 +172,27 @@ def test_rank_hosts_by_score_dense_desc(spark):
     got = {r["hostname"]: r["priority"] for r in rank_hosts_by_score(df).collect()}
     # desc score; equal scores tie-break by hostname asc
     assert got == {"b.com": 0, "c.com": 1, "a.com": 2, "d.com": 3}
+
+
+def test_max_depth_limits_scheduling(spark, tmp_path, corpus):
+    """cfg.max_depth: results still save at any depth, but no task
+    deeper than the cap is ever scheduled — exact vs the extended
+    oracle, and strictly shorter than the unlimited crawl."""
+    docs, seeds = corpus
+    cfg = CrawlConfig(tld=True, max_per_host=8, max_depth=1)
+    oracle = ReferenceOracle(docs, cfg).run(seeds)
+    unlimited = ReferenceOracle(
+        docs, CrawlConfig(tld=True, max_per_host=8)
+    ).run(seeds)
+    assert len(oracle.crawl_order) < len(unlimited.crawl_order)
+    assert max(d for _, d, _ in oracle.crawl_order) == 1
+
+    engine = CrawlEngine(
+        spark, corpus_to_spark(spark, docs), str(tmp_path / "state"), cfg
+    )
+    engine.seed(seeds)
+    engine.run()
+    assert_parity(oracle, engine)
+
+    # round-trips through the store meta
+    assert CrawlConfig.from_meta(engine.store.meta()["config"]).max_depth == 1

@@ -29,6 +29,12 @@ class CrawlConfig:
     # host_priorities=df). Semantic config — round-trips through the
     # store meta so resume keeps the same ordering.
     priority: str = "bfs"
+    # depth limit (north_star "depth limits"; the reference itself has
+    # no depth concept, so None == unlimited == reference parity).
+    # Semantics: results at any depth still SAVE; candidates whose
+    # depth would exceed max_depth are never scheduled (no seen-set or
+    # budget bookkeeping, exactly as if the task was never created).
+    max_depth: int | None = None
     # performance knobs
     use_bloom_prefilter: bool = False
     bloom_shards: int = 8
@@ -69,6 +75,7 @@ class CrawlConfig:
             "blocklist": list(self.blocklist),
             "robots_enabled": self.robots_enabled,
             "priority": self.priority,
+            "max_depth": self.max_depth,
         }
 
     @staticmethod
@@ -79,4 +86,8 @@ class CrawlConfig:
             blocklist=list(meta.get("blocklist", [])),
             robots_enabled=bool(meta.get("robots_enabled", False)),
             priority=str(meta.get("priority", "bfs")),
+            max_depth=(
+                int(meta["max_depth"])
+                if meta.get("max_depth") is not None else None
+            ),
         )

@@ -347,6 +347,15 @@ class CrawlEngine:
         # --- scheduling stream: F11 scope + F13 method gates -------------
         gated = cands_t.filter(F.col("is_target") & FL.method_is_get())
 
+        # depth limit (config extension): candidates from this wave
+        # would enter the frontier at depth+1 — past the cap, the
+        # whole scheduling stream is empty (saving above is untouched;
+        # no seen/budget bookkeeping happens, matching the oracle's
+        # never-created task). The literal-false filter lets Catalyst
+        # collapse the entire scheduling subtree to an empty relation.
+        if self.cfg.max_depth is not None and depth + 1 > self.cfg.max_depth:
+            gated = gated.filter(F.lit(False))
+
         # --- A2: new-host index-page synthesis ---------------------------
         host_budget = self.store.read("host_budget")
         fresh_gated = gated.join(

@@ -172,6 +172,8 @@ class ReferenceOracle:
             return
         if method != "GET":
             return  # F13 (POST logged-unsupported, others error-logged)
+        if self.cfg.max_depth is not None and depth > self.cfg.max_depth:
+            return  # depth limit: saved above, never scheduled
         # A2 — new-host index page seeding (producer.py:101-103)
         if self.res.host_budget.get(u.hostname, 0) == 0:
             self._create_task(parse_url(u.index_page), depth)

@@ -31,6 +31,9 @@ def main(argv=None, stop_session=True):
     ap.add_argument("--state", required=True)
     ap.add_argument("--max-waves", type=int, default=None)
     ap.add_argument("--max-per-host", type=int, default=100)
+    ap.add_argument("--max-depth", type=int, default=None,
+                    help="deepest frontier level to schedule (results "
+                         "still save at any depth); default unlimited")
     ap.add_argument("--tld", action="store_true")
     ap.add_argument("--cookie-file", default=None,
                     help="auth context for every seed (reference "
@@ -86,6 +89,7 @@ def main(argv=None, stop_session=True):
     else:
         cfg = CrawlConfig(
             tld=args.tld, max_per_host=args.max_per_host,
+            max_depth=args.max_depth,
             priority="authority" if host_priorities is not None else "bfs",
         )
         eng = CrawlEngine(spark, documents, args.state, cfg,
