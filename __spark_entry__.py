@@ -969,6 +969,34 @@ def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup pairs over REAL decoded PCM: each
+    clip plus a low-amplitude-noise re-encoded variant (#v); energy
+    fingerprints + hamming join recover exactly the (ref, ref#v)
+    pairs (deterministic, so DuckDB-checkable without the binary)."""
+    from tspider_spark.operators.multimodal import (
+        attach_media_payload,
+        audio_near_dups,
+        decode_media,
+        perturb_audio,
+    )
+
+    refs = (
+        _load(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("http://aud.site/"),
+                (F.col("doc_id") % 173).cast("string"),
+                F.lit(".wav"),
+            ).alias("media_ref")
+        )
+        .distinct()
+    )
+    dec = decode_media(attach_media_payload(refs))
+    alld = dec.unionByName(decode_media(perturb_audio(dec)))
+    return audio_near_dups(alld, max_hamming=8).select("ia", "ib")
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma-style PII redaction over documents salted with
     deterministic emails / IPs / phones (the synthetic corpus has no
@@ -1076,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "pii_redact": q_pii_redact,
         "image_near_dups": q_image_near_dups,
+        "audio_near_dups": q_audio_near_dups,
         "media_dedup_exact": q_media_dedup_exact,
         "authority_host_ranks": q_authority_host_ranks,
         "authority_wave_order": q_authority_wave_order,
@@ -1684,6 +1713,14 @@ def oracle_sql() -> dict[str, str]:
         round(target_frac * s.scale / weight, 6) as rate,
         round(target_frac * s.scale, 6) as expected_weight
  from p, s
+""",
+        "audio_near_dups": """
+ with refs as (
+   select distinct 'http://aud.site/' || (doc_id % 173) || '.wav'
+     as media_ref
+   from documents
+ )
+ select media_ref as ia, media_ref || '#v' as ib from refs
 """,
         "image_near_dups": "with" + _IMAGE_REFS_SQL + """
  select media_ref as ia, media_ref || '#v' as ib from refs

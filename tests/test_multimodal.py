@@ -288,3 +288,23 @@ def test_image_near_dups_recovers_variants(spark):
     groups = media_dedup_exact(dec.unionByName(copies)).collect()
     assert len(groups) == 16
     assert all(r["n_copies"] == 2 and "#c" not in r["keeper"] for r in groups)
+
+
+def test_audio_near_dups_recovers_variants(spark):
+    """Energy fingerprints over REAL WAV decode: every clip pairs with
+    its noise-added re-encoded variant, no cross pairs; the
+    fingerprint is a pure function of decoded samples."""
+    from tspider_spark.operators.multimodal import (
+        attach_media_payload, audio_fingerprints, audio_near_dups,
+        decode_media, perturb_audio,
+    )
+
+    refs = [(f"http://aud.site/{i}.wav",) for i in range(12)]
+    dec = decode_media(
+        attach_media_payload(spark.createDataFrame(refs, "media_ref string"))
+    )
+    alld = dec.unionByName(decode_media(perturb_audio(dec)))
+    got = {(r["ia"], r["ib"]) for r in audio_near_dups(alld, 8).collect()}
+    assert got == {(r[0], r[0] + "#v") for r in refs}
+    # image/stub rows are dropped, audio rows all fingerprinted
+    assert audio_fingerprints(alld).count() == 24

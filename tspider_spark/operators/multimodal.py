@@ -538,3 +538,91 @@ def perturb_images(decoded: DataFrame, n_flips: int = 3, suffix: str = "#v") -> 
     return decoded.select("media_ref", "kind", "payload").mapInPandas(
         pert, f"media_ref string, kind string, payload binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual audio fingerprints over the REAL WAV decoder: mean-|x|
+# energy per time window -> threshold at the clip mean -> 64 bits.
+# Same pairing machinery as images (generic bounded-hamming join).
+
+
+AUDIO_FP_SCHEMA = "media_ref string, afp long"
+
+
+def audio_fingerprints(decoded: DataFrame, n_windows: int = 64) -> DataFrame:
+    """Energy-profile fingerprint of each decodable audio row (RIFF
+    PCM16): mono mixdown -> ``n_windows`` window mean-|amplitude|s
+    (np.add.reduceat) -> bit = window energy >= clip mean -> packed
+    signed 64-bit. Robust to low-amplitude noise (the near-dup
+    invariance the pairing relies on); non-audio rows dropped."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, fps = [], []
+            for ref, b in zip(pdf["media_ref"], pdf["payload"]):
+                bb = bytes(b)
+                if bb[:4] != b"RIFF":
+                    continue
+                try:
+                    _, _, samples = parse_wav(bb)
+                except ValueError:
+                    continue
+                x = np.abs(samples.astype(np.float32)).mean(axis=1)
+                wb = np.linspace(0, len(x), n_windows + 1).astype(np.int64)[:-1]
+                e = np.add.reduceat(x, wb)
+                e = e / np.diff(np.append(wb, len(x))).astype(np.float32)
+                bits = e >= e.mean()
+                v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                refs.append(ref)
+                fps.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame({"media_ref": refs, "afp": fps})
+
+    return decoded.select("media_ref", "payload").mapInPandas(fp, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dups(decoded: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate audio pairs by bounded hamming distance over the
+    energy fingerprints — pigeonhole chunk join + popcount verify."""
+    from tspider_spark.operators.textdedup import hamming_pairs
+
+    return hamming_pairs(
+        audio_fingerprints(decoded), sig_col="afp", id_col="media_ref",
+        bits=64, max_hamming=max_hamming,
+    )
+
+
+def perturb_audio(
+    decoded: DataFrame, amp: int = 32, suffix: str = "#v"
+) -> DataFrame:
+    """Near-duplicate audio test doubles: each decodable clip re-
+    emitted with ref-seeded uniform noise in [-amp, amp] (~0.1% of
+    int16 range by default) added to every sample, re-encoded at the
+    same rate/channel count, ref suffixed."""
+
+    def pert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, kinds, payloads = [], [], []
+            for ref, kind, b in zip(pdf["media_ref"], pdf["kind"], pdf["payload"]):
+                bb = bytes(b)
+                if bb[:4] != b"RIFF":
+                    continue
+                rate, _, samples = parse_wav(bb)
+                seed = int.from_bytes(
+                    hashlib.blake2b(str(ref).encode(), digest_size=4).digest(),
+                    "little",
+                )
+                rng = np.random.RandomState(seed ^ 0xA0D10)
+                noise = rng.randint(-amp, amp + 1, samples.shape)
+                out = np.clip(
+                    samples.astype(np.int32) + noise, -(2**15), 2**15 - 1
+                ).astype(np.int16)
+                refs.append(str(ref) + suffix)
+                kinds.append(kind)
+                payloads.append(encode_wav(out, sample_rate=rate))
+            yield pd.DataFrame(
+                {"media_ref": refs, "kind": kinds, "payload": payloads}
+            )
+
+    return decoded.select("media_ref", "kind", "payload").mapInPandas(
+        pert, "media_ref string, kind string, payload binary"
+    )
