@@ -969,6 +969,52 @@ def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-lite normalization over documents salted with messy
+    suffixes: combining accent (NFC recombines), tab, bell control
+    char, space runs, 4 consecutive newlines, outer whitespace."""
+    from tspider_spark.operators.quality import normalize_text
+
+    d = _load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.col("text"),
+        F.lit(" \té  double  space\x07ctrl\n\n\n\nend "),
+    )
+    return normalize_text(d.select("doc_id", messy.alias("text")))
+
+
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative robots.txt parsing over synthesized bodies (tricky
+    formatting: comments, specific-agent groups, multi-UA groups,
+    varying Crawl-delay). The oracle derives the expected RULES
+    directly from the host number — an independent derivation, not a
+    parallel parser."""
+    from tspider_spark.operators.robots import parse_robots
+
+    hosts = _clean(spark, sf_dir).select(
+        F.col("u.hostname").alias("host")
+    ).distinct()
+    n = _host_num(F.col("host"))
+    body = F.concat(
+        F.lit("# synthetic robots\nUser-agent: googlebot\n"
+              "Disallow: /private\n\n"),
+        F.when(
+            n % 5 == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /click # wave\n"
+                      "Disallow: /x\nCrawl-delay: "),
+                ((n % 3) * 2).cast("string"),
+                F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            n % 4 == 0,
+            F.lit("\nUser-agent: otherbot\nUser-agent: *\nDisallow: /y\n"),
+        ).otherwise(F.lit("")),
+    )
+    return parse_robots(hosts.withColumn("body", body))
+
+
 def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual audio near-dup pairs over REAL decoded PCM: each
     clip plus a low-amplitude-noise re-encoded variant (#v); energy
@@ -1049,12 +1095,26 @@ def q_authority_wave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback bucket."""
     from tspider_spark.operators.schedule import authority_rank
 
+    from tspider_spark.operators.schedule import rank_hosts_by_score
+
+    # lineage-truncate the rank input: distributed_rank references its
+    # input subtree three times, so the wide URL-derivation plan would
+    # be re-ANALYZED (driver cost) and re-run per reference —
+    # localCheckpoint cuts the logical plan where cache() would not
+    # (the engine's wave loop does the same via truncate_plan). The
+    # host scores then derive from the SAME materialized tasks instead
+    # of re-running the derivation (12.1s -> ~4s at sf0.1).
     tasks = _clean(spark, sf_dir).select(
         F.col("u.hostname").alias("hostname"),
         "url",
         F.col("event_id").alias("discovery_order"),
+    ).localCheckpoint(eager=True)
+    hc = tasks.groupBy("hostname").agg(F.count(F.lit(1)).alias("_c"))
+    mx = hc.agg(F.max("_c").alias("_m"))
+    scores = hc.crossJoin(F.broadcast(mx)).select(
+        "hostname", (F.col("_c") / F.col("_m")).alias("score")
     )
-    pr = q_authority_host_ranks(spark, sf_dir).filter(
+    pr = rank_hosts_by_score(scores).filter(
         _host_num(F.col("hostname")) % 3 != 0
     )
     return authority_rank(tasks, pr).select(
@@ -1105,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
+        "robots_parse": q_robots_parse,
+        "normalize_text": q_normalize_text,
         "media_dedup_exact": q_media_dedup_exact,
         "authority_host_ranks": q_authority_host_ranks,
         "authority_wave_order": q_authority_wave_order,
@@ -1158,7 +1220,10 @@ def _shingle_sql(src: str = "documents", n: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from tspider_spark.operators.graph import pagerank_oracle_sql
-    from tspider_spark.operators.quality import pii_redact_oracle_sql
+    from tspider_spark.operators.quality import (
+        normalize_text_oracle_sql,
+        pii_redact_oracle_sql,
+    )
     from tspider_spark.operators.textstats import LANG_STOPWORDS
 
     en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
@@ -1713,6 +1778,27 @@ def oracle_sql() -> dict[str, str]:
         round(target_frac * s.scale / weight, 6) as rate,
         round(target_frac * s.scale, 6) as expected_weight
  from p, s
+""",
+        "normalize_text": (
+            "with aug as (select doc_id, text || ' ' || chr(9) || 'e' || "
+            "chr(769) || '  double  space' || chr(7) || "
+            "e'ctrl\\n\\n\\n\\nend ' as text from documents) "
+            + normalize_text_oracle_sql(src="aug")
+        ),
+        "robots_parse": _CLEAN_SQL + """
+ , hosts as (
+   select distinct hostname as host,
+     cast(regexp_extract(hostname, 'host([0-9]+)', 1) as int) as n
+   from clean
+ )
+ select host,
+   case when n % 5 = 0 and n % 4 = 0 then ['/click', '/x', '/y']
+        when n % 5 = 0 then ['/click', '/x']
+        else ['/y'] end as disallow_prefixes,
+   case when n % 5 = 0 then cast((n % 3) * 2000 as int)
+        else cast(null as int) end as crawl_delay_ms
+ from hosts
+ where n % 5 = 0 or n % 4 = 0
 """,
         "audio_near_dups": """
  with refs as (

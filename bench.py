@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "dup_line_stats",
     "token_quantiles",
     "pack_shards",
+    # round-2 late additions
+    "pii_redact",
+    "authority_wave_order",
+    "image_near_dups",
+    "audio_near_dups",
 ]
 
 

@@ -333,3 +333,32 @@ def test_pii_redact_semantics(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_normalize_text_matches_duckdb(spark):
+    """NFC + cleanup pipeline is byte-identical to the DuckDB oracle
+    on decomposed accents, control chars, runs and outer whitespace."""
+    import duckdb
+    import pandas as pd
+
+    from tspider_spark.operators.quality import (
+        normalize_text, normalize_text_oracle_sql,
+    )
+
+    rows = [
+        (1, "plain text"),
+        (2, "a\u0301 combining\tand\ttabs"),
+        (3, "  outer   runs  \n\n\n\n\nmany blanks \n mid \n"),
+        (4, "ctrl\x07here\x1fand\x0bthere"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_chars_raw"], r["n_chars"])
+           for r in normalize_text(df).collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    exp = {r[0]: (r[1], r[2], r[3])
+           for r in con.execute(normalize_text_oracle_sql()).fetchall()}
+    assert got == exp
+    assert got[2][0] == "\u00e1 combining and tabs"   # NFC recombined
+    assert got[3][0] == "outer runs\n\nmany blanks\nmid"

@@ -57,3 +57,53 @@ def test_empty_robots_is_reference_parity(spark, tmp_path):
     base = ReferenceOracle(docs, cfg_off).run(seeds)
     with_empty = ReferenceOracle(docs, cfg_on, robots={}).run(seeds)
     assert base.crawl_order == with_empty.crawl_order
+
+
+def test_parse_robots_groups_and_edges(spark):
+    """Declarative robots.txt parse: comment stripping, CRLF, case-
+    insensitive directives, multi-UA groups, specific-agent groups
+    ignored, prefix merge across * groups, min crawl-delay, empty
+    Disallow dropped, rule-before-any-UA dropped."""
+    from tspider_spark.operators.robots import parse_robots
+
+    body_a = (
+        "Disallow: /orphan\r\n"          # before any UA group: invalid
+        "# header comment\r\n"
+        "User-agent: googlebot\r\n"
+        "Disallow: /private\r\n"
+        "\r\n"
+        "USER-AGENT: *\r\n"
+        "Disallow: /b # trailing comment\r\n"
+        "disallow: /a\r\n"
+        "Disallow:\r\n"                   # empty value: allow-all, no prefix
+        "Crawl-Delay: 2\r\n"
+        "\r\n"
+        "User-agent: otherbot\r\n"
+        "User-agent: *\r\n"               # multi-UA group includes *
+        "Disallow: /c\r\n"
+        "Crawl-delay: 5\r\n"
+    )
+    body_b = "User-agent: googlebot\nDisallow: /x\n"  # no * group
+    df = spark.createDataFrame(
+        [("a.com", body_a), ("b.com", body_b)], "host string, body string"
+    )
+    rows = {r["host"]: r for r in parse_robots(df).collect()}
+    assert set(rows) == {"a.com"}
+    assert rows["a.com"]["disallow_prefixes"] == ["/a", "/b", "/c"]
+    assert rows["a.com"]["crawl_delay_ms"] == 2000
+
+
+def test_parse_robots_feeds_filter(spark):
+    """parse_robots output plugs straight into robots_filter."""
+    from tspider_spark.operators.robots import parse_robots, robots_filter
+
+    rules = parse_robots(spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /no\n")], "host string, body string"
+    ))
+    cands = spark.createDataFrame(
+        [("h.com", "/no/page"), ("h.com", "/yes/page"), ("other.com", "/no")],
+        "hostname string, path string",
+    )
+    kept = {(r["hostname"], r["path"])
+            for r in robots_filter(cands, rules, path_col="path").collect()}
+    assert kept == {("h.com", "/yes/page"), ("other.com", "/no")}

@@ -410,3 +410,51 @@ def pii_redact_oracle_sql(
         "with " + prelude + ",".join(steps)
         + f" select doc_id, t{n} as clean_text, {cols} from s{n}"
     )
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """ftfy-lite text normalization (CCNet/Dolma pre-clean): NFC
+    unicode normalization, tabs -> spaces, control chars stripped
+    (newlines kept), space runs collapsed, spaces trimmed around
+    newlines, 3+ blank lines collapsed to one, outer whitespace
+    trimmed. Returns (id_col, clean_text, n_chars_raw, n_chars).
+
+    NFC is the one step with no JVM builtin: a ``pandas_udf`` running
+    the vectorized ``Series.str.normalize`` (one Arrow batch call, not
+    per-row Python). Everything after is JVM ``regexp_replace`` in the
+    RE2 ∩ Java dialect so the DuckDB oracle (``nfc_normalize`` + the
+    same regexes) matches byte for byte."""
+    from pyspark.sql.functions import pandas_udf
+
+    _nfc = pandas_udf(lambda s: s.str.normalize("NFC"), "string")
+    c = _nfc(F.col(text))
+    c = F.replace(c, F.lit("\t"), F.lit(" "))
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    c = F.regexp_replace(c, " {2,}", " ")
+    c = F.regexp_replace(c, " *\n *", "\n")
+    c = F.regexp_replace(c, "\n{3,}", "\n\n")
+    c = F.regexp_replace(c, "^[ \n]+|[ \n]+$", "")
+    return docs.select(
+        F.col(id_col),
+        c.alias("clean_text"),
+        F.length(text).cast("long").alias("n_chars_raw"),
+        F.length(c).cast("long").alias("n_chars"),
+    )
+
+
+def normalize_text_oracle_sql(src: str = "documents", text: str = "text") -> str:
+    """DuckDB twin of ``normalize_text`` (same steps, same order)."""
+    c = f"nfc_normalize({text})"
+    c = f"replace({c}, chr(9), ' ')"
+    c = f"regexp_replace({c}, '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g')"
+    c = f"regexp_replace({c}, ' {{2,}}', ' ', 'g')"
+    c = f"regexp_replace({c}, ' *\\n *', chr(10), 'g')"
+    c = f"regexp_replace({c}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    c = f"regexp_replace({c}, '^[ \\n]+|[ \\n]+$', '', 'g')"
+    return (
+        f"select doc_id, {c} as clean_text,"
+        f" cast(length({text}) as bigint) as n_chars_raw,"
+        f" cast(length({c}) as bigint) as n_chars from {src}"
+    )

@@ -62,3 +62,78 @@ def apply_crawl_delay(
     return joined.withColumn(
         out, ((F.col(slot_col) - 1) * delay).cast("long")
     ).drop("_rhost", "crawl_delay_ms")
+
+
+def parse_robots(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Parse raw robots.txt bodies into the ROBOTS_SCHEMA rules table
+    (simplified RFC 9309, ``User-agent: *`` groups only — the crawler
+    presents no specific agent token).
+
+    Declarative parse, no Python: explode lines, strip comments,
+    split ``key: value``, then gaps-and-islands over the line
+    positions (a User-agent line that follows a non-User-agent line
+    opens a new group) with a per-host window — partition-bounded by
+    one host's robots body, never global. Groups whose agent set
+    contains ``*`` contribute their Disallow prefixes (non-empty
+    values; sorted distinct for determinism) and the minimum
+    Crawl-delay (seconds -> ms). Hosts with no matching group are
+    absent (= unrestricted, reference parity)."""
+    from pyspark.sql.window import Window
+
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            # CRLF-tolerant: \r is not in trim's strip set
+            F.split(F.regexp_replace(F.col(body_col), "\r", ""), "\n")
+        ).alias("pos", "raw"),
+    )
+    cleaned = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    lines = (
+        lines.withColumn("line", cleaned)
+        .filter(F.col("line").contains(":"))
+        .withColumn("key", F.lower(F.trim(F.substring_index("line", ":", 1))))
+        .withColumn(
+            "val",
+            F.trim(F.expr("substring(line, instr(line, ':') + 1)")),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    lines = lines.withColumn("_ua", is_ua).withColumn(
+        "_new", ((F.col("_ua") == 1) & (F.lag("_ua", 1, 0).over(w) == 0)).cast("int")
+    )
+    lines = lines.withColumn("grp", F.sum("_new").over(w))
+    groups = (
+        lines.groupBy("host", "grp")
+        .agg(
+            F.max(
+                ((F.col("key") == "user-agent") & (F.col("val") == "*")).cast("int")
+            ).alias("_star"),
+            F.sort_array(
+                F.collect_set(
+                    F.when(
+                        (F.col("key") == "disallow") & (F.col("val") != ""),
+                        F.col("val"),
+                    )
+                )
+            ).alias("_prefixes"),
+            F.min(
+                F.when(
+                    F.col("key") == "crawl-delay",
+                    F.col("val").cast("double"),
+                )
+            ).alias("_delay_s"),
+        )
+        .filter(F.col("_star") == 1)
+    )
+    return (
+        groups.groupBy("host")
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("_prefixes")))
+            ).alias("disallow_prefixes"),
+            (F.min("_delay_s") * 1000).cast("int").alias("crawl_delay_ms"),
+        )
+    )
