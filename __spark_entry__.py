@@ -969,6 +969,40 @@ def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap seed extraction over synthesized bodies: hosts with
+    host-number % 6 == 0 serve a <sitemapindex> (pointers, flagged),
+    the rest a <urlset> with n%4+1 entity-encoded page URLs."""
+    from tspider_spark.operators.robots import parse_sitemap
+
+    hosts = _clean(spark, sf_dir).select(
+        F.col("u.hostname").alias("host")
+    ).distinct()
+    n = _host_num(F.col("host"))
+    k = (n % 4 + 1).cast("int")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat(
+                    F.lit("<url><loc>http://"), F.col("host"),
+                    F.lit("/p/"), i.cast("string"),
+                    F.lit("?a=1&amp;b=2</loc></url>"),
+                ),
+            ),
+            "\n",
+        ),
+        F.lit("\n</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>http://"), F.col("host"),
+        F.lit("/sitemap-1.xml</loc></sitemap></sitemapindex>"),
+    )
+    body = F.when(n % 6 == 0, index).otherwise(urlset)
+    return parse_sitemap(hosts.withColumn("body", body))
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ftfy-lite normalization over documents salted with messy
     suffixes: combining accent (NFC recombines), tab, bell control
@@ -1167,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dups": q_audio_near_dups,
         "robots_parse": q_robots_parse,
         "normalize_text": q_normalize_text,
+        "sitemap_parse": q_sitemap_parse,
         "media_dedup_exact": q_media_dedup_exact,
         "authority_host_ranks": q_authority_host_ranks,
         "authority_wave_order": q_authority_wave_order,
@@ -1778,6 +1813,20 @@ def oracle_sql() -> dict[str, str]:
         round(target_frac * s.scale / weight, 6) as rate,
         round(target_frac * s.scale, 6) as expected_weight
  from p, s
+""",
+        "sitemap_parse": _CLEAN_SQL + """
+ , hosts as (
+   select distinct hostname as host,
+     cast(regexp_extract(hostname, 'host([0-9]+)', 1) as int) as n
+   from clean
+ )
+ select host,
+        case when n % 6 = 0
+             then 'http://' || host || '/sitemap-1.xml'
+             else 'http://' || host || '/p/' || i || '?a=1&b=2' end as url,
+        n % 6 = 0 as is_index
+ from hosts, unnest(range(0, 4)) as t(i)
+ where i < (case when n % 6 = 0 then 1 else n % 4 + 1 end)
 """,
         "normalize_text": (
             "with aug as (select doc_id, text || ' ' || chr(9) || 'e' || "

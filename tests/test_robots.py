@@ -107,3 +107,85 @@ def test_parse_robots_feeds_filter(spark):
     kept = {(r["hostname"], r["path"])
             for r in robots_filter(cands, rules, path_col="path").collect()}
     assert kept == {("h.com", "/yes/page"), ("other.com", "/no")}
+
+
+def test_parse_sitemap_formats(spark):
+    """XML urlset (entities, CDATA, whitespace in <loc>), sitemapindex
+    flagging, and plain-text one-URL-per-line with CRLF + junk."""
+    from tspider_spark.operators.robots import parse_sitemap
+
+    xml = (
+        '<?xml version="1.0"?>\n<urlset>\n'
+        " <url><loc>http://a.com/p?x=1&amp;y=2</loc></url>\n"
+        " <url><loc>\n   http://a.com/q</loc></url>\n"
+        " <url><loc><![CDATA[http://a.com/r]]></loc></url>\n</urlset>"
+    )
+    idx = ("<sitemapindex><sitemap><loc>http://a.com/sitemap2.xml</loc>"
+           "</sitemap></sitemapindex>")
+    txt = "http://b.com/1\r\nnot-a-url\n  http://b.com/2  \n"
+    df = spark.createDataFrame(
+        [("a.com", xml), ("a.com", idx), ("b.com", txt)],
+        "host string, body string",
+    )
+    got = {(r["host"], r["url"], r["is_index"])
+           for r in parse_sitemap(df).collect()}
+    assert got == {
+        ("a.com", "http://a.com/p?x=1&y=2", False),
+        ("a.com", "http://a.com/q", False),
+        ("a.com", "http://a.com/r", False),
+        ("a.com", "http://a.com/sitemap2.xml", True),
+        ("b.com", "http://b.com/1", False),
+        ("b.com", "http://b.com/2", False),
+    }
+
+
+def test_submit_cli_robots_and_sitemap_bodies(spark, tmp_path):
+    """--robots-bodies / --sitemap-bodies: raw bodies parse inside the
+    CLI, sitemap <loc>s extend the seed list, robots rules are
+    enforced — exact vs the oracle fed the equivalent parsed inputs."""
+    from tspider_spark.operators.robots import parse_robots, parse_sitemap
+    from tspider_spark.submit_crawl import main
+
+    docs, seeds = generate_corpus(
+        CorpusSpec(seed=21, n_domains=3, hosts_per_domain=2)
+    )
+    hosts = sorted({d.split("/")[2] for d, _ in docs})
+    rhost, shost = hosts[0], hosts[1]
+    robots_body = ("User-agent: *\nDisallow: /item/\n"
+                   "Disallow: /cat.php\nCrawl-delay: 0.5\n")
+    # sitemap adds an extra seed for shost beyond the corpus seeds
+    sm_body = f"<urlset><url><loc>http://{shost}/</loc></url></urlset>"
+    rb = str(tmp_path / "rb")
+    sb = str(tmp_path / "sb")
+    spark.createDataFrame([(rhost, robots_body)], "host string, body string"
+                          ).write.parquet(rb)
+    spark.createDataFrame([(shost, sm_body)], "host string, body string"
+                          ).write.parquet(sb)
+
+    # oracle: equivalent parsed rules + the extended seed list
+    parsed = {r["host"]: (list(r["disallow_prefixes"]), r["crawl_delay_ms"])
+              for r in parse_robots(spark.read.parquet(rb)).collect()}
+    assert parsed == {rhost: (["/cat.php", "/item/"], 500)}
+    extra = sorted(
+        r["url"] for r in parse_sitemap(spark.read.parquet(sb))
+        .filter("not is_index").collect()
+    )
+    all_seeds = list(seeds) + [u for u in extra if u not in set(seeds)]
+    cfg = CrawlConfig(tld=True, max_per_host=10, robots_enabled=True)
+    oracle = ReferenceOracle(docs, cfg, robots=parsed).run(all_seeds)
+
+    docs_path = str(tmp_path / "docs")
+    corpus_to_spark(spark, docs).write.parquet(docs_path)
+    state = str(tmp_path / "state")
+    main(["--documents", docs_path, "--state", state, "--tld",
+          "--max-per-host", "10", "--robots-bodies", rb,
+          "--sitemap-bodies", sb, "--seeds"] + seeds,
+         stop_session=False)
+
+    eng = CrawlEngine(
+        spark, spark.read.parquet(docs_path), state, cfg,
+        robots=parse_robots(spark.read.parquet(rb)),
+    )
+    got = [(r["url"], r["depth"], r["rank"])
+           for r in eng.crawl_order().collect()]
+    assert got == oracle.crawl_order

@@ -137,3 +137,49 @@ def parse_robots(
             (F.min("_delay_s") * 1000).cast("int").alias("crawl_delay_ms"),
         )
     )
+
+
+def parse_sitemap(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Extract seed URLs from sitemap bodies — XML urlset/sitemapindex
+    (``<loc>`` entries, CDATA tolerated, entity-decoded for the five
+    XML predefined entities) or plain text (one URL per line).
+
+    Returns (host, url, is_index) where is_index marks entries from a
+    ``<sitemap>`` index block (pointers to further sitemaps, not page
+    seeds). Pure JVM: regexp_extract_all over the body — shuffle-free,
+    one output row per <loc>; feeds CrawlEngine.seed()."""
+    xml = F.col(body_col).contains("<urlset") | F.col(body_col).contains(
+        "<sitemapindex"
+    )
+    locs = F.expr(
+        f"regexp_extract_all({body_col}, "
+        "'<loc>\\\\s*(?:<!\\\\[CDATA\\\\[)?([^<\\\\]\\\\s]+)', 1)"
+    )
+    plain = F.filter(
+        F.transform(
+            F.split(F.regexp_replace(F.col(body_col), "\r", ""), "\n"),
+            lambda l: F.trim(l),
+        ),
+        lambda l: l.startswith("http://") | l.startswith("https://"),
+    )
+    entries = F.when(xml, locs).otherwise(plain)
+    out = bodies.select(
+        F.col(host_col).alias("host"),
+        F.col(body_col).alias("_body"),
+        F.explode(entries).alias("_raw"),
+    )
+    url = F.col("_raw")
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&apos;", "'"),
+    ):
+        url = F.replace(url, F.lit(ent), F.lit(ch))
+    # a <loc> belongs to a sitemap index iff the body is a
+    # <sitemapindex> document (urlset and index are never mixed)
+    return out.select(
+        "host",
+        url.alias("url"),
+        F.col("_body").contains("<sitemapindex").alias("is_index"),
+    )

@@ -42,6 +42,14 @@ def main(argv=None, stop_session=True):
                          "matching ctx column render their authed variants")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the last committed snapshot")
+    ap.add_argument("--robots-bodies", default=None,
+                    help="parquet dir with (host, body): raw robots.txt "
+                         "per host, parsed (parse_robots) and enforced "
+                         "for disallow scoping + crawl-delay pacing")
+    ap.add_argument("--sitemap-bodies", default=None,
+                    help="parquet dir with (host, body): sitemap XML/"
+                         "text bodies; non-index <loc> URLs become "
+                         "seeds (in addition to --seeds/--seeds-file)")
     ap.add_argument("--host-priorities", default=None,
                     help="parquet dir with (hostname, priority) enabling "
                          "authority-priority frontier ordering "
@@ -80,19 +88,25 @@ def main(argv=None, stop_session=True):
         spark.read.parquet(args.host_priorities)
         if args.host_priorities else None
     )
+    robots = None
+    if args.robots_bodies:
+        from tspider_spark.operators.robots import parse_robots
+
+        robots = parse_robots(spark.read.parquet(args.robots_bodies))
     if args.resume:
         cfg = CrawlConfig.from_meta(
             StateStore(spark, args.state).meta().get("config", {})
         )
-        eng = CrawlEngine(spark, documents, args.state, cfg,
+        eng = CrawlEngine(spark, documents, args.state, cfg, robots=robots,
                           host_priorities=host_priorities)
     else:
         cfg = CrawlConfig(
             tld=args.tld, max_per_host=args.max_per_host,
             max_depth=args.max_depth,
+            robots_enabled=robots is not None,
             priority="authority" if host_priorities is not None else "bfs",
         )
-        eng = CrawlEngine(spark, documents, args.state, cfg,
+        eng = CrawlEngine(spark, documents, args.state, cfg, robots=robots,
                           host_priorities=host_priorities)
         ctx = ""
         if args.cookie_file:
@@ -100,6 +114,16 @@ def main(argv=None, stop_session=True):
 
             with open(args.cookie_file, "rb") as f:
                 ctx = "cookie:" + hashlib.md5(f.read()).hexdigest()[:12]
+        if args.sitemap_bodies:
+            from tspider_spark.operators.robots import parse_sitemap
+
+            sm = parse_sitemap(spark.read.parquet(args.sitemap_bodies))
+            extra = sorted(
+                r["url"]
+                for r in sm.filter(~sm["is_index"]).select("url")
+                .distinct().collect()
+            )  # seed lists are small/one-shot; order pinned for replay
+            seeds = list(seeds) + [u for u in extra if u not in set(seeds)]
         if args.seeds_file:
             eng.seed_from_text_file(args.seeds_file, fetch_context=ctx)
         else:
