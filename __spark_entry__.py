@@ -969,6 +969,19 @@ def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style unigram importance weights: the eval-like slice
+    (doc_id % 97 == 0, as in decontam) is the target distribution,
+    everything else the raw pool to be resampled."""
+    from tspider_spark.operators.quality import dsir_weights
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_weights(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap seed extraction over synthesized bodies: hosts with
     host-number % 6 == 0 serve a <sitemapindex> (pointers, flagged),
@@ -1202,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "normalize_text": q_normalize_text,
         "sitemap_parse": q_sitemap_parse,
+        "dsir_weights": q_dsir_weights,
         "media_dedup_exact": q_media_dedup_exact,
         "authority_host_ranks": q_authority_host_ranks,
         "authority_wave_order": q_authority_wave_order,
@@ -1813,6 +1827,28 @@ def oracle_sql() -> dict[str, str]:
         round(target_frac * s.scale / weight, 6) as rate,
         round(target_frac * s.scale, 6) as expected_weight
  from p, s
+""",
+        "dsir_weights": """
+ with toks0 as (
+   select doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) as w
+   from documents
+ ), toks as (select doc_id, w from toks0 where w <> ''),
+ rt as (select doc_id, w from toks where doc_id % 97 <> 0),
+ tt as (select doc_id, w from toks where doc_id % 97 = 0),
+ fr as (select w, count(*) as cnt_r from rt group by w),
+ ft as (select w, count(*) as cnt_t from tt group by w),
+ freq as (
+   select coalesce(fr.w, ft.w) as w,
+          coalesce(cnt_r, 0) as cnt_r, coalesce(cnt_t, 0) as cnt_t
+   from fr full join ft on fr.w = ft.w
+ ),
+ tot as (select sum(cnt_r) as tot_r, sum(cnt_t) as tot_t,
+                count(*) as v from freq)
+ select doc_id, count(*) as n_tokens,
+        round(avg(log2((cnt_t + 1.0) / (tot_t + v))
+                  - log2((cnt_r + 1.0) / (tot_r + v))), 6) as log2_weight
+ from rt join freq using (w) cross join tot
+ group by doc_id
 """,
         "sitemap_parse": _CLEAN_SQL + """
  , hosts as (

@@ -362,3 +362,26 @@ def test_normalize_text_matches_duckdb(spark):
     assert got == exp
     assert got[2][0] == "\u00e1 combining and tabs"   # NFC recombined
     assert got[3][0] == "outer runs\n\nmany blanks\nmid"
+
+
+def test_dsir_weights_direction(spark):
+    """Importance weights point toward the target: a doc made of
+    target-distribution tokens outweighs one of raw-only tokens, and
+    weights are finite under add-1 smoothing even for words the
+    target never saw."""
+    from tspider_spark.operators.quality import dsir_weights
+
+    raw = spark.createDataFrame(
+        [(1, "code code code loop loop"),
+         (2, "poetry verse rhyme meter"),
+         (3, "code loop poetry verse")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "poetry verse rhyme rhyme meter poetry")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["log2_weight"] for r in dsir_weights(raw, target).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] > got[3] > got[1]  # target-like > mixed > raw-only
+    assert all(abs(v) < 100 for v in got.values())

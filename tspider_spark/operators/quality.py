@@ -458,3 +458,58 @@ def normalize_text_oracle_sql(src: str = "documents", text: str = "text") -> str
         f" cast(length({text}) as bigint) as n_chars_raw,"
         f" cast(length({c}) as bigint) as n_chars from {src}"
     )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — hashed-ngram
+    importance reduced to its unigram case): score each raw-corpus doc
+    by the mean log2 likelihood ratio of its tokens under the TARGET
+    unigram LM vs the RAW-corpus unigram LM, add-1 smoothed over the
+    union vocabulary. High log2_weight = target-like; feed the weights
+    to ``curate.sample_by_hash``-style keep rules to resample the raw
+    pool toward the target distribution.
+
+    Scale shape matches ``unigram_logprob``: both frequency tables are
+    vocab-sized groupBys (shuffled, never broadcast — web-scale vocabs
+    are billions of types), the totals are a 1-row broadcast, and the
+    probe join keys the unique-key freq side. All JVM.
+
+    Output: (id_col, n_tokens, log2_weight), weights rounded to 6.
+    """
+    toks = (
+        corpus.select(F.col(id_col), F.explode(F.expr(_words(text))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    ttoks = (
+        target.select(F.explode(F.expr(_words(text))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    fr = toks.groupBy("word").agg(F.count("*").alias("cnt_r"))
+    ft = ttoks.groupBy("word").agg(F.count("*").alias("cnt_t"))
+    freq = (
+        fr.join(ft, "word", "full")
+        .select(
+            "word",
+            F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
+            F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
+        )
+    )
+    totals = freq.agg(
+        F.sum("cnt_r").alias("tot_r"),
+        F.sum("cnt_t").alias("tot_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    scored = toks.join(freq, "word").crossJoin(F.broadcast(totals))
+    lw = F.log2(
+        (F.col("cnt_t") + 1) / (F.col("tot_t") + F.col("v"))
+    ) - F.log2((F.col("cnt_r") + 1) / (F.col("tot_r") + F.col("v")))
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(lw), 6).alias("log2_weight"),
+    )
