@@ -969,6 +969,18 @@ def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher document gate over raw documents (word count,
+    mean word length, symbol ratio, bullet/ellipsis lines, alpha
+    words, stopword presence, dup-line fractions) — pass/fail plus
+    the ordered reason list."""
+    from tspider_spark.operators.quality import gopher_filter
+
+    return gopher_filter(
+        _load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style unigram importance weights: the eval-like slice
     (doc_id % 97 == 0, as in decontam) is the target distribution,
@@ -1216,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "sitemap_parse": q_sitemap_parse,
         "dsir_weights": q_dsir_weights,
+        "gopher_filter": q_gopher_filter,
         "media_dedup_exact": q_media_dedup_exact,
         "authority_host_ranks": q_authority_host_ranks,
         "authority_wave_order": q_authority_wave_order,
@@ -1827,6 +1840,64 @@ def oracle_sql() -> dict[str, str]:
         round(target_frac * s.scale / weight, 6) as rate,
         round(target_frac * s.scale, 6) as expected_weight
  from p, s
+""",
+        "gopher_filter": """
+ with w as (
+   select doc_id, text,
+     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '') as words,
+     list_filter(list_transform(string_split(text, chr(10)),
+                                x -> trim(x)), x -> x <> '') as lines
+   from documents
+ ),
+ lnc as (
+   select doc_id, line, count(*) cnt from (
+     select doc_id, unnest(string_split(text, chr(10))) as raw from documents
+   ), lateral (select trim(raw) as line) where line <> ''
+   group by doc_id, line
+ ),
+ dl as (
+   select doc_id,
+     round(sum(case when cnt > 1 then cnt else 0 end) / sum(cnt), 6)
+       as dlf,
+     round(sum(case when cnt > 1 then cnt * length(line) else 0 end)
+           / sum(cnt * length(line)), 6) as dlcf
+   from lnc group by doc_id
+ ),
+ m as (
+   select w.doc_id,
+     len(words) as n_words,
+     greatest(len(words), 1) as nw1,
+     greatest(len(lines), 1) as nl1,
+     coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+       as sum_len,
+     length(text) - length(replace(text, '#', '')) as n_hash,
+     (length(text) - length(replace(text, '...', ''))) / 3.0 as n_ell,
+     len(list_filter(lines, l -> starts_with(l, '- ')
+                                 or starts_with(l, '* '))) as n_bullet,
+     len(list_filter(lines, l -> ends_with(l, '...'))) as n_ellend,
+     len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) as n_alpha,
+     len(list_filter(['the','be','to','of','and','that','have','with'],
+                     s -> list_contains(words, s))) as stop_hits,
+     coalesce(dl.dlf, 0.0) as dlf, coalesce(dl.dlcf, 0.0) as dlcf
+   from w left join dl on w.doc_id = dl.doc_id
+ ),
+ r as (
+   select doc_id, list_filter([
+     case when n_words < 50 or n_words > 100000 then 'word_count' end,
+     case when sum_len * 1.0 / nw1 < 3 or sum_len * 1.0 / nw1 > 10
+          then 'mean_word_length' end,
+     case when (n_hash + n_ell) / nw1 > 0.1 then 'symbol_ratio' end,
+     case when n_bullet * 1.0 / nl1 > 0.9 then 'bullet_lines' end,
+     case when n_ellend * 1.0 / nl1 > 0.3 then 'ellipsis_lines' end,
+     case when n_alpha * 1.0 / nw1 < 0.8 then 'alpha_words' end,
+     case when stop_hits < 2 then 'stopwords' end,
+     case when dlf > 0.3 then 'dup_lines' end,
+     case when dlcf > 0.2 then 'dup_line_chars' end
+   ], x -> x is not null) as fail_reasons
+   from m
+ )
+ select doc_id, len(fail_reasons) = 0 as passes, fail_reasons from r
 """,
         "dsir_weights": """
  with toks0 as (

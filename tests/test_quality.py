@@ -385,3 +385,27 @@ def test_dsir_weights_direction(spark):
     assert set(got) == {1, 2, 3}
     assert got[2] > got[3] > got[1]  # target-like > mixed > raw-only
     assert all(abs(v) < 100 for v in got.values())
+
+
+def test_gopher_filter_rules(spark):
+    """Each Gopher rule fires on a crafted offender and a clean doc
+    passes; reasons are ordered and disjoint per construction."""
+    from tspider_spark.operators.quality import gopher_filter
+
+    clean = ("the quick brown fox and the lazy dog have been seen with "
+             "many of their friends that wander to town. " * 5)
+    rows = [
+        (1, clean),
+        (2, "short words only"),                         # word_count+
+        (3, " ".join(["####"] * 60)),                    # symbols, no alpha
+        (4, "\n".join(["- " + clean[:40]] * 20)),        # bullets + dups
+        (5, " ".join(["supercalifragilistic"] * 60)),    # mean_word_length
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["passes"], list(r["fail_reasons"]))
+           for r in gopher_filter(df).collect()}
+    assert got[1] == (True, [])
+    assert got[2][0] is False and "word_count" in got[2][1]
+    assert "symbol_ratio" in got[3][1] and "alpha_words" in got[3][1]
+    assert "bullet_lines" in got[4][1] and "dup_lines" in got[4][1]
+    assert "mean_word_length" in got[5][1] and "stopwords" in got[5][1]

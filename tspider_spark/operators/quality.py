@@ -513,3 +513,90 @@ def dsir_weights(
         F.count("*").alias("n_tokens"),
         F.round(F.avg(lw), 6).alias("log2_weight"),
     )
+
+
+# Gopher document-level filter (Rae et al. 2021 Table A1) — the
+# composite gate over the cheap shuffle-free signals plus the
+# dup-line stats; the n-gram repetition rules live separately in
+# repetition_stats (they need the gram shuffle).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality rules as one pass/fail gate with reasons:
+    word count in [min_words, max_words]; mean word length in [3, 10];
+    symbol-to-word ratio ('#' or '...') <= 0.1; <= 90% of non-empty
+    lines bullet-led and <= 30% ellipsis-ended; >= 80% of words
+    containing an alphabetic char; >= 2 of the 8 Gopher stopwords
+    present; within-doc dup-line fraction <= 0.30 and dup-line char
+    fraction <= 0.20 (from ``dup_line_stats``).
+
+    Everything except the dup-line join is a shuffle-free JVM
+    projection over the words/lines arrays; the output carries only
+    booleans and reason strings (no floats), so it is hash-stable
+    across engines. Output: (id_col, passes, fail_reasons).
+    """
+    words = f"filter({_words(text)}, w -> w <> '')"
+    lines = (
+        f"filter(transform(split({text}, '\\n'), l -> trim(l)), "
+        "l -> l <> '')"
+    )
+    n_words = F.expr(f"size({words})")
+    nw1 = F.greatest(n_words, F.lit(1))
+    mean_wl = (
+        F.expr(f"aggregate({words}, 0L, (a, w) -> a + length(w))") / nw1
+    )
+    n_hash = F.length(text) - F.length(F.replace(F.col(text), F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(F.col(text), F.lit("..."), F.lit("")))
+    ) / 3
+    sym_ratio = (n_hash + n_ell) / nw1
+    n_lines = F.expr(f"size({lines})")
+    nl1 = F.greatest(n_lines, F.lit(1))
+    bullet_frac = F.expr(
+        f"size(filter({lines}, l -> startswith(l, '- ') "
+        "or startswith(l, '* ')))"
+    ) / nl1
+    ell_frac = F.expr(f"size(filter({lines}, l -> endswith(l, '...')))") / nl1
+    alpha_frac = F.expr(
+        f"size(filter({words}, w -> w rlike '[a-z]'))"
+    ) / nw1
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    stop_hits = F.expr(
+        f"size(filter(array({stops}), s -> array_contains({words}, s)))"
+    )
+    dl = dup_line_stats(df, id_col, text).select(
+        id_col, "dup_line_frac", "dup_line_char_frac"
+    )
+    base = df.join(dl, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("dup_line_frac", F.lit(0.0)).alias("_dlf"),
+        F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("_dlcf"),
+        F.col(text),
+    )
+    reasons = F.array_compact(
+        F.array(
+            F.when(
+                (n_words < min_words) | (n_words > max_words), "word_count"
+            ),
+            F.when((mean_wl < 3) | (mean_wl > 10), "mean_word_length"),
+            F.when(sym_ratio > 0.1, "symbol_ratio"),
+            F.when(bullet_frac > 0.9, "bullet_lines"),
+            F.when(ell_frac > 0.3, "ellipsis_lines"),
+            F.when(alpha_frac < 0.8, "alpha_words"),
+            F.when(stop_hits < 2, "stopwords"),
+            F.when(F.col("_dlf") > 0.3, "dup_lines"),
+            F.when(F.col("_dlcf") > 0.2, "dup_line_chars"),
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        (F.size(reasons) == 0).alias("passes"),
+        reasons.alias("fail_reasons"),
+    )
