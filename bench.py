@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "authority_wave_order",
     "image_near_dups",
     "audio_near_dups",
+    "robots_parse",
+    "sitemap_parse",
+    "normalize_text",
+    "dsir_weights",
+    "gopher_filter",
 ]
 
 
