@@ -409,3 +409,64 @@ def test_gopher_filter_rules(spark):
     assert "symbol_ratio" in got[3][1] and "alpha_words" in got[3][1]
     assert "bullet_lines" in got[4][1] and "dup_lines" in got[4][1]
     assert "mean_word_length" in got[5][1] and "stopwords" in got[5][1]
+
+
+def test_normalize_and_pii_random_properties(spark):
+    """Property batch over 300 seeded random messy strings:
+    (a) normalize_text is idempotent; (b) Spark == DuckDB on the whole
+    batch; (c) pii_redact leaves no residual pattern matches when PII
+    atoms are delimited (the single-pass pipeline is pinned: gluing a
+    bare IP directly onto a phone number only exposes the IP's word
+    boundary after the phone is redacted, so undelimited
+    concatenations can legitimately leave one residual)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tspider_spark.operators.quality import (
+        PII_PATTERNS, normalize_text, normalize_text_oracle_sql, pii_redact,
+    )
+
+    rng = random.Random(1234)
+    alphabet = (
+        list("abcdefghij .#!?\t\n") + ["́", "é", "\x07", "\x1f"]
+        + ["@", "0", "5", "(", ")", "-", "...", "  ", "\n\n\n"]
+        + [" bob@x.io ", " 10.0.0.1 ", " 555-123-4567 ", " 999.1.2.3 "]
+    )
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = normalize_text(df).cache()
+    # (a) idempotence
+    again = normalize_text(
+        out.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    j = out.select("doc_id", "clean_text").join(
+        again.select("doc_id", F.col("clean_text").alias("c2")), "doc_id"
+    )
+    diffs = j.filter(F.col("clean_text") != F.col("c2")).count()
+    assert diffs == 0
+    # (b) engine agreement on the random batch
+    got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    exp = dict(con.execute(
+        "select doc_id, clean_text from (" +
+        normalize_text_oracle_sql() + ")").fetchall())
+    assert got == exp
+    # (c) no residual PII matches after redaction
+    red = pii_redact(df)
+    residual = red
+    for name, pat, _tok in PII_PATTERNS:
+        residual = residual.withColumn(
+            f"_left_{name}", F.regexp_count("clean_text", F.lit(pat))
+        )
+    bad = residual.filter(
+        sum(F.col(f"_left_{n}") for n, _, _ in PII_PATTERNS) > 0
+    ).count()
+    assert bad == 0

@@ -429,9 +429,13 @@ def normalize_text(
     from pyspark.sql.functions import pandas_udf
 
     _nfc = pandas_udf(lambda s: s.str.normalize("NFC"), "string")
-    c = _nfc(F.col(text))
-    c = F.replace(c, F.lit("\t"), F.lit(" "))
+    # controls strip BEFORE NFC: stripping can make a base letter and
+    # a combining mark adjacent (e, \x07, U+0301), and only the
+    # NFC-after order composes them — the reverse breaks idempotence
+    # (caught by the random-property test)
+    c = F.replace(F.col(text), F.lit("\t"), F.lit(" "))
     c = F.regexp_replace(c, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    c = _nfc(c)
     c = F.regexp_replace(c, " {2,}", " ")
     c = F.regexp_replace(c, " *\n *", "\n")
     c = F.regexp_replace(c, "\n{3,}", "\n\n")
@@ -446,9 +450,9 @@ def normalize_text(
 
 def normalize_text_oracle_sql(src: str = "documents", text: str = "text") -> str:
     """DuckDB twin of ``normalize_text`` (same steps, same order)."""
-    c = f"nfc_normalize({text})"
-    c = f"replace({c}, chr(9), ' ')"
+    c = f"replace({text}, chr(9), ' ')"
     c = f"regexp_replace({c}, '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g')"
+    c = f"nfc_normalize({c})"
     c = f"regexp_replace({c}, ' {{2,}}', ' ', 'g')"
     c = f"regexp_replace({c}, ' *\\n *', chr(10), 'g')"
     c = f"regexp_replace({c}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
