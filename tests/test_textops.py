@@ -194,6 +194,74 @@ def test_semdedup_all_jvm(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def _semdedup_fixture(spark, n=80, dups=20):
+    """n base vectors on distinct directions + `dups` exact copies of
+    the first `dups` ids (copy id = base id + 1000)."""
+    import math
+
+    rows = []
+    for i in range(n):
+        a = 2 * math.pi * i / n
+        rows.append((i, [math.cos(a), math.sin(a), 0.1 * (i % 3)]))
+    rows += [(i + 1000, rows[i][1]) for i in range(dups)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_scale_config_matches_exact(spark):
+    """The scale configuration (hash-sampled centroids + one Lloyd
+    refinement + derived n_clusters) keeps the invariant that every
+    exact copy is dropped and its lower-id original kept — identical
+    vectors always share a cluster (argmax cosine is a pure function
+    of the vector)."""
+    from tspider_spark.operators.similarity import semdedup
+
+    df = _semdedup_fixture(spark)
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(
+            df, tau=0.999, n_clusters=None, target_cluster_size=10,
+            centroid_mode="hash", refine_iters=1,
+        ).collect()
+    }
+    assert len(out) == 100
+    for i in range(20):
+        assert out[i]["kept"] == 1, i
+        assert out[i + 1000]["kept"] == 0, i
+        assert out[i]["cluster_id"] == out[i + 1000]["cluster_id"]
+    # derived k = ceil(100/10) = 10 < 16 floor -> 16 clusters max used
+    assert len({r["cluster_id"] for r in out.values()}) <= 16
+
+
+def test_semdedup_numpy_assign_matches_fold(spark):
+    from tspider_spark.operators.similarity import semdedup
+
+    df = _semdedup_fixture(spark, n=40, dups=10)
+    kw = dict(tau=0.999, n_clusters=6, centroid_mode="hash", refine_iters=1)
+    fold = sorted(semdedup(df, assign="fold", **kw).collect())
+    npy = sorted(semdedup(df, assign="numpy", **kw).collect())
+    assert fold == npy
+
+
+def test_semdedup_lsh_bound_catches_exact_dups(spark):
+    """lsh_planes bounds the in-cluster pair join; exact duplicates
+    share every sign bucket, so none are missed, and the bounded
+    variant's drops are a subset of the exact variant's."""
+    from tspider_spark.operators.similarity import semdedup
+
+    df = _semdedup_fixture(spark)
+    kw = dict(tau=0.999, n_clusters=4, centroid_mode="hash", refine_iters=0)
+    exact = {r["vec_id"]: r["kept"] for r in semdedup(df, **kw).collect()}
+    lsh = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup(df, lsh_planes=8, lsh_tables=4, dim=3, **kw).collect()
+    }
+    for i in range(20):
+        assert lsh[i + 1000] == 0  # every exact copy still dropped
+    dropped_lsh = {k for k, v in lsh.items() if v == 0}
+    dropped_exact = {k for k, v in exact.items() if v == 0}
+    assert dropped_lsh <= dropped_exact
+
+
 def test_token_quantiles_exact_and_approx(spark):
     from tspider_spark.operators.textstats import token_quantiles
 

@@ -182,15 +182,32 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
             F.lit(1).alias("synth_rank"),
         )
     )
+    # slim fold (engine cfg.slim_fold, the default): the hostname
+    # exchange + both window sorts carry only the fold's working set;
+    # the canonical url is re-attached AFTER admission by broadcast-
+    # probing the cap-bounded admitted key-set against the cached raw
+    # candidates and re-canonicalizing just those rows (an Arrow batch
+    # over ~cap×hosts rows, not a second full pass).
+    slim = os.environ.get("TSPIDER_BENCH_SLIM", "1") != "0"
+    fold_in = stream.drop("url") if slim else stream
     if salt:
         # skew path: (host, bucket) exchange shared by anti-join + fold
-        stream = anti_join_seen_copart(
-            stream, seen, "scan_key", "hostname", n_part, salt_buckets=salt)
+        fold_in = anti_join_seen_copart(
+            fold_in, seen, "scan_key", "hostname", n_part, salt_buckets=salt)
         admitted = admit_wave_salted(
-            stream, budget, 100, salt, n_part, bucket_col="_salt_b")
+            fold_in, budget, 100, salt, n_part, bucket_col="_salt_b")
     else:
-        stream = anti_join_seen_copart(stream, seen, "scan_key", "hostname", n_part)
-        admitted = admit_wave(stream, budget, max_per_host=100, reduce_first=False)
+        fold_in = anti_join_seen_copart(
+            fold_in, seen, "scan_key", "hostname", n_part)
+        admitted = admit_wave(fold_in, budget, max_per_host=100, reduce_first=False)
+    if slim:
+        payload = cands.join(
+            F.broadcast(admitted), ["task_rank", "seq"]
+        )
+        admitted = with_url_info(payload, "url", eligible_col="_fe").select(
+            F.col("u.url").alias("url"), "hostname", "scan_key",
+            "task_rank", "seq", "synth_rank",
+        )
     # ONE action drives the whole wave (extraction cache fills on the
     # way) — no mid-pipeline count barrier idling the cluster
     n_admit = admitted.count()

@@ -65,6 +65,17 @@ class CrawlConfig:
     # synth) before the budget window; exact (see operators/schedule.py)
     # and acts as the map-side combine for hot hosts.
     reduce_first: bool = True
+    # narrow the admission-fold exchange: the seen anti-join + budget
+    # fold shuffle ONLY (hostname, scan_key, order keys) — url/domain/
+    # fetch_context (the wide strings, ~50% of row bytes) are
+    # recovered AFTER admission by broadcast-joining the (tiny,
+    # cap-bounded) admitted key-set back onto the cached candidate
+    # frame: a map-side hash probe, no exchange. Exact (same fold
+    # algebra on the same keys; (task_rank, seq, synth_rank) is a
+    # unique candidate id). Regime: admitted-per-wave must stay
+    # broadcast-sized (≤ active_hosts × (cap+1) rows — tens of MB even
+    # at 10^6 active hosts); disable for unbounded caps.
+    slim_fold: bool = True
     shuffle_partitions: int = 32
     max_waves: int | None = None
 

@@ -56,23 +56,41 @@ def repetition_stats(
     by gram text ascending for determinism). Docs above ~0.2 at n=2
     are boilerplate/templating candidates in the Gopher recipe.
 
-    Output: (id_col, top{n}_gram, top{n}_frac) per n, one row per doc.
+    Output: (id_col, top{n}_gram, top{n}_frac) per n, one row per doc
+    that yields at least one gram for ANY n (independent of the order
+    of ``ns``). Single corpus scan: the (n, gram) pairs for every n are
+    exploded from one flattened per-row array, counted with ONE
+    hash-agg shuffle, ranked per (doc, n), then pivoted back to per-n
+    columns by a map-side-combinable max(when) aggregation — no per-n
+    re-scan and no per-n self-join chain.
     """
-    grams = None
-    for n in ns:
-        g = df.select(
+    w = _words(text)
+    per_n = ", ".join(
+        f"case when size(_w) >= {n} then "
+        f"transform(sequence(1, size(_w) - {n} + 1), "
+        f"i -> named_struct('n', {n}, 'gram', concat_ws(' ', slice(_w, i, {n})))) "
+        f"else array() end"
+        for n in ns
+    )
+    pairs = (
+        df.select(
             F.col(id_col),
-            F.lit(n).alias("n"),
             F.length(F.expr(f"trim({text})")).alias("doc_chars"),
-            F.explode(gram_array(n, text)).alias("gram"),
+            F.expr(w).alias("_w"),
         )
-        grams = g if grams is None else grams.unionByName(g)
-    counts = grams.groupBy(id_col, "n", "doc_chars", "gram").agg(
+        .select(
+            id_col,
+            "doc_chars",
+            F.explode(F.expr(f"flatten(array({per_n}))")).alias("g"),
+        )
+        .select(id_col, "doc_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counts = pairs.groupBy(id_col, "n", "doc_chars", "gram").agg(
         F.count("*").alias("cnt")
     )
-    w = Window.partitionBy(id_col, "n").orderBy(F.desc("cnt"), F.asc("gram"))
+    rw = Window.partitionBy(id_col, "n").orderBy(F.desc("cnt"), F.asc("gram"))
     top = (
-        counts.withColumn("_rn", F.row_number().over(w))
+        counts.withColumn("_rn", F.row_number().over(rw))
         .filter(F.col("_rn") == 1)
         .withColumn(
             "frac",
@@ -85,15 +103,15 @@ def repetition_stats(
             ),
         )
     )
-    out = None
+    aggs = []
     for n in ns:
-        part = top.filter(F.col("n") == n).select(
-            id_col,
-            F.col("gram").alias(f"top{n}_gram"),
-            F.col("frac").alias(f"top{n}_frac"),
+        aggs.append(
+            F.max(F.when(F.col("n") == n, F.col("gram"))).alias(f"top{n}_gram")
         )
-        out = part if out is None else out.join(part, id_col, "left")
-    return out
+        aggs.append(
+            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"top{n}_frac")
+        )
+    return top.groupBy(id_col).agg(*aggs)
 
 
 # C4 line-level heuristics (Raffel et al. 2020 §2.2): keep a line only
@@ -159,19 +177,22 @@ def paragraph_dedupe(
         (F.col("_w")[id_col] == F.col(id_col)) & (F.col("_w")["pos"] == F.col("pos")),
     )
     return marked.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("_keep"), F.struct("pos", "para"))
-                    )
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
                 ),
-                lambda s: s["para"],
+                sep,
             ),
-            sep,
+            F.lit(""),
         ).alias("clean_text"),
-        F.count("*").alias("n_paras"),
-        F.sum(F.col("_keep").cast("int")).alias("n_kept"),
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
     )
 
 

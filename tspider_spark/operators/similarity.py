@@ -125,10 +125,62 @@ def cosine_dup_pairs_lsh(
     )
 
 
+def _assign_to_centroids(
+    df: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    assign: str,
+) -> DataFrame:
+    """(id, cluster_id, vec) with cluster_id = argmax-cosine centroid,
+    ties to the smallest centroid id. ``assign="fold"``: broadcast
+    cross join + JVM fold dots (all-JVM, right while n_clusters is
+    window-sized); ``assign="numpy"``: one Arrow-batched matmul per
+    batch against a driver-collected centroid matrix — the path for
+    thousands of centroids, where k JVM fold dots per row lose to one
+    BLAS matmul (same argmax/ties: numpy argmax picks the first =
+    smallest index = smallest cid after the sort below)."""
+    if assign == "numpy":
+        rows = cent.select("cid", "cv").orderBy("cid").collect()
+        cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+        mat = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+        @pandas_udf(LongType())
+        def nearest(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy())
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            return pd.Series(cids[(m @ mat.T).argmax(axis=1)])
+
+        return df.select(
+            id_col, F.col(vec_col), nearest(F.col(vec_col)).alias("cluster_id")
+        ).select(id_col, "cluster_id", vec_col)
+    scored = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "s", dot_expr(vec_col, "cv") / (norm_expr(vec_col) * norm_expr("cv"))
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("s"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("cid").alias("cluster_id"), vec_col)
+    )
+
+
 def semdedup(
     df: DataFrame,
     tau: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
+    target_cluster_size: int = 4096,
+    refine_iters: int = 0,
+    centroid_mode: str = "first",
+    assign: str = "fold",
+    lsh_planes: int = 0,
+    lsh_tables: int = 4,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -138,48 +190,108 @@ def semdedup(
     by id — the paper keeps an arbitrary representative per dup
     group; keep-first makes that choice deterministic).
 
-    Clustering here is a deterministic partitioner, not learned
-    k-means: centroids are the ``n_clusters`` smallest-id vectors and
-    assignment is argmax cosine (ties to the smallest centroid id).
-    As with ``ivf_topk``, the cluster step only bounds the candidate
-    set — dedup decisions always come from exact cosines — so
-    centroid quality affects recall across cluster boundaries (a
-    limitation SemDeDup itself shares), never precision.
+    The cluster step only bounds the candidate set — dedup decisions
+    always come from exact cosines — so centroid quality affects
+    recall across cluster boundaries (a limitation SemDeDup itself
+    shares), never precision.
 
-    Scale: assignment is a broadcast cross join against n_clusters
-    rows with JVM fold dot products (swap in ``ivf_assign_udf``'s
-    numpy matmul when n_clusters is large); the pairwise step
-    shuffles once on cluster_id and is quadratic only within a
-    cluster — exactly the complexity bound the paper's per-cluster
-    design exists to provide.
+    Scale controls (each independently oracle-preserving at fixed
+    parameters):
+
+    * ``n_clusters=None`` derives k = max(16, ceil(N /
+      target_cluster_size)) from the corpus count, so the
+      within-cluster pair step stays ~quadratic-in-target_cluster_size
+      per cluster instead of quadratic in N/16 — the r2 scale gap.
+    * ``centroid_mode``: "hash" picks the k rows with the smallest
+      md5(id) — a deterministic uniform sample of the DATA (engine-
+      portable: DuckDB's md5 agrees byte-for-byte) — instead of the
+      degenerate "first" (k smallest ids, kept for parity tests).
+    * ``refine_iters``: Lloyd refinement steps — assign to seeds,
+      recompute each centroid as the element-wise mean of its members
+      (posexplode + map-side-combinable avg; empty clusters vanish),
+      reassign. One step already moves centroids from "k sampled
+      points" to "k density-weighted centers".
+    * ``assign="numpy"``: Arrow-batched matmul assignment for large k
+      (see ``_assign_to_centroids``).
+    * ``lsh_planes>0``: bound in-cluster pairs with ``lsh_tables``
+      independent sign-LSH bucketings (reusing ``lsh_bucket_udf``) —
+      candidate pairs must share (cluster, table, bucket), so a
+      skewed mega-cluster degrades to LSH-bucket-sized joins instead
+      of a cluster-sized self-join. Approximate in the same sense as
+      ``cosine_dup_pairs_lsh``: a true pair at angle θ is missed by
+      all tables with prob (1-(1-θ/π)^planes)^tables — at tau=0.95
+      and 8 planes × 4 tables that is < 0.4%; exact duplicates are
+      never missed (identical vectors share every bucket). Requires
+      ``dim``.
 
     Output: (id_col, cluster_id, kept:int) for every input row.
     """
-    cent = F.broadcast(
-        df.orderBy(id_col)
+    if n_clusters is None:
+        n = df.count()
+        n_clusters = max(16, -(-n // target_cluster_size))
+    if centroid_mode == "hash":
+        seed_order = F.md5(F.col(id_col).cast("string").cast("binary"))
+    else:
+        seed_order = F.col(id_col).cast("string")
+    cent = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(seed_order.alias("_so"), "cid")
         .limit(n_clusters)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .select("cid", "cv")
     )
-    scored = (
-        df.select(id_col, vec_col)
-        .crossJoin(cent)
-        .withColumn("s", dot_expr(vec_col, "cv") / (norm_expr(vec_col) * norm_expr("cv")))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("s"), F.asc("cid"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, F.col("cid").alias("cluster_id"), vec_col)
-    )
+    for _ in range(refine_iters):
+        members = _assign_to_centroids(df, cent, id_col, vec_col, assign)
+        cent = (
+            members.select("cluster_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("_pm")
+            )
+            .select(
+                F.col("cluster_id").alias("cid"),
+                F.transform("_pm", lambda s: s["m"]).alias("cv"),
+            )
+        )
+    assigned = _assign_to_centroids(df, cent, id_col, vec_col, assign)
+    if lsh_planes:
+        if dim is None:
+            raise ValueError("lsh_planes needs dim")
+        for t in range(lsh_tables):
+            udf = lsh_bucket_udf(lsh_planes, dim, seed=3000 + t)
+            assigned = assigned.withColumn(f"_sb{t}", udf(F.col(vec_col)))
     a = assigned.select(
-        F.col(id_col).alias("ia"), "cluster_id", F.col(vec_col).alias("va")
+        F.col(id_col).alias("ia"), "cluster_id", F.col(vec_col).alias("va"),
+        *[F.col(f"_sb{t}").alias(f"_sa{t}") for t in range(lsh_tables if lsh_planes else 0)],
     )
     b = assigned.select(
-        F.col(id_col).alias("ib"), "cluster_id", F.col(vec_col).alias("vb")
+        F.col(id_col).alias("ib"), "cluster_id", F.col(vec_col).alias("vb"),
+        *[F.col(f"_sb{t}").alias(f"_sbb{t}") for t in range(lsh_tables if lsh_planes else 0)],
     )
+    if lsh_planes:
+        pairs = None
+        for t in range(lsh_tables):
+            p = (
+                a.withColumnRenamed(f"_sa{t}", "_bk")
+                .select("ia", "cluster_id", "va", "_bk")
+                .join(
+                    b.withColumnRenamed(f"_sbb{t}", "_bk").select(
+                        "ib", "cluster_id", "vb", "_bk"
+                    ),
+                    ["cluster_id", "_bk"],
+                )
+                .drop("_bk")
+                .filter(F.col("ia") < F.col("ib"))
+            )
+            pairs = p if pairs is None else pairs.unionByName(p)
+        cand_pairs = pairs.dropDuplicates(["ia", "ib"])
+    else:
+        cand_pairs = a.join(b, "cluster_id").filter(F.col("ia") < F.col("ib"))
     dropped = (
-        a.join(b, "cluster_id")
-        .filter(F.col("ia") < F.col("ib"))
+        cand_pairs
         .filter(dot_expr("va", "vb") / (norm_expr("va") * norm_expr("vb")) >= tau)
         .select(F.col("ib").alias(id_col))
         .distinct()

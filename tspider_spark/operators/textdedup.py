@@ -243,8 +243,14 @@ def hamming_pairs(
     cross join; bucket sizes are data-bounded (a slice value's
     population), the standard LSH-shaped scale path."""
     n_chunks = n_chunks or (max_hamming + 1)
-    chunk_bits = -(-bits // n_chunks)  # ceil: last slice may be short
-    mask = (1 << chunk_bits) - 1
+    if n_chunks > bits:
+        raise ValueError(f"n_chunks={n_chunks} > bits={bits}: empty slices")
+    # Slices must EXACTLY partition the signature: ceil-sized chunks
+    # overrun the width (bits=64, n_chunks=9 -> a shift of 64, which
+    # Java masks to 0, aliasing the last slice onto the first and
+    # silently dropping pairs at distance == max_hamming). Balanced
+    # bounds c*bits//n_chunks give n_chunks non-empty disjoint slices.
+    bounds = [(c * bits) // n_chunks for c in range(n_chunks + 1)]
     chunks = sigs.select(
         id_col,
         sig_col,
@@ -252,8 +258,8 @@ def hamming_pairs(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned(F.col(sig_col), c * chunk_bits)
-                    .bitwiseAND(F.lit(mask))
+                    F.shiftrightunsigned(F.col(sig_col), bounds[c])
+                    .bitwiseAND(F.lit((1 << (bounds[c + 1] - bounds[c])) - 1))
                     .alias("v"),
                 )
                 for c in range(n_chunks)

@@ -35,6 +35,13 @@ salting for pathological hosts, (3) the small admitted-set global
 sort for discovery_order (bounded by active-hosts × cap+1 rows).
 With the bloom prefilter enabled, (2) splits into bloom-probe +
 exact-join branches and the fold re-establishes host partitioning.
+With ``slim_fold`` (default), exchange (2) carries ONLY the fold's
+working set — (hostname, scan_key, task_rank, seq, synth_rank) — and
+the wide payload strings (url, domain, fetch_context) are re-attached
+after admission by broadcast-joining the cap-bounded admitted key-set
+onto the cached candidate frames: a map-side hash probe that adds no
+exchange and roughly halves the bytes shuffled/sorted at the skew
+point.
 """
 
 from __future__ import annotations
@@ -126,10 +133,10 @@ class CrawlEngine:
         # subtree three times (local rank, bucket counts, offset join);
         # without a cache barrier the whole upstream plan is duplicated
         # per reference and Catalyst optimization time explodes
-        admitted = admit_wave(
+        admitted_raw = admit_wave(
             cands, empty_budget, self.cfg.max_per_host, self.cfg.reduce_first
         ).cache()
-        admitted = assign_discovery_order(admitted, start=-1).cache()
+        admitted = assign_discovery_order(admitted_raw, start=-1).cache()
 
         scope_key = F.col("domain") if self.cfg.tld else F.col("hostname")
         frontier = self._finalize_frontier(
@@ -158,6 +165,7 @@ class CrawlEngine:
             },
         )
         admitted.unpersist()
+        admitted_raw.unpersist()
 
     # ------------------------------------------------------------------
     def seed_from_text_file(
@@ -237,8 +245,11 @@ class CrawlEngine:
         # wave replays the sequential priority drain exactly. Cached:
         # distributed_rank references its input subtree three times.
         rank_col = "discovery_order"
+        ranked_tasks = None
         if self.cfg.priority == "authority":
-            tasks = authority_rank(tasks, self.host_priorities).cache()
+            tasks = ranked_tasks = authority_rank(
+                tasks, self.host_priorities
+            ).cache()
             rank_col = "wave_rank"
 
         # --- fetch (S3): frontier ⋈ documents --------------------------
@@ -384,6 +395,11 @@ class CrawlEngine:
             )
         )
         synth = with_url_info(synth, "url")
+        if self.cfg.slim_fold:
+            # the synth frame is consumed twice below (slim fold input
+            # + payload recovery); cache it so its groupBy exchange
+            # runs once. Bounded: one row per fresh (host, index_page).
+            synth = synth.cache()
         regular = gated.select(
             "url", "task_rank", "seq", F.lit(1).alias("synth_rank"),
             "fetch_context", "u",
@@ -396,16 +412,29 @@ class CrawlEngine:
             stream = robots_filter(stream, self.robots, host_col="u.hostname")
 
         # --- F8: committed seen_scanned anti-join --------------------------
-        stream = stream.select(
-            F.col("u.hostname").alias("hostname"),
-            F.col("u.scan_key").alias("scan_key"),
+        # slim_fold: only the fold's working set enters the hostname
+        # exchange — the wide payload strings (url/domain/
+        # fetch_context) are re-attached after admission from the
+        # cached candidate frames (broadcast hash probe, no exchange).
+        slim_cols = ["task_rank", "seq", "synth_rank"]
+        payload_cols = [
             F.col("u.url").alias("url"),
             F.col("u.domain").alias("domain"),
-            "task_rank",
-            "seq",
-            "synth_rank",
             "fetch_context",
-        )
+        ]
+        if self.cfg.slim_fold:
+            stream = stream.select(
+                F.col("u.hostname").alias("hostname"),
+                F.col("u.scan_key").alias("scan_key"),
+                *slim_cols,
+            )
+        else:
+            stream = stream.select(
+                F.col("u.hostname").alias("hostname"),
+                F.col("u.scan_key").alias("scan_key"),
+                *payload_cols,
+                *slim_cols,
+            )
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         if self.cfg.use_bloom_prefilter:
             # bloom prefilter splits the stream (definite-new bypasses
@@ -452,8 +481,35 @@ class CrawlEngine:
         admitted_raw = admitted.cache()  # rank-input cache barrier (see seed())
         admitted = assign_discovery_order(admitted_raw, start=next_order - 1).cache()
 
+        if self.cfg.slim_fold:
+            # payload recovery: broadcast the cap-bounded admitted
+            # key-set onto the cached candidate frames. Unfiltered on
+            # purpose — the inner join on the unique candidate id
+            # (task_rank, seq, synth_rank) IS the membership test, so
+            # re-running the stateless/robots filters here would be
+            # wasted work.
+            payload = gated.select(
+                *payload_cols, "task_rank", "seq",
+                F.lit(1).alias("synth_rank"),
+            ).unionByName(
+                synth.select(
+                    *payload_cols, "task_rank", "seq",
+                    F.lit(0).alias("synth_rank"),
+                )
+            )
+            admitted_full = payload.join(
+                F.broadcast(
+                    admitted.select(
+                        "hostname", "discovery_order", *slim_cols
+                    )
+                ),
+                slim_cols,
+            )
+        else:
+            admitted_full = admitted
+
         new_frontier = self._finalize_frontier(
-            admitted.select(
+            admitted_full.select(
                 "url",
                 "hostname",
                 "domain",
@@ -523,6 +579,10 @@ class CrawlEngine:
             cands_raw, cands, cands_t, new_saved, results, admitted_raw, admitted
         ):
             df.unpersist()
+        if ranked_tasks is not None:
+            ranked_tasks.unpersist()
+        if self.cfg.slim_fold:
+            synth.unpersist()
         if self.cfg.compact_every and (depth + 1) % self.cfg.compact_every == 0:
             # bound the append-dir fan: periodic snapshot rewrite
             # (Iceberg rewrite_data_files), atomic like any commit
