@@ -56,6 +56,78 @@ class TestCuckoo:
             b.add(f"k{i}")
         assert (a.table == b.table).all()
 
+    def test_batch_matches_scalar(self):
+        a, b = CuckooFilter(2000), CuckooFilter(2000)
+        keys = [f"http://h{i}.com/{i}" for i in range(1500)]
+        assert a.add_batch(keys) == 0
+        for k in keys:
+            assert b.add(k)
+        assert (a.table == b.table).all()
+        assert a.contains_batch(keys).all()
+        assert a.delete_batch(keys[:700]) == 0
+        assert a.contains_batch(keys[700:]).all()
+
+    def test_serialization_roundtrip(self):
+        cf = CuckooFilter(500)
+        cf.add_batch([f"k{i}" for i in range(400)])
+        cf2 = CuckooFilter.from_bytes(cf.to_bytes(), cf.n_buckets)
+        assert (cf.table == cf2.table).all()
+        assert cf2.delete("k0") and "k1" in cf2
+        assert cf.occupancy == cf2.occupancy + 1
+
+
+def test_cuckoo_shard_df_build_delta_probe(spark):
+    """Distributed shard lifecycle: bootstrap -> add delta -> delete
+    delta, with the anti-join staying exact throughout."""
+    from tspider_spark.operators.dedupe import (
+        anti_join_seen_cuckoo,
+        apply_cuckoo_delta,
+        build_cuckoo_shard_df,
+    )
+
+    seen = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(300)], "scan_key string"
+    )
+    filt = build_cuckoo_shard_df(seen, "scan_key", 4, 1024)
+    # add a delta, then delete part of the original set
+    adds = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(300, 400)], "scan_key string"
+    )
+    filt = apply_cuckoo_delta(filt, adds, "scan_key", 4, 1024, op="add")
+    dels = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(0, 100)], "scan_key string"
+    )
+    filt = apply_cuckoo_delta(filt, dels, "scan_key", 4, 1024, op="delete")
+    rows = filt.collect()
+    filters = {
+        int(r["shard"]): CuckooFilter.from_bytes(
+            bytes(r["tbl"]), int(r["n_buckets"])
+        )
+        for r in rows
+    }
+    import zlib as _z
+
+    def probe(k):
+        return k in filters.get(_z.crc32(k.encode()) % 4, CuckooFilter(8))
+
+    assert all(probe(f"key-{i}") for i in range(100, 400))
+    assert sum(probe(f"key-{i}") for i in range(100)) < 5  # fp collisions only
+
+    # the prefiltered anti-join equals the exact one on the live set
+    live = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(100, 400)], "scan_key string"
+    )
+    cands = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(0, 500)], "scan_key string"
+    )
+    got = {
+        r["scan_key"]
+        for r in anti_join_seen_cuckoo(cands, live, "scan_key", rows, 4).collect()
+    }
+    assert got == {f"key-{i}" for i in range(100)} | {
+        f"key-{i}" for i in range(400, 500)
+    }
+
 
 def test_bloom_shards_and_anti_join(spark):
     seen = spark.createDataFrame(

@@ -43,6 +43,16 @@ class CrawlConfig:
     # (seen sets up to ~10^9 keys); "copart": co-partitioned shard
     # join — nothing collected or replicated, the 10^10 regime
     bloom_probe: str = "broadcast"
+    # persistent cuckoo seen-filter (takes precedence over
+    # use_bloom_prefilter): shards live in the state store, each wave
+    # merges only its admitted keys (O(delta) vs the bloom's per-wave
+    # full-seen rebuild), and blocklist removal can DELETE forgotten
+    # keys (remove_blocklist) — the one thing a bloom cannot do.
+    cuckoo_filter: bool = False
+    # total key capacity provisioned across the cuckoo shards
+    # (~2.6 bytes/key of table); shard count is bloom_shards. At
+    # 10^10 keys: ~26 GB total -> 256+ shards with the copart probe.
+    cuckoo_capacity: int = 1 << 22
     # eagerly localCheckpoint the wave's candidate set instead of
     # caching it: truncates the fetch->extract->url-derivation lineage
     # so the ~200 downstream DataFrame ops analyze against a leaf

@@ -20,7 +20,6 @@ same algebra, bigger constant.
 
 from __future__ import annotations
 
-import hashlib
 import zlib
 
 import numpy as np
@@ -29,11 +28,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import BooleanType
-
-
-def _hash2(key: str):
-    d = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
-    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
 
 
 # 16-byte siphash keys for pandas' vectorized string hasher — two
@@ -98,11 +92,24 @@ class BloomFilter:
 class CuckooFilter:
     """Bucketized cuckoo filter with 4-slot buckets and 16-bit
     fingerprints — supports deletion, unlike bloom (SURVEY.md §4:
-    needed only where the seen set must forget, e.g. a runtime
-    blocklist removal re-admitting URLs)."""
+    needed where the seen set must forget, e.g. a runtime blocklist
+    removal re-admitting URLs — the inverse of the reference's
+    tools/block_domain.py, whose Redis seen set never forgets).
+
+    Deletion safety (why the definite-new bypass stays exact): every
+    insert stores its own fingerprint copy (duplicates occupy separate
+    slots), so deleting a key that WAS inserted removes exactly one
+    copy and every other inserted key keeps at least one — no false
+    negatives for still-inserted keys. The engine only ever deletes
+    keys it previously inserted (the forgotten blocked-task keys).
+
+    Hashing is the same vectorized pandas string hasher the bloom
+    uses, so batch ops are numpy end-to-end except the (inherently
+    sequential) eviction walk of add."""
 
     SLOTS = 4
     MAX_KICKS = 500
+    _FP_ALT = None  # lazy 65536-entry table: crc32 of each fingerprint
 
     def __init__(self, capacity: int):
         nb = 1
@@ -112,16 +119,32 @@ class CuckooFilter:
         self.table = np.zeros((nb, self.SLOTS), dtype=np.uint16)
         self._rng_state = 0x9E3779B9
 
-    def _fp_and_index(self, key: str):
-        h1, h2 = _hash2(key)
-        fp = (h1 & 0xFFFF) or 1
-        i1 = h2 % self.n_buckets
+    @classmethod
+    def _fp_alt_table(cls) -> np.ndarray:
+        if cls._FP_ALT is None:
+            cls._FP_ALT = np.array(
+                [zlib.crc32(i.to_bytes(2, "little")) for i in range(1 << 16)],
+                dtype=np.int64,
+            )
+        return cls._FP_ALT
+
+    def _fp_i1_batch(self, keys) -> tuple[np.ndarray, np.ndarray]:
+        h1, h2 = _hash2_batch(keys)
+        fp = (h1 & np.uint64(0xFFFF)).astype(np.int64)
+        fp[fp == 0] = 1
+        i1 = (h2 % np.uint64(self.n_buckets)).astype(np.int64)
         return fp, i1
 
-    def _alt_index(self, i: int, fp: int) -> int:
+    def _alt_batch(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
         # standard partial-key cuckoo: alt = i xor hash(fp)
-        fp_hash = zlib.crc32(fp.to_bytes(2, "little")) & 0xFFFFFFFF
-        return (i ^ fp_hash) % self.n_buckets
+        return (i ^ self._fp_alt_table()[fp]) % self.n_buckets
+
+    def _fp_and_index(self, key: str):
+        fp, i1 = self._fp_i1_batch([key])
+        return int(fp[0]), int(i1[0])
+
+    def _alt_index(self, i: int, fp: int) -> int:
+        return int((i ^ self._fp_alt_table()[fp]) % self.n_buckets)
 
     def _insert_at(self, i: int, fp: int) -> bool:
         row = self.table[i]
@@ -131,9 +154,7 @@ class CuckooFilter:
             return True
         return False
 
-    def add(self, key: str) -> bool:
-        fp, i1 = self._fp_and_index(key)
-        i2 = self._alt_index(i1, fp)
+    def _add_hashed(self, fp: int, i1: int, i2: int) -> bool:
         if self._insert_at(i1, fp) or self._insert_at(i2, fp):
             return True
         # evict (deterministic pseudo-random walk)
@@ -147,10 +168,35 @@ class CuckooFilter:
                 return True
         return False  # table full
 
-    def __contains__(self, key: str) -> bool:
+    def add(self, key: str) -> bool:
         fp, i1 = self._fp_and_index(key)
-        i2 = self._alt_index(i1, fp)
-        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+        return self._add_hashed(fp, i1, self._alt_index(i1, fp))
+
+    def add_batch(self, keys) -> int:
+        """Insert all keys; returns how many FAILED (0 = all in).
+        Hashing is one vectorized pass; only slot placement loops."""
+        if not len(keys):
+            return 0
+        fp, i1 = self._fp_i1_batch(keys)
+        i2 = self._alt_batch(i1, fp)
+        failed = 0
+        for j in range(len(fp)):
+            if not self._add_hashed(int(fp[j]), int(i1[j]), int(i2[j])):
+                failed += 1
+        return failed
+
+    def contains_batch(self, keys) -> np.ndarray:
+        if not len(keys):
+            return np.zeros(0, dtype=bool)
+        fp, i1 = self._fp_i1_batch(keys)
+        i2 = self._alt_batch(i1, fp)
+        fpc = fp.astype(np.uint16)[:, None]
+        return (self.table[i1] == fpc).any(axis=1) | (
+            self.table[i2] == fpc
+        ).any(axis=1)
+
+    def __contains__(self, key: str) -> bool:
+        return bool(self.contains_batch([key])[0])
 
     def delete(self, key: str) -> bool:
         fp, i1 = self._fp_and_index(key)
@@ -160,6 +206,46 @@ class CuckooFilter:
                 self.table[i][idx[0]] = 0
                 return True
         return False
+
+    def delete_batch(self, keys) -> int:
+        """Delete one stored copy per key; returns how many keys had
+        no copy to delete (0 = all found)."""
+        if not len(keys):
+            return 0
+        fp, i1 = self._fp_i1_batch(keys)
+        i2 = self._alt_batch(i1, fp)
+        missing = 0
+        for j in range(len(fp)):
+            f = int(fp[j])
+            hit = False
+            for i in (int(i1[j]), int(i2[j])):
+                idx = np.where(self.table[i] == f)[0]
+                if len(idx):
+                    self.table[i][idx[0]] = 0
+                    hit = True
+                    break
+            if not hit:
+                missing += 1
+        return missing
+
+    @property
+    def occupancy(self) -> int:
+        return int(np.count_nonzero(self.table))
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @staticmethod
+    def from_bytes(data: bytes, n_buckets: int) -> "CuckooFilter":
+        cf = CuckooFilter.__new__(CuckooFilter)
+        cf.n_buckets = int(n_buckets)
+        cf.table = (
+            np.frombuffer(data, dtype=np.uint16)
+            .reshape(cf.n_buckets, CuckooFilter.SLOTS)
+            .copy()
+        )
+        cf._rng_state = 0x9E3779B9
+        return cf
 
 
 def _shard_col(key_col: str, shards: int):
@@ -342,6 +428,147 @@ def anti_join_seen(
         flagged = _flag_maybe_copart(cands, seen, key_col, shards, fpp)
     else:
         flagged = _flag_maybe_broadcast(cands, seen, key_col, shards, fpp)
+    definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
+    checked = maybe.join(seen.select(key_col).distinct(), key_col, "left_anti")
+    return definite_new.unionByName(checked)
+
+
+# ---------------------------------------------------------------------------
+# Persistent (incrementally maintained) cuckoo seen-filter shards.
+#
+# The bloom prefilter above is REBUILT from the full seen table every
+# wave — a full-scan cost that grows with the accumulated key count
+# (fine at 10^8, a per-wave tax at 10^10). The cuckoo shard table is
+# the stateful alternative: it lives in the state store, each wave
+# merges ONLY the wave's admitted keys into it (O(delta), cap-bounded),
+# and — uniquely — it supports deletion, which the blocklist-removal
+# re-admission path needs (CrawlEngine.remove_blocklist). Same
+# maybe/definite-new split as the bloom: false positives fall through
+# to the exact anti-join; false negatives can't happen for inserted
+# keys (see CuckooFilter docstring), so the bypass stays exact.
+
+_CUCKOO_SHARD_SCHEMA = "shard int, tbl binary, n_buckets long"
+
+
+def build_cuckoo_shard_df(
+    seen: DataFrame, key_col: str, shards: int, capacity_per_shard: int
+) -> DataFrame:
+    """Bootstrap: per-shard cuckoo filters built distributed from the
+    full seen table (one-time; afterwards maintenance is per-delta).
+    Each shard's table is ~2.6 bytes/key of capacity — size ``shards``
+    so one shard stays ~100 MB at the target key count."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        cf = CuckooFilter(max(capacity_per_shard, int(len(pdf) * 1.5) + 8))
+        failed = cf.add_batch(pdf[key_col].to_numpy(dtype=object))
+        if failed:
+            raise RuntimeError(
+                f"cuckoo shard overflow ({failed} keys homeless) — "
+                "raise capacity_per_shard or the shard count"
+            )
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["_shard"].iloc[0])],
+                "tbl": [cf.to_bytes()],
+                "n_buckets": [cf.n_buckets],
+            }
+        )
+
+    sharded = seen.select(key_col).withColumn(
+        "_shard", _shard_col(key_col, shards)
+    )
+    return sharded.groupBy("_shard").applyInPandas(build, _CUCKOO_SHARD_SCHEMA)
+
+
+def apply_cuckoo_delta(
+    shard_df: DataFrame,
+    delta: DataFrame,
+    key_col: str,
+    shards: int,
+    capacity_per_shard: int,
+    op: str = "add",
+) -> DataFrame:
+    """O(delta) filter maintenance: cogroup the persisted shards with
+    the delta keys and add/delete per shard. Shards without a delta
+    pass through byte-identical; delta keys for a shard that doesn't
+    exist yet get a fresh filter. ``op="delete"`` must only be fed
+    keys that were previously inserted (deletion-safety contract)."""
+    if op not in ("add", "delete"):
+        raise ValueError(f"op must be add|delete, got {op!r}")
+
+    def merge(old: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return old[["shard", "tbl", "n_buckets"]]
+        if len(old):
+            cf = CuckooFilter.from_bytes(
+                bytes(old["tbl"].iloc[0]), int(old["n_buckets"].iloc[0])
+            )
+            sh = int(old["shard"].iloc[0])
+        else:
+            cf = CuckooFilter(capacity_per_shard)
+            sh = int(d["_shard"].iloc[0])
+        keys = d[key_col].to_numpy(dtype=object)
+        if op == "add":
+            failed = cf.add_batch(keys)
+            if failed:
+                raise RuntimeError(
+                    f"cuckoo shard {sh} overflow ({failed} keys homeless) "
+                    "— raise cuckoo_capacity"
+                )
+        else:
+            cf.delete_batch(keys)
+        return pd.DataFrame(
+            {"shard": [sh], "tbl": [cf.to_bytes()], "n_buckets": [cf.n_buckets]}
+        )
+
+    d2 = delta.select(key_col).withColumn("_shard", _shard_col(key_col, shards))
+    return (
+        shard_df.groupBy("shard")
+        .cogroup(d2.groupBy("_shard"))
+        .applyInPandas(merge, _CUCKOO_SHARD_SCHEMA)
+    )
+
+
+def anti_join_seen_cuckoo(
+    cands: DataFrame,
+    seen: DataFrame,
+    key_col: str,
+    filt_rows: list,
+    shards: int,
+) -> DataFrame:
+    """Rows of ``cands`` not in ``seen``, prefiltered by the persistent
+    cuckoo shard table (``filt_rows``: collected seen_filter rows).
+    Broadcast-probe regime, mirroring _flag_maybe_broadcast; at
+    10^10 keys the same split runs as a co-partitioned shard join
+    (the _flag_maybe_copart shape) with no driver collect."""
+    if not filt_rows:
+        return cands.join(seen.select(key_col).distinct(), key_col, "left_anti")
+    spark = cands.sparkSession
+    payload = {
+        int(r["shard"]): (bytes(r["tbl"]), int(r["n_buckets"]))
+        for r in filt_rows
+    }
+    bc = spark.sparkContext.broadcast(payload)
+
+    @pandas_udf(BooleanType())
+    def maybe_seen(s: pd.Series, sh_of: pd.Series) -> pd.Series:
+        local = {
+            sh: CuckooFilter.from_bytes(b, nb)
+            for sh, (b, nb) in bc.value.items()
+        }
+        shard_arr = sh_of.to_numpy()
+        karr = s.to_numpy(dtype=object)
+        out = np.zeros(len(s), dtype=bool)
+        for sh, cf in local.items():
+            mask = shard_arr == sh
+            if mask.any():
+                out[mask] = cf.contains_batch(karr[mask])
+        return pd.Series(out)
+
+    flagged = cands.withColumn(
+        "_maybe", maybe_seen(F.col(key_col), _shard_col(key_col, shards))
+    )
     definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
     checked = maybe.join(seen.select(key_col).distinct(), key_col, "left_anti")

@@ -52,7 +52,13 @@ from pyspark.sql import functions as F
 from tspider_spark.config import CrawlConfig
 from tspider_spark.functions.urlfuncs import with_url_info
 from tspider_spark.operators import filters as FL
-from tspider_spark.operators.dedupe import anti_join_seen, anti_join_seen_copart
+from tspider_spark.operators.dedupe import (
+    anti_join_seen,
+    anti_join_seen_copart,
+    anti_join_seen_cuckoo,
+    apply_cuckoo_delta,
+    build_cuckoo_shard_df,
+)
 from tspider_spark.operators.extract import extract_candidates
 from tspider_spark.operators.robots import apply_crawl_delay, robots_filter
 from tspider_spark.operators.schedule import (
@@ -145,17 +151,23 @@ class CrawlEngine:
                 "discovery_order", "fetch_context",
             )
         )
+        replaces = {
+            "whitelist": admitted.select(scope_key.alias("scope_key")).distinct(),
+            "host_budget": admitted.groupBy("hostname").agg(
+                F.count("*").alias("reqcount")
+            ),
+        }
+        if self.cfg.cuckoo_filter:
+            replaces["seen_filter"] = build_cuckoo_shard_df(
+                admitted.select("scan_key"), "scan_key",
+                self.cfg.bloom_shards, self._cuckoo_cap_per_shard,
+            )
         self.store.commit(
             appends={
                 "frontier": frontier,
                 "seen_scanned": admitted.select("hostname", "scan_key"),
             },
-            replaces={
-                "whitelist": admitted.select(scope_key.alias("scope_key")).distinct(),
-                "host_budget": admitted.groupBy("hostname").agg(
-                    F.count("*").alias("reqcount")
-                ),
-            },
+            replaces=replaces,
             meta={
                 "next_depth": 0,
                 "next_order": (n_seeds := admitted.count()),
@@ -192,12 +204,180 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def add_blocklist(self, dnsname: str):
         """Q7 — runtime domain block (tools/block_domain.py); takes
-        effect at the next wave's consumer-side re-check."""
+        effect at the next wave's consumer-side re-check. Tasks the
+        re-check drops are recorded in blocked_tasks so
+        remove_blocklist can restore them."""
         self.cfg.blocklist.append(dnsname)
         meta = self.store.meta()
         conf = meta.get("config", self.cfg.to_meta())
         conf["blocklist"] = list(self.cfg.blocklist)
         self.store.commit(meta={"config": conf})
+
+    # ------------------------------------------------------------------
+    @property
+    def _cuckoo_cap_per_shard(self) -> int:
+        return max(1024, self.cfg.cuckoo_capacity // self.cfg.bloom_shards)
+
+    def _seen_filter(self) -> tuple[DataFrame, list]:
+        """(shard table df, collected rows) for the persistent cuckoo
+        filter. Bootstraps from the full seen_scanned table when the
+        filter doesn't exist yet (resume of a pre-cuckoo store, or the
+        flag toggled on mid-crawl) — one-time cost; afterwards every
+        wave merges only its admitted delta. The df handle is rebuilt
+        from the collected rows so downstream delta merges don't
+        recompute the bootstrap plan."""
+        if self.store.manifest()["tables"].get("seen_filter"):
+            rows = self.store.read("seen_filter").collect()
+        else:
+            rows = build_cuckoo_shard_df(
+                self.store.read("seen_scanned"), "scan_key",
+                self.cfg.bloom_shards, self._cuckoo_cap_per_shard,
+            ).collect()
+        if rows:
+            df = self.spark.createDataFrame(rows, SCHEMAS["seen_filter"])
+        else:
+            df = empty_df(self.spark, SCHEMAS["seen_filter"])
+        return df, rows
+
+    # ------------------------------------------------------------------
+    def remove_blocklist(self, dnsname: str, readmit: bool = True) -> int:
+        """Inverse of add_blocklist — deletion-driven re-admission.
+        The reference has no unblock tool: a task its consumer re-check
+        (consumer.py:38) drops stays in the Redis url_scanned set
+        (marked at schedule time, redis_utils.py:184-196) and is lost
+        to the crawl forever. This extension makes unblocking restore
+        exactly those tasks.
+
+        Which seen-set entries are forgotten: ONLY the scan_keys of
+        tasks that were scheduled and then dropped by the re-check
+        while blocked (recorded in blocked_tasks). Everything else
+        survives — keys of URLs actually fetched, keys on other hosts,
+        and saved-result dedupe keys. Candidates filtered by F10
+        *before* scheduling never entered the seen set, so they have
+        nothing to forget and re-admit naturally once unblocked.
+
+        Mechanics: forgotten keys are deleted from the exact
+        seen_scanned table (copy-on-write rewrite — the Iceberg
+        MERGE/delete-file analog; a rare admin op), their host_budget
+        contribution is returned, and — when cfg.cuckoo_filter is on —
+        they are deleted from the persistent cuckoo shards
+        (CuckooFilter.delete: the reason this path needs a cuckoo, not
+        a bloom). With ``readmit`` (default) the dropped tasks then
+        re-run through the normal admission fold (budget cap still
+        applies) and re-enter the frontier at the CURRENT depth with
+        fresh discovery_order (their original BFS position has passed;
+        a task that no longer fits its host budget stays forgotten and
+        unscheduled, like any over-budget URL). With ``readmit=False``
+        nothing is re-inserted — the keys are simply forgotten, so a
+        future wave that rediscovers those URLs admits them fresh.
+        Returns the number of tasks re-admitted (0 for readmit=False).
+        """
+        self.cfg.blocklist = [b for b in self.cfg.blocklist if b != dnsname]
+        meta = self.store.meta()
+        conf = meta.get("config", self.cfg.to_meta())
+        conf["blocklist"] = list(self.cfg.blocklist)
+
+        blocked = self.store.read("blocked_tasks")
+        pred = FL.frontier_not_blocklisted(self.cfg.blocklist)
+        unblocked = blocked.filter(pred).cache()
+        if unblocked.isEmpty():
+            unblocked.unpersist()
+            self.store.commit(meta={"config": conf})
+            return 0
+        still_blocked = blocked.filter(~pred)
+
+        derived = with_url_info(unblocked, "url").select(
+            "url", "hostname", "domain", "discovery_order", "fetch_context",
+            F.col("u.scan_key").alias("scan_key"),
+        ).cache()
+        forgotten = derived.select("hostname", "scan_key")
+
+        new_seen = self.store.read("seen_scanned").join(
+            forgotten, ["hostname", "scan_key"], "left_anti"
+        )
+        refund = forgotten.groupBy("hostname").agg(
+            (-F.count("*")).alias("reqcount")
+        )
+        budget0 = (
+            self.store.read("host_budget")
+            .unionByName(refund)
+            .groupBy("hostname")
+            .agg(F.sum("reqcount").alias("reqcount"))
+            .filter(F.col("reqcount") > 0)
+        )
+
+        filt_df = None
+        if self.cfg.cuckoo_filter:
+            filt_df, _ = self._seen_filter()
+            filt_df = apply_cuckoo_delta(
+                filt_df, forgotten.select("scan_key"), "scan_key",
+                self.cfg.bloom_shards, self._cuckoo_cap_per_shard, op="delete",
+            )
+
+        n_adm = 0
+        caches = [unblocked, derived]
+        if readmit:
+            cands = derived.select(
+                "hostname", "scan_key", "url", "domain",
+                F.col("discovery_order").alias("task_rank"),
+                F.lit(0).alias("seq"), F.lit(1).alias("synth_rank"),
+                F.coalesce("fetch_context", F.lit("")).alias("fetch_context"),
+            )
+            admitted_raw = admit_wave(
+                cands, budget0, self.cfg.max_per_host, self.cfg.reduce_first
+            ).cache()
+            next_order = int(meta["next_order"])
+            admitted = assign_discovery_order(
+                admitted_raw, start=next_order - 1
+            ).cache()
+            caches += [admitted_raw, admitted]
+            n_adm = admitted.count()
+            depth = int(meta["next_depth"])
+            new_frontier = self._finalize_frontier(
+                admitted.select(
+                    "url", "hostname", "domain", F.lit(depth).alias("depth"),
+                    "discovery_order", "fetch_context",
+                )
+            )
+            new_seen = new_seen.unionByName(
+                admitted.select("hostname", "scan_key")
+            )
+            budget0 = (
+                budget0.unionByName(
+                    admitted.groupBy("hostname").agg(
+                        F.count("*").alias("reqcount")
+                    )
+                )
+                .groupBy("hostname")
+                .agg(F.sum("reqcount").alias("reqcount"))
+            )
+            if filt_df is not None:
+                filt_df = apply_cuckoo_delta(
+                    filt_df, admitted.select("scan_key"), "scan_key",
+                    self.cfg.bloom_shards, self._cuckoo_cap_per_shard, op="add",
+                )
+
+        replaces = {
+            "seen_scanned": new_seen,
+            "host_budget": budget0,
+            "blocked_tasks": still_blocked,
+        }
+        if filt_df is not None:
+            replaces["seen_filter"] = filt_df
+        meta_out = {"config": conf}
+        appends = {}
+        if n_adm:
+            appends["frontier"] = new_frontier
+            meta_out["next_order"] = int(meta["next_order"]) + n_adm
+            # the re-admitted rows extend the CURRENT depth's frontier
+            # slice, so the wave-termination counter must see them
+            meta_out["last_scheduled"] = (
+                int(meta.get("last_scheduled") or 0) + n_adm
+            )
+        self.store.commit(appends=appends, replaces=replaces, meta=meta_out)
+        for df in caches:
+            df.unpersist()
+        return n_adm
 
     # ------------------------------------------------------------------
     def run(self, max_waves: int | None = None) -> dict:
@@ -235,8 +415,14 @@ class CrawlEngine:
         # consumer-side blocklist re-check (consumer.py:38) — uses the
         # *current* blocklist, which may have grown since scheduling.
         # Pure string ops over the persisted (hostname, domain): no URL
-        # re-derivation at the root of the wave plan.
-        tasks = tasks.filter(FL.frontier_not_blocklisted(self.cfg.blocklist))
+        # re-derivation at the root of the wave plan. Dropped tasks are
+        # recorded (blocked_tasks) so remove_blocklist can forget their
+        # seen-set keys and restore them; zero cost when no blocklist.
+        dropped = None
+        if self.cfg.blocklist:
+            not_blocked = FL.frontier_not_blocklisted(self.cfg.blocklist)
+            dropped = tasks.filter(~not_blocked)
+            tasks = tasks.filter(not_blocked)
 
         # authority-priority mode: remap this depth's task order to
         # (host priority, discovery) — everything downstream (fetch,
@@ -436,7 +622,22 @@ class CrawlEngine:
                 *slim_cols,
             )
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        if self.cfg.use_bloom_prefilter:
+        filt_df = None
+        if self.cfg.cuckoo_filter:
+            # persistent cuckoo prefilter: probe the stored shards
+            # (O(delta) maintenance below — no per-wave full-seen
+            # rebuild), exact anti-join for the maybes; admission
+            # re-establishes host partitioning like the bloom path.
+            filt_df, filt_rows = self._seen_filter()
+            stream = anti_join_seen_cuckoo(
+                stream, self.store.read("seen_scanned"), "scan_key",
+                filt_rows, self.cfg.bloom_shards,
+            )
+            admitted = admit_wave(
+                stream, host_budget, self.cfg.max_per_host,
+                reduce_first=False, partitions=n_part,
+            )
+        elif self.cfg.use_bloom_prefilter:
             # bloom prefilter splits the stream (definite-new bypasses
             # the exact join), so host partitioning is re-established by
             # the admission fold afterwards: two candidate shuffles.
@@ -559,15 +760,27 @@ class CrawlEngine:
             SCHEMAS["fetch_metrics"],
         )
 
+        appends = {
+            "frontier": new_frontier,
+            "seen_scanned": admitted.select("hostname", "scan_key"),
+            "seen_saved": results.select("saved_key"),
+            "results": results.drop("saved_key", "task_rank", "seq"),
+            "fetch_metrics": metrics,
+        }
+        if dropped is not None:
+            appends["blocked_tasks"] = dropped
+        replaces = {"host_budget": new_budget}
+        if filt_df is not None:
+            # O(delta) filter maintenance: merge ONLY this wave's
+            # admitted keys into the persisted shards (cap-bounded),
+            # atomic with the seen_scanned append it mirrors
+            replaces["seen_filter"] = apply_cuckoo_delta(
+                filt_df, admitted.select("scan_key"), "scan_key",
+                self.cfg.bloom_shards, self._cuckoo_cap_per_shard, op="add",
+            )
         self.store.commit(
-            appends={
-                "frontier": new_frontier,
-                "seen_scanned": admitted.select("hostname", "scan_key"),
-                "seen_saved": results.select("saved_key"),
-                "results": results.drop("saved_key", "task_rank", "seq"),
-                "fetch_metrics": metrics,
-            },
-            replaces={"host_budget": new_budget},
+            appends=appends,
+            replaces=replaces,
             meta={
                 "next_depth": depth + 1,
                 "next_order": next_order + n_sched,

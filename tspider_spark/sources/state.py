@@ -90,10 +90,28 @@ SCHEMAS = {
             T.StructField("rows", T.LongType()),
         ]
     ),
+    # persistent cuckoo seen-filter shards (CrawlConfig.cuckoo_filter):
+    # maintained per-wave from the admitted delta, deletable on
+    # blocklist removal (operators/dedupe.py apply_cuckoo_delta)
+    "seen_filter": T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("tbl", T.BinaryType()),
+            T.StructField("n_buckets", T.LongType()),
+        ]
+    ),
 }
 
-APPEND_TABLES = ("frontier", "seen_scanned", "seen_saved", "results", "fetch_metrics")
-REPLACE_TABLES = ("host_budget", "whitelist")
+# frontier tasks dropped by the consumer-side blocklist re-check,
+# recorded so CrawlEngine.remove_blocklist can forget + re-admit them
+# (the reference's Redis seen set loses these URLs forever)
+SCHEMAS["blocked_tasks"] = SCHEMAS["frontier"]
+
+APPEND_TABLES = (
+    "frontier", "seen_scanned", "seen_saved", "results", "fetch_metrics",
+    "blocked_tasks",
+)
+REPLACE_TABLES = ("host_budget", "whitelist", "seen_filter")
 
 
 class ConcurrentCommitError(RuntimeError):
