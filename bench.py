@@ -248,6 +248,92 @@ def main():
     )
     timings["dedup_brute_at_scale"] = t_brute
     timings["dedup_lsh_at_scale"] = t_lsh
+
+    # Seen-set probe modes at 10M+ keys (first-class rows): the
+    # broadcast bloom collects every shard to the driver and replicates
+    # the aggregate (~1.2 MB/M keys at 1% fpp) to all executors — fine
+    # to ~10^9 keys; the copart probe cogroups candidates with their
+    # one shard, bounding per-task memory at one-shard-size no matter
+    # the key count (the 10^10 regime). Both must return the exact
+    # anti-join's row count (the prefilter never decides membership).
+    # The second copart row doubles the seen set: per-wave probe cost
+    # should grow only with the shard-build scan, not the candidate
+    # side (flatness of the wave cost in accumulated state).
+    from tspider_spark.operators.dedupe import anti_join_seen
+
+    n_seen = int(os.environ.get("TSPIDER_BENCH_SEEN_KEYS", "10000000"))
+    seen10 = (
+        spark.range(n_seen)
+        .select(SF.concat(SF.lit("sk-"), (SF.col("id") * 3).cast("string"))
+                .alias("scan_key"))
+        .cache()
+    )
+    seen10.count()
+    cands10 = (
+        spark.range(2_000_000)
+        .select(SF.concat(SF.lit("sk-"), (SF.col("id") * 5).cast("string"))
+                .alias("scan_key"))
+        .cache()
+    )
+    cands10.count()
+    seen_rows = {}
+    t0 = time.time()
+    n_exact = anti_join_seen(cands10, seen10, "scan_key", use_bloom=False).count()
+    seen_rows["seen10m_exact"] = round(time.time() - t0, 3)
+    for probe in ("broadcast", "copart"):
+        t0 = time.time()
+        n_p = anti_join_seen(
+            cands10, seen10, "scan_key", use_bloom=True, shards=32,
+            fpp=0.01, probe=probe,
+        ).count()
+        seen_rows[f"seen10m_bloom_{probe}"] = round(time.time() - t0, 3)
+        assert n_p == n_exact, (probe, n_p, n_exact)
+    seen20 = (
+        spark.range(2 * n_seen)
+        .select(SF.concat(SF.lit("sk-"), (SF.col("id") * 3).cast("string"))
+                .alias("scan_key"))
+        .cache()
+    )
+    seen20.count()
+    t0 = time.time()
+    n20 = anti_join_seen(
+        cands10, seen20, "scan_key", use_bloom=True, shards=64,
+        fpp=0.01, probe="copart",
+    ).count()
+    seen_rows["seen20m_bloom_copart"] = round(time.time() - t0, 3)
+    n20_exact = anti_join_seen(cands10, seen20, "scan_key", use_bloom=False).count()
+    assert n20 == n20_exact, (n20, n20_exact)
+
+    # Persistent cuckoo filter: the bloom rows above pay a full-seen
+    # rebuild EVERY wave (the 16s-ish chunk of their time, O(seen));
+    # the cuckoo's per-wave cost is probe + exact verify + an O(delta)
+    # shard merge of the wave's admitted keys — the build is a one-time
+    # bootstrap excluded here (engine: seed()/first wave only).
+    from tspider_spark.operators.dedupe import (
+        anti_join_seen_cuckoo,
+        apply_cuckoo_delta,
+        build_cuckoo_shard_df,
+    )
+
+    filt_df = build_cuckoo_shard_df(
+        seen10, "scan_key", 32, int(n_seen * 1.6) // 32
+    )
+    filt_rows = filt_df.collect()  # bootstrap, untimed
+    filt_small = spark.createDataFrame(filt_rows, filt_df.schema)
+    t0 = time.time()
+    n_ck = anti_join_seen_cuckoo(
+        cands10, seen10, "scan_key", filt_rows, 32
+    ).count()
+    delta = cands10.limit(400_000)  # a wave-sized admitted delta
+    apply_cuckoo_delta(
+        filt_small, delta, "scan_key", 32, int(n_seen * 1.6) // 32, op="add"
+    ).write.mode("overwrite").format("noop").save()
+    seen_rows["seen10m_cuckoo_wave"] = round(time.time() - t0, 3)
+    assert n_ck == n_exact, (n_ck, n_exact)
+    for df in (seen10, cands10, seen20):
+        df.unpersist()
+    print(f"# seen-set probes ({n_seen} keys): {seen_rows}", file=sys.stderr)
+    timings.update(seen_rows)
     spark.stop()
 
     result = {

@@ -347,13 +347,16 @@ def _flag_maybe_broadcast(
     blooms = build_bloom_shards(seen, key_col, shards, fpp)
     spark = cands.sparkSession
     bc = spark.sparkContext.broadcast(blooms)
+    memo = {}  # per-task filter reconstruction (not per Arrow batch)
 
     @pandas_udf(BooleanType())
     def maybe_seen(s: pd.Series, sh_of: pd.Series) -> pd.Series:
-        local = {
-            sh: BloomFilter.from_bytes(b, m, k)
-            for sh, (b, m, k) in bc.value.items()
-        }
+        local = memo.get("f")
+        if local is None:
+            local = memo["f"] = {
+                sh: BloomFilter.from_bytes(b, m, k)
+                for sh, (b, m, k) in bc.value.items()
+            }
         shard_arr = sh_of.to_numpy()
         out = np.zeros(len(s), dtype=bool)
         karr = s.to_numpy(dtype=object)
@@ -550,13 +553,16 @@ def anti_join_seen_cuckoo(
         for r in filt_rows
     }
     bc = spark.sparkContext.broadcast(payload)
+    memo = {}  # per-task filter reconstruction (not per Arrow batch)
 
     @pandas_udf(BooleanType())
     def maybe_seen(s: pd.Series, sh_of: pd.Series) -> pd.Series:
-        local = {
-            sh: CuckooFilter.from_bytes(b, nb)
-            for sh, (b, nb) in bc.value.items()
-        }
+        local = memo.get("f")
+        if local is None:
+            local = memo["f"] = {
+                sh: CuckooFilter.from_bytes(b, nb)
+                for sh, (b, nb) in bc.value.items()
+            }
         shard_arr = sh_of.to_numpy()
         karr = s.to_numpy(dtype=object)
         out = np.zeros(len(s), dtype=bool)
