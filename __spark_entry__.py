@@ -1001,6 +1001,79 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the same events-derived host link
+    graph as host_pagerank — hubs are where a crawler harvests the
+    most new URLs per fetch, authorities the endorsed content hosts
+    (10 L1-normalized iterations)."""
+    from tspider_spark.operators.graph import hits
+
+    ev = _load(spark, sf_dir, "events")
+    src = F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string"))
+    dst = F.concat(
+        F.lit("h"), ((F.col("user_id") * 7 + F.col("event_id")) % 37).cast("string")
+    )
+    edges = ev.select(src.alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    return hits(edges, iters=10)
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score (CCNet KenLM-lite, one
+    order above unigram_logprob): per-doc mean bits per token given
+    the predecessor, lam=0.7 bigram-ML + 0.3 add-1 unigram backoff."""
+    from tspider_spark.operators.quality import bigram_logprob
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob(docs)
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: Gumbel-top-m (m=50) over the
+    dsir_weights pool with hash-derived noise — the deterministic,
+    engine-reproducible selection step after weighting."""
+    from tspider_spark.operators.quality import dsir_resample
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_resample(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        m=50,
+    )
+
+
+def q_url_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection over the clean derived URLs: per host,
+    distinct URLs vs the distinct patterns they collapse to; a host
+    with >= 100 URLs minting > 0.03 patterns/URL is flagged (its
+    pattern key is not protecting the seen-set dedupe)."""
+    from tspider_spark.operators.filters import detect_pattern_traps
+
+    d = _clean(spark, sf_dir).select(
+        F.col("u.hostname").alias("hostname"),
+        "url",
+        F.col("u.pattern").alias("pattern"),
+    )
+    return detect_pattern_traps(d, min_urls=100, max_patterns_per_url=0.03)
+
+
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN top-k (4x-compressed resident index):
+    symmetric-scale integer-dot candidate generation over L2-normalized
+    codes + exact cosine rescore of the top 4k; the integer approximate
+    scores make the candidate cut bit-reproducible across engines."""
+    from tspider_spark.operators.similarity import sq_topk
+
+    e = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 8)
+    return sq_topk(q, e, k=5, rescore_factor=4).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap seed extraction over synthesized bodies: hosts with
     host-number % 6 == 0 serve a <sitemapindex> (pointers, flagged),
@@ -1224,6 +1297,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedupe": q_paragraph_dedupe,
         "robots_parse": q_robots_parse,
         "gopher_filter": q_gopher_filter,
+        # round-3 additions (new => inside the driver's 50-query window)
+        "host_hits": q_host_hits,
+        "bigram_logprob": q_bigram_logprob,
+        "dsir_resample": q_dsir_resample,
+        "url_trap_hosts": q_url_trap_hosts,
+        "ann_sq_topk": q_ann_sq_topk,
         # rows-only (non-SQL-expressible: sequential stateful crawl
         # loop / binary payload decode)
         "crawl_full_run": q_crawl_full_run,
@@ -1314,7 +1393,7 @@ def _shingle_sql(src: str = "documents", n: int = 3) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from tspider_spark.operators.graph import pagerank_oracle_sql
+    from tspider_spark.operators.graph import hits_oracle_sql, pagerank_oracle_sql
     from tspider_spark.operators.quality import (
         normalize_text_oracle_sql,
         pii_redact_oracle_sql,
@@ -2060,6 +2139,124 @@ def oracle_sql() -> dict[str, str]:
             "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",
             iters=10,
         ),
+        "host_hits": hits_oracle_sql(
+            "edges as (select 'h' || (user_id % 37) as src, "
+            "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
+            "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",
+            iters=10,
+        ),
+        "bigram_logprob": f"""
+ with words as (
+   select doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> x <> '') as wl
+   from documents
+ ),
+ toks as (select doc_id, unnest(wl) as w from words),
+ idx as (
+   select doc_id, wl, unnest(range(1, len(wl))) as i from words
+ ),
+ pairs as (
+   select doc_id, wl[i] as prev, wl[i + 1] as cur from idx
+ ),
+ bi as (select prev, cur, count(*) as cnt_bi from pairs group by 1, 2),
+ pt as (select prev, sum(cnt_bi) as cnt_prev from bi group by 1),
+ uni as (select w, count(*) as cnt_uni from toks group by 1),
+ tot as (select sum(cnt_uni) as total, count(*) as vocab from uni)
+ select doc_id, count(*) as n_bigrams,
+        round(avg(-log2(
+          cast(0.7 as double) * cnt_bi / cnt_prev
+          + cast({1.0 - 0.7!r} as double) * (cnt_uni + 1.0) / (total + vocab)
+        )), 6) as bits_per_token
+ from pairs
+ join bi using (prev, cur)
+ join pt using (prev)
+ join uni on pairs.cur = uni.w
+ cross join tot
+ group by doc_id
+""",
+        "dsir_resample": """
+ with toks0 as (
+   select doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) as w
+   from documents
+ ), toks as (select doc_id, w from toks0 where w <> ''),
+ rt as (select doc_id, w from toks where doc_id % 97 <> 0),
+ tt as (select doc_id, w from toks where doc_id % 97 = 0),
+ fr as (select w, count(*) as cnt_r from rt group by w),
+ ft as (select w, count(*) as cnt_t from tt group by w),
+ freq as (
+   select coalesce(fr.w, ft.w) as w,
+          coalesce(cnt_r, 0) as cnt_r, coalesce(cnt_t, 0) as cnt_t
+   from fr full join ft on fr.w = ft.w
+ ),
+ tot as (select sum(cnt_r) as tot_r, sum(cnt_t) as tot_t,
+                count(*) as v from freq),
+ wts as (
+   select doc_id, count(*) as n_tokens,
+          round(avg(log2((cnt_t + 1.0) / (tot_t + v))
+                    - log2((cnt_r + 1.0) / (tot_r + v))), 6) as log2_weight
+   from rt join freq using (w) cross join tot
+   group by doc_id
+ ),
+ keyed as (
+   select doc_id, n_tokens, log2_weight,
+          log2_weight / cast(1.0 as double)
+          - ln(-ln(('0x' || substring(md5('dsir:' || doc_id), 1, 15))::BIGINT
+                   / 1152921504606846976.0)) as k
+   from wts
+ )
+ select doc_id, n_tokens, log2_weight, round(k, 6) as sample_key
+ from keyed order by k desc, doc_id limit 50
+""",
+        "url_trap_hosts": _CLEAN_SQL + """
+ select hostname,
+        count(distinct url) as n_urls,
+        count(distinct pattern) as n_patterns,
+        round(count(distinct pattern) / count(distinct url), 6)
+          as patterns_per_url,
+        (count(distinct url) >= 100
+         and count(distinct pattern)
+             > cast(0.03 as double) * count(distinct url)) as is_trap
+ from clean group by hostname
+""",
+        "ann_sq_topk": """
+ with c0 as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+ un as (
+   select vec_id, v,
+          list_transform(v, x -> x / greatest(
+            sqrt(list_sum(list_transform(v, y -> y * y))), 1e-300)) as nv
+   from c0
+ ),
+ sc as (
+   select max(list_max(list_transform(nv, x -> abs(x)))) as qscale from un
+ ),
+ qt as (
+   select vec_id, v,
+          list_transform(nv, x -> greatest(-127, least(127,
+            cast(floor(x / sc.qscale * 127.0 + 0.5) as int)))) as q
+   from un, sc
+ ),
+ qq as (select vec_id as qid, v as qv, q as qcode from qt where vec_id < 8),
+ approx as (
+   select qid, c.vec_id as nid,
+          cast(list_dot_product(qcode, c.q) as bigint) as s
+   from qq cross join qt c where qid <> c.vec_id
+ ),
+ cand as (
+   select qid, nid,
+          row_number() over (partition by qid order by s desc, nid asc) as rn
+   from approx
+ ),
+ rescored as (
+   select qid as query_id, nid as neighbor_id,
+          row_number() over (
+            partition by qid
+            order by list_cosine_similarity(qq.qv, c.v) desc, nid asc) as rank
+   from cand join qq using (qid) join qt c on cand.nid = c.vec_id
+   where rn <= 20
+ )
+ select query_id, rank, neighbor_id from rescored where rank <= 5
+""",
         "decontam_overlap": "with "
         + _shingle_sql("documents", 4).lstrip()
         + """

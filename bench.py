@@ -83,6 +83,12 @@ BENCH_QUERIES = [
     "normalize_text",
     "dsir_weights",
     "gopher_filter",
+    # round-3 additions
+    "host_hits",
+    "bigram_logprob",
+    "dsir_resample",
+    "url_trap_hosts",
+    "ann_sq_topk",
 ]
 
 

@@ -86,6 +86,57 @@ def stateless_valid(blocklist: list, u: str = "u") -> Column:
     )
 
 
+def detect_pattern_traps(
+    df: DataFrame,
+    host_col: str = "hostname",
+    url_col: str = "url",
+    pattern_col: str = "pattern",
+    min_urls: int = 100,
+    max_patterns_per_url: float = 0.5,
+) -> DataFrame:
+    """Crawler-trap detection by URL-pattern explosion — an admission
+    heuristic the reference lacks but any 10^10-frontier crawl needs:
+    its scanned-set dedupe (F8) keys on the digit-normalized pattern
+    (T2), so a host whose URL space keeps minting NEW patterns
+    (session ids in the path, calendar links, faceted search) defeats
+    the dedupe and eats the whole per-host budget on junk. Per host:
+    distinct discovered URLs, distinct patterns they collapse to, and
+    ``is_trap`` when a host has >= ``min_urls`` URLs AND more than
+    ``max_patterns_per_url`` patterns per URL (little collapse = the
+    pattern key is not protecting us). Feed trap hosts into the
+    runtime blocklist (Q7) or a reduced budget.
+
+    Scale: one hash aggregation keyed on the host — countDistinct
+    plans as partial aggs on (host, url) / (host, pattern); no joins,
+    no windows, no skew beyond the host key itself (hot hosts are
+    exactly what AQE skew-split handles).
+
+    Output: (host_col, n_urls, n_patterns, patterns_per_url, is_trap).
+    """
+    return (
+        df.groupBy(host_col)
+        .agg(
+            F.countDistinct(url_col).alias("n_urls"),
+            F.countDistinct(pattern_col).alias("n_patterns"),
+        )
+        .select(
+            host_col,
+            "n_urls",
+            "n_patterns",
+            F.round(F.col("n_patterns") / F.col("n_urls"), 6).alias(
+                "patterns_per_url"
+            ),
+            (
+                (F.col("n_urls") >= min_urls)
+                & (
+                    F.col("n_patterns")
+                    > F.lit(float(max_patterns_per_url)) * F.col("n_urls")
+                )
+            ).alias("is_trap"),
+        )
+    )
+
+
 def is_target(df: DataFrame, whitelist_df: DataFrame, tld: bool, u: str = "u") -> DataFrame:
     """F11 (redis_utils.py:129-137) — scope membership on registered
     domain (tld mode) or hostname, via broadcast semi-join; adds an

@@ -94,6 +94,128 @@ def pagerank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the distinct
+    directed edge set — the complement of :func:`pagerank` for frontier
+    prioritization: PageRank surfaces endorsed hosts, HITS separates
+    *directories* (hubs: link to many good pages — where a crawler
+    harvests the most new URLs per fetch) from *content* (authorities).
+
+    Iteration (L1-normalized, pinned by the chained-CTE oracle):
+    auth_{t+1}(v) = Σ_{u→v} hub_t(u), normalized to sum 1;
+    hub_{t+1}(u) = Σ_{u→v} auth_{t+1}(v), normalized to sum 1.
+    hub_0 = 1/N. Nodes without in-edges get authority 0, without
+    out-edges hub 0 (scores stay defined for every node).
+
+    Scale shape mirrors :func:`pagerank`: each half-step is ONE shuffle
+    keyed on a node id (edges ⋈ scores with map-side partial sums), the
+    normalizer is a broadcast 1-row cross join (never a driver scalar),
+    and lineage is cut per iteration — each iteration references the
+    previous scores twice (contribution + normalizer), so an uncut plan
+    grows exponentially exactly like the PageRank loop measured at
+    308 s → 10 s.
+
+    Returns (node, hub, authority), both rounded to 6 places.
+    """
+    if iters < 1:
+        raise ValueError("hits needs iters >= 1")
+    e = edges.select(src, dst).distinct()
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_row = nodes.agg(F.count("*").alias("_n"))
+    hub = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("hub")
+    )
+    auth = None
+    for i in range(iters):
+        a_raw = (
+            hub.join(e, hub["node"] == F.col(src))
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        a_sum = a_raw.agg(F.sum("_a").alias("_s"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_sum))
+            .select(
+                "node",
+                (F.coalesce(F.col("_a"), F.lit(0.0)) / F.col("_s")).alias("auth"),
+            )
+        )
+        h_raw = (
+            auth.join(e, auth["node"] == F.col(dst))
+            .groupBy(F.col(src).alias("node"))
+            .agg(F.sum("auth").alias("_h"))
+        )
+        h_sum = h_raw.agg(F.sum("_h").alias("_s"))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_sum))
+            .select(
+                "node",
+                (F.coalesce(F.col("_h"), F.lit(0.0)) / F.col("_s")).alias("hub"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    return hub.join(auth, "node").select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("authority"),
+    )
+
+
+def hits_oracle_sql(edges_cte: str, iters: int = 10) -> str:
+    """Chained-CTE SQL twin of :func:`hits` (same shape as
+    :func:`pagerank_oracle_sql`; every score CTE is MATERIALIZED
+    because each is referenced twice — contribution + normalizer)."""
+    parts = [
+        edges_cte,
+        "e as (select distinct src, dst from edges)",
+        "nodes as (select src as node from e union select dst from e)",
+        "nn as (select count(*) as n from nodes)",
+        "h0 as materialized "
+        "(select node, cast(1.0 as double) / nn.n as hub from nodes, nn)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"ar{t} as materialized (select e.dst as node, sum(h.hub) as a "
+            f"from h{t} h join e on e.src = h.node group by 1)"
+        )
+        parts.append(f"asum{t} as (select sum(a) as s from ar{t})")
+        parts.append(
+            f"a{t + 1} as materialized (select n.node, "
+            f"coalesce(ar{t}.a, cast(0 as double)) / asum{t}.s as auth "
+            f"from nodes n left join ar{t} on n.node = ar{t}.node, asum{t})"
+        )
+        parts.append(
+            f"hr{t} as materialized (select e.src as node, sum(a.auth) as h "
+            f"from a{t + 1} a join e on e.dst = a.node group by 1)"
+        )
+        parts.append(f"hsum{t} as (select sum(h) as s from hr{t})")
+        parts.append(
+            f"h{t + 1} as materialized (select n.node, "
+            f"coalesce(hr{t}.h, cast(0 as double)) / hsum{t}.s as hub "
+            f"from nodes n left join hr{t} on n.node = hr{t}.node, hsum{t})"
+        )
+    return (
+        "with " + ",\n ".join(parts)
+        + f"\n select h.node, round(h.hub, 6) as hub,"
+        f" round(a.auth, 6) as authority"
+        f" from h{iters} h join a{iters} a on h.node = a.node"
+    )
+
+
 def pagerank_oracle_sql(
     edges_cte: str, iters: int = 10, damping: float = 0.85
 ) -> str:

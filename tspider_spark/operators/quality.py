@@ -337,6 +337,73 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Interpolated bigram LM quality score — one rung up the CCNet
+    KenLM ladder from :func:`unigram_logprob`: per-doc mean negative
+    log2-probability of each token given its predecessor under
+    P(w|v) = lam·P_ML(w|v) + (1-lam)·P_add1(w), where P_ML is the
+    corpus bigram maximum-likelihood estimate (count(v,w)/count(v·))
+    and the add-1-smoothed unigram is the backoff mass so unseen
+    continuations stay finite. Repetitive boilerplate scores very low
+    (its bigrams are corpus-frequent); incoherent token salad scores
+    high — both tails are CCNet-style filter candidates.
+
+    Scale: token pairs come from an in-row zip of adjacent words
+    (shuffle-free UDTF-like explode); the corpus bigram table is built
+    by one groupBy (vocab²-sized in theory, corpus-bounded in fact —
+    shuffled, never broadcast) and probed with ordinary hash joins
+    keyed on its unique key; the per-doc mean partial-aggregates. All
+    JVM expressions.
+
+    Output: (id_col, n_bigrams, bits_per_token) for docs with >= 2
+    non-empty tokens, rounded to 6 places.
+    """
+    w = f"filter({_words(text)}, x -> x <> '')"
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"case when size({w}) >= 2 then "
+                f"arrays_zip(slice({w}, 1, size({w}) - 1), "
+                f"slice({w}, 2, size({w}) - 1)) "
+                f"else array() end"
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.0").alias("prev"), F.col("_bg.1").alias("cur"))
+    bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cnt_bi"))
+    prev_tot = bi.groupBy("prev").agg(F.sum("cnt_bi").alias("cnt_prev"))
+    toks = (
+        df.select(F.col(id_col), F.explode(F.expr(_words(text))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    uni = toks.groupBy("word").agg(F.count("*").alias("cnt_uni"))
+    tot = uni.agg(F.sum("cnt_uni").alias("total"), F.count("*").alias("vocab"))
+    p = (
+        pairs.join(bi, ["prev", "cur"])
+        .join(prev_tot, "prev")
+        .join(uni, pairs["cur"] == uni["word"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            (
+                F.lit(lam) * F.col("cnt_bi") / F.col("cnt_prev")
+                + F.lit(1.0 - lam)
+                * (F.col("cnt_uni") + 1.0)
+                / (F.col("total") + F.col("vocab"))
+            ).alias("_p"),
+        )
+    )
+    return p.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(-F.log2("_p")), 6).alias("bits_per_token"),
+    )
+
+
 def decontam_flags(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -537,6 +604,58 @@ def dsir_weights(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         F.round(F.avg(lw), 6).alias("log2_weight"),
+    )
+
+
+def dsir_resample(
+    corpus: DataFrame,
+    target: DataFrame,
+    m: int,
+    temp: float = 1.0,
+    id_col: str = "doc_id",
+    text: str = "text",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance RESAMPLING — the selection step Xie et al. 2023
+    run after weighting: draw ``m`` docs from the raw pool with
+    probability ∝ exp(weight/temp), without replacement, via the
+    Gumbel-top-k trick (Kool et al. 2019): key = weight/temp + Gumbel
+    noise, take the m largest keys. The noise is hash-derived
+    (``curate.hash_uniform``'s md5 uniform → -ln(-ln(u))), so the draw
+    is deterministic and reproducible across engines, runs, cluster
+    sizes and corpus partitionings — same contract as the stratified
+    sampler — and exactly replayable by the DuckDB oracle.
+
+    Scale: weights come from :func:`dsir_weights` (vocab tables
+    shuffled, never broadcast); the selection is a global top-m — a
+    distributed TakeOrdered (per-partition top-m then a bounded merge),
+    NEVER a single-partition rank window. Ties (bit-equal keys) break
+    by id for determinism.
+
+    Output: the m selected (id_col, n_tokens, log2_weight, sample_key)
+    rows, key rounded to 6.
+    """
+    from tspider_spark.operators.curate import hash_uniform
+
+    w = dsir_weights(corpus, target, id_col, text)
+    u = hash_uniform(F.col(id_col), salt)
+    keyed = w.select(
+        id_col,
+        "n_tokens",
+        "log2_weight",
+        (F.col("log2_weight") / F.lit(float(temp)) - F.log(-F.log(u))).alias(
+            "_key"
+        ),
+    )
+    return (
+        keyed.orderBy(F.desc("_key"), F.col(id_col))
+        .limit(m)
+        .select(
+            id_col,
+            "n_tokens",
+            "log2_weight",
+            F.round("_key", 6).alias("sample_key"),
+        )
     )
 
 

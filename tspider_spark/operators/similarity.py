@@ -125,6 +125,127 @@ def cosine_dup_pairs_lsh(
     )
 
 
+def sq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (int8) ANN top-k with exact rescoring — the
+    memory-bounded scale path next to :func:`ivf_topk`'s scan-bounded
+    one: per-dimension min/max over the corpus define a uint8 grid,
+    candidate generation runs on the quantized codes (4× smaller than
+    float32 — the resident-index story at 10^9+ vectors; and the
+    approximate score is an INTEGER dot product, so candidate sets are
+    bit-reproducible across engines/partitionings — no float-sum-order
+    ties), then the top ``k*rescore_factor`` candidates per query are
+    rescored with the exact float cosine and cut to k.
+
+    Scale shape: the min/max pass is one posexplode + dim-keyed agg
+    (dim rows out, broadcast back); scoring is quantized-corpus scan ×
+    broadcast quantized queries with a per-query top-(k·r) window;
+    only candidates (k·r per query) touch the full-precision vectors
+    again (hash join on the corpus id). Returns (query_id, rank,
+    neighbor_id, cos_sim) like the other top-k operators; recall is
+    exact whenever the true k-th neighbor survives the int8 cut
+    (pinned vs brute force by test).
+    """
+    # cosine = dot of unit vectors: quantize the L2-NORMALIZED vectors,
+    # so the int8 dot ranks by (approximate) cosine — quantizing raw
+    # vectors would rank candidates by unnormalized dot product and
+    # miss cosine neighbors whenever norms vary.
+    def unit(df: DataFrame, out: str) -> DataFrame:
+        nrm = norm_expr(vec_col)
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.transform(
+                vec_col, lambda x: x / F.greatest(nrm, F.lit(1e-300))
+            ).alias(out),
+        )
+
+    corpus_u = unit(corpus, "nv")
+    queries_u = unit(queries, "nv")
+    # ONE symmetric scale (max |component| over the normalized corpus,
+    # never 0 for non-degenerate input): q = round(x/a*127) keeps the
+    # integer dot PROPORTIONAL to the true dot up to quantization noise
+    # — a per-dim affine grid would inject offset cross-terms that are
+    # not rank-preserving. 1-row aggregate, broadcast back.
+    mm = (
+        corpus_u.select(F.explode("nv").alias("x"))
+        .agg(F.max(F.abs(F.col("x"))).alias("qscale"))
+    )
+
+    def quant(vec: str):
+        # signed int8 code per dim; queries can fall outside the
+        # corpus range, hence the clamp. Identical double arithmetic
+        # on both engines -> identical codes.
+        return F.expr(
+            f"transform({vec}, x -> greatest(-127, least(127, "
+            f"cast(floor(x / qscale * 127.0D + 0.5D) as int))))"
+        )
+
+    q = (
+        queries_u.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "nv"
+        )
+        .crossJoin(F.broadcast(mm))
+        .select("query_id", "qv", quant("nv").alias("qq"))
+    )
+    c = (
+        corpus_u.select(F.col(id_col).alias("neighbor_id"), "nv")
+        .crossJoin(F.broadcast(mm))
+        .select("neighbor_id", quant("nv").alias("cq"))
+    )
+    approx = (
+        F.broadcast(q.select("query_id", "qq"))
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("qq", "cq", lambda a, b: (a * b).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("_s"),
+        )
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.desc("_s"), F.asc("neighbor_id")
+    )
+    cands = (
+        approx.withColumn("_rn", F.row_number().over(w_cand))
+        .filter(F.col("_rn") <= k * rescore_factor)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        cands.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(q.select("query_id", "qv")),
+            "query_id",
+        )
+        .withColumn(
+            "cos_sim", dot_expr("qv", "cv") / (norm_expr("qv") * norm_expr("cv"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim")
+        )
+    )
+
+
 def _assign_to_centroids(
     df: DataFrame,
     cent: DataFrame,
