@@ -340,6 +340,61 @@ def main():
         df.unpersist()
     print(f"# seen-set probes ({n_seen} keys): {seen_rows}", file=sys.stderr)
     timings.update(seen_rows)
+
+    # SemDeDup at scale: the r2 verdict flagged the degenerate config
+    # (16 first-id centroids -> within-cluster self-joins quadratic in
+    # N/16). This row runs the scale config — derived cluster count
+    # (~N/4096), hash-sampled centroids + one Lloyd step, Arrow matmul
+    # assignment, in-cluster sign-LSH pair bounding — on 105k synthetic
+    # embeddings with 5% planted exact dups, asserts every planted dup
+    # is dropped (identical vectors share every cluster and bucket),
+    # and reports the in-cluster candidate-pair mass vs the brute N²/2
+    # to evidence the bound.
+    from tspider_spark.operators.similarity import semdedup
+
+    emb_n = int(os.environ.get("TSPIDER_BENCH_SEMDEDUP_DOCS", "100000"))
+    base_e = spark.range(emb_n).select(
+        SF.col("id").alias("vec_id"),
+        SF.expr(
+            "transform(sequence(0, 63), "
+            "i -> cast(pmod(xxhash64(id, i), 1000000) as double) / 1000000.0D - 0.5D)"
+        ).alias("embedding"),
+    )
+    dup_e = base_e.unionByName(
+        base_e.filter(SF.col("vec_id") % 20 == 0).select(
+            (SF.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+    ).cache()
+    n_tot = dup_e.count()
+    t0 = time.time()
+    sd = semdedup(
+        dup_e, tau=0.95, n_clusters=None, target_cluster_size=4096,
+        refine_iters=1, centroid_mode="hash", assign="numpy",
+        lsh_planes=8, lsh_tables=4, dim=64,
+    ).cache()
+    n_dropped = sd.filter(SF.col("kept") == 0).count()
+    timings["semdedup_at_scale"] = round(time.time() - t0, 3)
+    n_planted = (emb_n + 19) // 20
+    assert n_dropped == n_planted, (n_dropped, n_planted)
+    cstats = (
+        sd.groupBy("cluster_id")
+        .agg(SF.count("*").alias("c"))
+        .agg(
+            SF.count("*").alias("k"),
+            SF.max("c").alias("cmax"),
+            SF.sum(SF.col("c") * SF.col("c")).alias("sumc2"),
+        )
+        .first()
+    )
+    print(
+        f"# semdedup_at_scale ({n_tot} vecs): "
+        f"{timings['semdedup_at_scale']}s, k={cstats['k']}, "
+        f"max_cluster={cstats['cmax']}, in-cluster pair bound "
+        f"~{int(cstats['sumc2']) // 2} vs brute {n_tot * n_tot // 2} "
+        f"(LSH bounds actual candidates further)", file=sys.stderr,
+    )
+    sd.unpersist()
+    dup_e.unpersist()
     spark.stop()
 
     result = {
