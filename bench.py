@@ -418,6 +418,15 @@ def main():
             "efficiency": round(efficiency, 3),
             "hw_ceiling_same_pair": round(hw_ceiling, 3),
             "hw_mem_ceiling_same_pair": round(mem_ceiling, 3),
+            # ABSOLUTE calibrations: cross-round box-speed evidence (this
+            # shared VM drifts 2x between rounds — r3 measured the r2
+            # snapshot at 269k vs its recorded 523k on the same corpus;
+            # compare these absolutes before reading wall-clock deltas
+            # across BENCH_r{N} files)
+            "cal_lo_ops_per_s": round(cal_lo, 0),
+            "cal_hi_ops_per_s": round(cal_hi, 0),
+            "mem_lo_sums_per_s": round(mem_lo, 1),
+            "mem_hi_sums_per_s": round(mem_hi, 1),
             "efficiency_vs_hw_ceiling": round(efficiency / hw_ceiling, 3),
             "efficiency_vs_mem_ceiling": round(efficiency / mem_ceiling, 3),
         },
