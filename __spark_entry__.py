@@ -1001,6 +1001,20 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample packing: per-language docs concatenated in id order into
+    512-token training sequences, docs spanning boundaries (GPT-style,
+    no padding); two-level cumsum, super_shift=5 so several id-buckets
+    are exercised."""
+    from tspider_spark.operators.curate import pack_sequences
+    from tspider_spark.operators.textstats import token_count
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count().alias("n_tokens")
+    )
+    return pack_sequences(d, seq_tokens=512, super_shift=5)
+
+
 def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities over the same events-derived host link
     graph as host_pagerank — hubs are where a crawler harvests the
@@ -1299,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         # round-3 additions (new => inside the driver's 50-query window)
         "host_hits": q_host_hits,
+        "pack_sequences": q_pack_sequences,
         "bigram_logprob": q_bigram_logprob,
         "dsir_resample": q_dsir_resample,
         "url_trap_hosts": q_url_trap_hosts,
@@ -1869,6 +1884,26 @@ def oracle_sql() -> dict[str, str]:
      rows between unbounded preceding and 1 preceding), 0) / 2000.0)
      as bigint) as shard_id
  from n
+""",
+        "pack_sequences": """
+ with n as (
+   select doc_id, lang,
+          len(string_split_regex(trim(lower(text)), '\\s+')) as n_tokens
+   from documents
+ ),
+ c as (
+   select doc_id, lang, n_tokens,
+     coalesce(sum(n_tokens) over (
+       partition by lang order by doc_id
+       rows between unbounded preceding and 1 preceding), 0) as start_tok
+   from n
+ )
+ select doc_id, lang, n_tokens, start_tok,
+   cast(floor(start_tok / 512.0) as bigint) as seq_first,
+   cast(floor((start_tok + greatest(n_tokens, 1) - 1) / 512.0) as bigint)
+     as seq_last,
+   start_tok % 512 as seq_offset
+ from c
 """,
         "token_quantiles": """
  with n as (

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "gopher_filter",
     # round-3 additions
+    "pack_sequences",
     "host_hits",
     "bigram_logprob",
     "dsir_resample",

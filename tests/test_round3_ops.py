@@ -140,6 +140,142 @@ def test_detect_pattern_traps(spark):
 
 
 # ---------------------------------------------------------------------------
+# sample packing
+
+
+def test_pack_sequences_hand_computed(spark):
+    from tspider_spark.operators.curate import pack_sequences
+
+    rows = [(1, "en", 100), (2, "en", 300), (3, "en", 250), (4, "en", 0),
+            (5, "de", 600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = {r["doc_id"]: r for r in pack_sequences(df, seq_tokens=256).collect()}
+    # en: starts 0, 100, 400, 650
+    assert (out[1]["start_tok"], out[1]["seq_first"], out[1]["seq_last"],
+            out[1]["seq_offset"]) == (0, 0, 0, 0)
+    assert (out[2]["start_tok"], out[2]["seq_first"], out[2]["seq_last"],
+            out[2]["seq_offset"]) == (100, 0, 1, 100)  # spans the boundary
+    assert (out[3]["start_tok"], out[3]["seq_first"], out[3]["seq_last"]) == (
+        400, 1, 2)
+    # empty doc: degenerate single-sequence placement
+    assert out[4]["seq_first"] == out[4]["seq_last"] == 650 // 256
+    # strata are independent
+    assert (out[5]["start_tok"], out[5]["seq_first"], out[5]["seq_last"]) == (
+        0, 0, 2)
+
+
+def test_pack_sequences_matches_single_window(spark):
+    # the two-level cumsum (super_shift=2 -> many buckets) must equal
+    # the naive global-window layout
+    from pyspark.sql import Window
+
+    from tspider_spark.operators.curate import pack_sequences
+
+    rows = [(i, "s" if i % 3 else "t", (i * 37) % 90) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    got = {
+        r["doc_id"]: (r["start_tok"], r["seq_first"], r["seq_last"], r["seq_offset"])
+        for r in pack_sequences(df, seq_tokens=64, super_shift=2).collect()
+    }
+    w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = df.withColumn("st", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    for r in naive.collect():
+        st, n = r["st"], r["n_tokens"]
+        assert got[r["doc_id"]] == (
+            st, st // 64, (st + max(n, 1) - 1) // 64, st % 64
+        )
+
+
+# ---------------------------------------------------------------------------
+# engine-wired trap detection (CrawlConfig.trap_min_urls)
+
+
+def _trap_corpus():
+    """ok.com's 30 links collapse to one {digit} pattern; trap.com's 30
+    links each mint a distinct letter pattern (a session-id-style trap)
+    and each trap page links one level deeper."""
+    def link(i, url):
+        return ("link", url, None, i)
+
+    docs = []
+    docs.append((
+        "http://ok.com/",
+        [link(i, f"http://ok.com/item/{i}") for i in range(30)],
+    ))
+    trap_children = [f"http://trap.com/s/x{chr(97 + i)}{chr(97 + j)}"
+                     for i in range(5) for j in range(6)]
+    docs.append((
+        "http://trap.com/",
+        [link(i, u) for i, u in enumerate(trap_children)],
+    ))
+    for u in trap_children:
+        docs.append((u, [link(0, u.replace("/s/", "/deeper/") + "z")]))
+    docs.append((
+        "http://ok.com/item/0",
+        [link(0, "http://ok.com/leaf")],
+    ))
+    return docs
+
+
+def test_engine_trap_detection_blocks_trap_host(spark, tmp_path):
+    from tspider_spark.config import CrawlConfig
+    from tspider_spark.plans.crawl import CrawlEngine
+    from tspider_spark.sources.corpus import corpus_to_spark
+
+    cfg = CrawlConfig(trap_min_urls=20, trap_max_patterns_per_url=0.5)
+    engine = CrawlEngine(
+        spark,
+        corpus_to_spark(spark, _trap_corpus()),
+        str(tmp_path / "trapstate"),
+        cfg,
+    )
+    engine.seed(["http://ok.com/", "http://trap.com/"])
+    engine.run()
+
+    # the trap host was auto-blocklisted and persisted (resume-safe)
+    assert "trap.com" in engine.cfg.blocklist
+    assert "trap.com" in engine.store.meta()["config"]["blocklist"]
+    assert "ok.com" not in engine.cfg.blocklist
+
+    # its queued wave-1 tasks were dropped by the re-check (recorded
+    # for remove_blocklist), so nothing below /s/ was ever fetched
+    blocked = engine.store.read("blocked_tasks").collect()
+    assert blocked and all(r["hostname"] == "trap.com" for r in blocked)
+    frontier_urls = [r["url"] for r in engine.store.read("frontier").collect()]
+    assert not any("/deeper/" in u for u in frontier_urls)
+    # ok.com was crawled normally past depth 1
+    assert any("ok.com/leaf" in u for u in frontier_urls)
+
+    # stats table accumulated and the ratio split is as constructed
+    stats = {
+        r["hostname"]: r
+        for r in engine.store.read("host_pattern_stats").collect()
+    }
+    assert stats["trap.com"]["n_patterns"] == 30
+    assert stats["ok.com"]["n_patterns"] <= 3  # {digit} collapse (+leaf)
+
+
+def test_trap_detection_off_by_default_keeps_parity(spark, tmp_path):
+    # default config never touches the blocklist or writes stats
+    from tspider_spark.config import CrawlConfig
+    from tspider_spark.plans.crawl import CrawlEngine
+    from tspider_spark.sources.corpus import corpus_to_spark
+
+    cfg = CrawlConfig()
+    engine = CrawlEngine(
+        spark, corpus_to_spark(spark, _trap_corpus()),
+        str(tmp_path / "nostate"), cfg,
+    )
+    engine.seed(["http://trap.com/"])
+    engine.run()
+    assert engine.cfg.blocklist == []
+    assert engine.store.read("host_pattern_stats").isEmpty()
+
+
+# ---------------------------------------------------------------------------
 # scalar-quantized ANN
 
 

@@ -35,6 +35,18 @@ class CrawlConfig:
     # depth would exceed max_depth are never scheduled (no seen-set or
     # budget bookkeeping, exactly as if the task was never created).
     max_depth: int | None = None
+    # crawler-trap auto-blocklist (extension; 0 = off = reference
+    # parity): accumulate per-host candidate counts vs distinct
+    # scan-key (pattern) counts across waves; a host with
+    # >= trap_min_urls candidates whose patterns/candidates ratio
+    # exceeds trap_max_patterns_per_url keeps minting NEW patterns
+    # (session ids, calendars, faceted search) that defeat the
+    # T2-keyed seen set — it is added to the runtime blocklist (Q7
+    # path: queued tasks drop at the next wave's re-check, recorded in
+    # blocked_tasks so remove_blocklist can restore them if the flag
+    # was wrong).
+    trap_min_urls: int = 0
+    trap_max_patterns_per_url: float = 0.9
     # performance knobs
     use_bloom_prefilter: bool = False
     bloom_shards: int = 8
@@ -97,6 +109,8 @@ class CrawlConfig:
             "robots_enabled": self.robots_enabled,
             "priority": self.priority,
             "max_depth": self.max_depth,
+            "trap_min_urls": self.trap_min_urls,
+            "trap_max_patterns_per_url": self.trap_max_patterns_per_url,
         }
 
     @staticmethod
@@ -110,5 +124,9 @@ class CrawlConfig:
             max_depth=(
                 int(meta["max_depth"])
                 if meta.get("max_depth") is not None else None
+            ),
+            trap_min_urls=int(meta.get("trap_min_urls", 0)),
+            trap_max_patterns_per_url=float(
+                meta.get("trap_max_patterns_per_url", 0.9)
             ),
         )

@@ -104,6 +104,86 @@ def recipe_rates(
     )
 
 
+def _exclusive_stratum_cumsum(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    token_col: str,
+    super_shift: int,
+) -> DataFrame:
+    """Exclusive running token sum within each stratum in id order,
+    as a ``_cum`` column — the shared engine of :func:`pack_shards`
+    and :func:`pack_sequences`. Two-level windowing, never a global
+    single-partition window: (1) running sum within (stratum,
+    id-bucket) where bucket = id >> super_shift (each window partition
+    bounded by 2^super_shift rows); (2) per-bucket totals get running
+    offsets in a stratum-partitioned window over ONE ROW PER BUCKET
+    (metadata-scale even at 10^10 docs). Sums stay < 2^53 so the
+    double division downstream is exact for any real corpus."""
+    d = df.select(
+        F.col(id_col), F.col(stratum_col), F.col(token_col).cast("long").alias("_t")
+    ).withColumn("_bk", F.shiftright(F.col(id_col).cast("long"), super_shift))
+    w_local = (
+        Window.partitionBy(stratum_col, "_bk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.withColumn("_lc", F.coalesce(F.sum("_t").over(w_local), F.lit(0)))
+    totals = d.groupBy(stratum_col, "_bk").agg(F.sum("_t").alias("_bt"))
+    w_off = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_boff", F.coalesce(F.sum("_bt").over(w_off), F.lit(0))
+    ).select(stratum_col, "_bk", "_boff")
+    return local.join(offsets, [stratum_col, "_bk"]).select(
+        id_col, stratum_col, F.col("_t"),
+        (F.col("_lc") + F.col("_boff")).alias("_cum"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    super_shift: int = 20,
+) -> DataFrame:
+    """Sample packing — the step after :func:`pack_shards` an LLM
+    training pipeline runs: concatenate documents (per stratum, in id
+    order) into fixed-length ``seq_tokens`` training sequences, letting
+    documents SPAN sequence boundaries (GPT-style packing: no padding,
+    a doc's tokens fill consecutive sequences). Deterministic —
+    depends only on ids and token counts, so the sequence layout is
+    reproducible across runs/engines/cluster sizes and each doc's
+    placement never changes as other strata grow.
+
+    Per doc: ``start_tok`` (exclusive cumulative sum of tokens within
+    the stratum), ``seq_first``/``seq_last`` (the sequence ids its
+    tokens land in; empty docs get seq_last = seq_first), and
+    ``seq_offset`` (position of its first token inside seq_first).
+
+    Same two-level cumsum scale shape as :func:`pack_shards` — see
+    :func:`_exclusive_stratum_cumsum`.
+    """
+    cum = _exclusive_stratum_cumsum(df, stratum_col, id_col, token_col, super_shift)
+    s = F.lit(float(seq_tokens))
+    return cum.select(
+        id_col,
+        stratum_col,
+        F.col("_t").alias(token_col),
+        F.col("_cum").alias("start_tok"),
+        F.floor(F.col("_cum") / s).cast("long").alias("seq_first"),
+        F.floor(
+            (F.col("_cum") + F.greatest(F.col("_t"), F.lit(1)) - 1) / s
+        ).cast("long").alias("seq_last"),
+        (F.col("_cum") % F.lit(seq_tokens)).cast("long").alias("seq_offset"),
+    )
+
+
 def pack_shards(
     df: DataFrame,
     shard_tokens: int,

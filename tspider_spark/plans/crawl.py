@@ -621,6 +621,48 @@ class CrawlEngine:
                 *payload_cols,
                 *slim_cols,
             )
+        # --- trap detection (extension, CrawlConfig.trap_min_urls) ------
+        # Per-host candidate pressure vs distinct scan-keys over THIS
+        # wave's stream, accumulated into host_pattern_stats; hosts
+        # whose cumulative patterns/candidates ratio stays above the
+        # threshold past trap_min_urls candidates are auto-added to the
+        # runtime blocklist (Q7 semantics: their queued tasks drop at
+        # the next wave's re-check and are recorded in blocked_tasks,
+        # so remove_blocklist can reverse a wrong flag). Opt-in: costs
+        # one extra aggregation job per wave (over the checkpointed
+        # candidate set) plus a collect bounded by the flagged hosts.
+        trap_stats = None
+        trap_hosts: list = []
+        if self.cfg.trap_min_urls:
+            wave_ps = stream.groupBy("hostname").agg(
+                F.count("*").alias("n_urls"),
+                F.countDistinct("scan_key").alias("n_patterns"),
+            )
+            trap_stats = (
+                self.store.read("host_pattern_stats")
+                .unionByName(wave_ps)
+                .groupBy("hostname")
+                .agg(
+                    F.sum("n_urls").alias("n_urls"),
+                    F.sum("n_patterns").alias("n_patterns"),
+                )
+            ).cache()
+            flagged = trap_stats.filter(
+                (F.col("n_urls") >= self.cfg.trap_min_urls)
+                & (
+                    F.col("n_patterns")
+                    > F.lit(float(self.cfg.trap_max_patterns_per_url))
+                    * F.col("n_urls")
+                )
+            )
+            trap_hosts = sorted(
+                r["hostname"]
+                for r in flagged.select("hostname").collect()
+                if r["hostname"] not in self.cfg.blocklist
+            )
+            if trap_hosts:
+                self.cfg.blocklist.extend(trap_hosts)
+
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         filt_df = None
         if self.cfg.cuckoo_filter:
@@ -770,6 +812,13 @@ class CrawlEngine:
         if dropped is not None:
             appends["blocked_tasks"] = dropped
         replaces = {"host_budget": new_budget}
+        wave_meta_extra = {}
+        if trap_stats is not None:
+            replaces["host_pattern_stats"] = trap_stats
+            if trap_hosts:
+                conf = meta.get("config", self.cfg.to_meta())
+                conf["blocklist"] = list(self.cfg.blocklist)
+                wave_meta_extra["config"] = conf
         if filt_df is not None:
             # O(delta) filter maintenance: merge ONLY this wave's
             # admitted keys into the persisted shards (cap-bounded),
@@ -786,12 +835,15 @@ class CrawlEngine:
                 "next_order": next_order + n_sched,
                 "next_save_order": next_save + n_saved,
                 "last_scheduled": n_sched,
+                **wave_meta_extra,
             },
         )
         for df in (
             cands_raw, cands, cands_t, new_saved, results, admitted_raw, admitted
         ):
             df.unpersist()
+        if trap_stats is not None:
+            trap_stats.unpersist()
         if ranked_tasks is not None:
             ranked_tasks.unpersist()
         if self.cfg.slim_fold:

@@ -107,11 +107,26 @@ SCHEMAS = {
 # (the reference's Redis seen set loses these URLs forever)
 SCHEMAS["blocked_tasks"] = SCHEMAS["frontier"]
 
+# per-host candidate-pattern pressure for trap detection
+# (CrawlConfig.trap_min_urls): n_urls = candidate occurrences seen,
+# n_patterns = Σ per-wave distinct scan_keys (an upper bound on the
+# global distinct — a pattern recurring across waves recounts; the
+# trap thresholds are heuristics and the bound only errs toward
+# flagging hosts that keep re-minting patterns, which is the signal)
+SCHEMAS["host_pattern_stats"] = T.StructType(
+    [
+        T.StructField("hostname", T.StringType()),
+        T.StructField("n_urls", T.LongType()),
+        T.StructField("n_patterns", T.LongType()),
+    ]
+)
+
 APPEND_TABLES = (
     "frontier", "seen_scanned", "seen_saved", "results", "fetch_metrics",
     "blocked_tasks",
 )
-REPLACE_TABLES = ("host_budget", "whitelist", "seen_filter")
+REPLACE_TABLES = ("host_budget", "whitelist", "seen_filter",
+                  "host_pattern_stats")
 
 
 class ConcurrentCommitError(RuntimeError):
