@@ -1001,6 +1001,27 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (C(A→B) = |S(A)∩S(B)|/|S(A)|):
+    each doc's 8-word prefix is planted as a separate doc — fully
+    contained in its original (containment 1.0) while its symmetric
+    Jaccard is far below any dedupe threshold. Directed pairs >= 0.9."""
+    from tspider_spark.operators.textdedup import containment_pairs
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    prefix = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(split(trim(lower(text)), '\\\\s+'), 1, 8))"
+        ).alias("text"),
+    )
+    return containment_pairs(docs.unionByName(prefix), n=3, tau=0.9).select(
+        "ia", "ib", "containment"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample packing: per-language docs concatenated in id order into
     512-token training sequences, docs spanning boundaries (GPT-style,
@@ -1314,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 additions (new => inside the driver's 50-query window)
         "host_hits": q_host_hits,
         "pack_sequences": q_pack_sequences,
+        "containment_dups": q_containment_dups,
         "bigram_logprob": q_bigram_logprob,
         "dsir_resample": q_dsir_resample,
         "url_trap_hosts": q_url_trap_hosts,
@@ -1884,6 +1906,26 @@ def oracle_sql() -> dict[str, str]:
      rows between unbounded preceding and 1 preceding), 0) / 2000.0)
      as bigint) as shard_id
  from n
+""",
+        "containment_dups": "with src as ("
+        " select doc_id, text from documents where doc_id < 300"
+        " union all"
+        " select doc_id + 200000 as doc_id,"
+        " array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:8], ' ')"
+        " as text from documents where doc_id < 300"
+        "), "
+        + _shingle_sql("src", 3).lstrip()
+        + """
+ , inter as (
+   select a.doc_id as ia, b.doc_id as ib, count(*) as i
+   from sh a join sh b using (shingle)
+   where a.doc_id <> b.doc_id
+   group by 1, 2
+ ),
+ sizes as (select doc_id, count(*) as sz from sh group by 1)
+ select ia, ib, round(i / sz, 6) as containment
+ from inter join sizes on sizes.doc_id = inter.ia
+ where i / sz >= 0.9
 """,
         "pack_sequences": """
  with n as (

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "gopher_filter",
     # round-3 additions
     "pack_sequences",
+    "containment_dups",
     "host_hits",
     "bigram_logprob",
     "dsir_resample",

@@ -140,6 +140,41 @@ def test_detect_pattern_traps(spark):
 
 
 # ---------------------------------------------------------------------------
+# containment
+
+
+def test_containment_catches_embedded_doc(spark):
+    from tspider_spark.operators.textdedup import containment_pairs, ngram_jaccard_dups
+
+    big = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lam mu nu xi omicron pi rho sigma tau upsilon")
+    small = "gamma delta epsilon zeta eta theta"  # embedded verbatim
+    other = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, other)], "doc_id long, text string"
+    )
+    got = {(r["ia"], r["ib"]): r["containment"]
+           for r in containment_pairs(df, n=3, tau=0.9).collect()}
+    # the small doc is fully contained in the big one (directed!)
+    assert got == {(2, 1): 1.0}
+    # symmetric Jaccard misses it at the same threshold
+    assert ngram_jaccard_dups(df, n=3, tau=0.9).collect() == []
+
+
+def test_containment_direction_and_threshold(spark):
+    from tspider_spark.operators.textdedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f g h i j k l m n o p")],
+        "doc_id long, text string",
+    )
+    rows = {(r["ia"], r["ib"]): r["containment"]
+            for r in containment_pairs(df, n=3, tau=0.5).collect()}
+    assert rows[(1, 2)] == 1.0        # all of 1's shingles appear in 2
+    assert (2, 1) not in rows         # 2 is not mostly contained in 1
+
+
+# ---------------------------------------------------------------------------
 # sample packing
 
 
@@ -256,6 +291,25 @@ def test_engine_trap_detection_blocks_trap_host(spark, tmp_path):
     }
     assert stats["trap.com"]["n_patterns"] == 30
     assert stats["ok.com"]["n_patterns"] <= 3  # {digit} collapse (+leaf)
+
+
+def test_trap_report_tool(spark, tmp_path):
+    from tspider_spark.config import CrawlConfig
+    from tspider_spark.plans.crawl import CrawlEngine
+    from tspider_spark.sources.corpus import corpus_to_spark
+
+    cfg = CrawlConfig(trap_min_urls=20, trap_max_patterns_per_url=0.5)
+    engine = CrawlEngine(
+        spark, corpus_to_spark(spark, _trap_corpus()),
+        str(tmp_path / "trapreport"), cfg,
+    )
+    engine.seed(["http://ok.com/", "http://trap.com/"])
+    engine.run()
+
+    import tools.trap_report as tr
+
+    flagged = tr.main([str(tmp_path / "trapreport")], spark=spark)
+    assert flagged == ["trap.com"]
 
 
 def test_trap_detection_off_by_default_keeps_parity(spark, tmp_path):

@@ -105,6 +105,47 @@ def ngram_jaccard_dups(
     return jaccard_pairs(shingles(df, n, id_col, text), tau, id_col)
 
 
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    tau: float = 0.9,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT C(A→B) = |S(A) ∩ S(B)| / |S(A)|
+    (Broder 1997's companion measure to resemblance): flags documents
+    mostly QUOTED/EMBEDDED inside other documents — a small doc pasted
+    into a large aggregator page scores containment ≈ 1 while its
+    symmetric Jaccard collapses toward |A|/|B| and slips under any
+    dedupe threshold. Standard curation use: drop the contained copy,
+    keep the superset page (or vice versa for boilerplate wrappers).
+
+    Output: DIRECTED pairs (ia, ib, containment) with ia ≠ ib and
+    C(ia→ib) >= tau, rounded to 6. Scale shape = :func:`jaccard_pairs`:
+    one shuffle by shingle (n >= 3 keeps hot-shingle fan-out tame, and
+    the MinHash-LSH prefilter composes in front exactly as for Jaccard
+    when the corpus is too big for the direct join), one by pair."""
+    sh = shingles(df, n, id_col, text)
+    a = sh.select(F.col(id_col).alias("ia"), "shingle")
+    b = sh.select(F.col(id_col).alias("ib"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("ia") != F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    return (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "ia").withColumnRenamed("sz", "sza"),
+            "ia",
+        )
+        .withColumn("containment", F.col("inter") / F.col("sza"))
+        .filter(F.col("containment") >= tau)
+        .select("ia", "ib", F.round("containment", 6).alias("containment"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
