@@ -1001,6 +1001,20 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed doc embeddings (hashing trick, dim=16,
+    L2-normalized) — the model-free text→vector bridge feeding the
+    ANN/semdedup family; components exposed as scalar columns."""
+    from tspider_spark.operators.textstats import hashed_doc_vectors
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    v = hashed_doc_vectors(d, dim=16)
+    return v.select(
+        "doc_id",
+        *[F.round(F.col("vec")[i], 6).alias(f"v{i}") for i in range(16)],
+    )
+
+
 def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment (C(A→B) = |S(A)∩S(B)|/|S(A)|):
     each doc's 8-word prefix is planted as a separate doc — fully
@@ -1336,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": q_host_hits,
         "pack_sequences": q_pack_sequences,
         "containment_dups": q_containment_dups,
+        "hashed_doc_vectors": q_hashed_doc_vectors,
         "bigram_logprob": q_bigram_logprob,
         "dsir_resample": q_dsir_resample,
         "url_trap_hosts": q_url_trap_hosts,
@@ -1906,6 +1921,35 @@ def oracle_sql() -> dict[str, str]:
      rows between unbounded preceding and 1 preceding), 0) / 2000.0)
      as bigint) as shard_id
  from n
+""",
+        "hashed_doc_vectors": """
+ with toks0 as (
+   select doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) as w
+   from documents
+ ),
+ toks as (select doc_id, w from toks0 where w <> ''),
+ h as (
+   select doc_id,
+          ('0x' || substring(md5(w), 1, 15))::BIGINT as hv
+   from toks
+ ),
+ b as (
+   select doc_id, cast(hv % 16 as int) as bk,
+          case when (hv >> 40) & 1 = 1 then 1.0 else -1.0 end as s
+   from h
+ ),
+ agg as (select doc_id, bk, sum(s) as v from b group by 1, 2),
+ nrm as (select doc_id, sqrt(sum(v * v)) as n from agg group by 1)
+ select agg.doc_id,
+"""
+        + ",\n".join(
+            f"   round(coalesce(max(case when bk = {i} then v end), 0)"
+            f" / greatest(nrm.n, 1e-300), 6) as v{i}"
+            for i in range(16)
+        )
+        + """
+ from agg join nrm on agg.doc_id = nrm.doc_id
+ group by agg.doc_id, nrm.n
 """,
         "containment_dups": "with src as ("
         " select doc_id, text from documents where doc_id < 300"

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     # round-3 additions
     "pack_sequences",
     "containment_dups",
+    "hashed_doc_vectors",
     "host_hits",
     "bigram_logprob",
     "dsir_resample",

@@ -140,6 +140,43 @@ def test_detect_pattern_traps(spark):
 
 
 # ---------------------------------------------------------------------------
+# feature-hashed doc vectors
+
+
+def test_hashed_doc_vectors_properties(spark):
+    from tspider_spark.operators.textstats import hashed_doc_vectors
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),   # exact dup
+         (3, "completely different words about spark shuffles here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["vec"] for r in hashed_doc_vectors(df, dim=16).collect()}
+    assert len(out[1]) == 16
+    assert out[1] == out[2]                      # deterministic
+    assert out[1] != out[3]
+    for v in out.values():                       # L2-normalized
+        assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hashed_vectors_feed_embedding_ops(spark):
+    # the text->vector bridge composes with the embedding dedupe family
+    from tspider_spark.operators.similarity import cosine_dup_pairs_lsh
+    from tspider_spark.operators.textstats import hashed_doc_vectors
+
+    rows = [(i, f"doc number {chr(97 + i)} with its own unique words w{i} x{i}")
+            for i in range(10)]
+    rows += [(100 + i, rows[i][1]) for i in range(3)]  # 3 exact dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = hashed_doc_vectors(df, dim=32).withColumnRenamed("vec", "embedding")
+    vecs = vecs.withColumnRenamed("doc_id", "vec_id")
+    pairs = {(r["ia"], r["ib"])
+             for r in cosine_dup_pairs_lsh(vecs, tau=0.999, dim=32).collect()}
+    assert {(i, 100 + i) for i in range(3)} <= pairs
+
+
+# ---------------------------------------------------------------------------
 # containment
 
 

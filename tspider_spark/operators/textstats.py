@@ -140,6 +140,74 @@ def simhash_signatures(
     return votes.select(F.col(id_col), sim.alias("sim"))
 
 
+def hashed_doc_vectors(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashed document embeddings (the hashing trick,
+    Weinberger et al. 2009): each token votes ±1 on one of ``dim``
+    buckets — bucket and sign both from the portable md5 hash — and
+    the per-doc bucket sums form a dense vector, L2-normalized by
+    default. This is the model-free bridge from raw text to the
+    embedding operators: the cosine/LSH/SQ/IVF/semdedup family runs on
+    these vectors when no learned embedding exists (hashed-ngram DSIR
+    and fastText-style baselines use exactly this construction).
+    Deterministic and engine-portable (same md5 trick as MinHash), so
+    the whole text→vector→ANN pipeline stays DuckDB-oracle-checkable.
+
+    Scale: explode (no shuffle) → ONE map-side-combinable aggregation
+    keyed on (id, bucket) → per-doc dense assembly via a bounded
+    collect_list of ≤ dim entries — no vocab table, no model
+    broadcast, memory per doc = dim doubles.
+
+    Output: (id_col, vec: array<double>).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text))), r"\s+")).alias("_w"),
+    ).filter(F.col("_w") != "")
+    h = F.conv(F.substring(F.md5("_w"), 1, 15), 16, 10).cast("long")
+    sign = F.when(
+        F.shiftrightunsigned(h, 40).bitwiseAND(F.lit(1)) == 1, 1.0
+    ).otherwise(-1.0)
+    buckets = words.select(
+        F.col(id_col),
+        F.pmod(h, F.lit(dim)).cast("int").alias("_bk"),
+        sign.alias("_s"),
+    ).groupBy(id_col, "_bk").agg(F.sum("_s").alias("_v"))
+    dense = (
+        buckets.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("_bk", "_v")))
+            ).alias("_m")
+        )
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), "
+                f"i -> coalesce(element_at(_m, i), 0.0D))"
+            ).alias("vec"),
+        )
+    )
+    if not normalize:
+        return dense
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("vec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return dense.select(
+        id_col,
+        F.transform("vec", lambda x: x / F.greatest(nrm, F.lit(1e-300))).alias(
+            "vec"
+        ),
+    )
+
+
 def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
     return (
         df.withColumn("n_tokens", token_count(text))
