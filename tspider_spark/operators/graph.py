@@ -166,8 +166,11 @@ def hits(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            # cutting HUB alone bounds the growth: the next iteration's
+            # auth derives from this checkpoint, so auth's plan is
+            # always <= 2 join/agg levels above a leaf — checkpointing
+            # it too would double the materializations for nothing
             hub = hub.localCheckpoint(eager=True)
-            auth = auth.localCheckpoint(eager=True)
     return hub.join(auth, "node").select(
         "node",
         F.round("hub", 6).alias("hub"),
