@@ -58,9 +58,19 @@ def _events_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("event_id") % 9).cast("string"))
         )
     )
+    # The synthesized url goes through a one-element explode: a
+    # Generate is an optimizer barrier, so CollapseProject /
+    # PushDownPredicates cannot substitute the synthesis CASE tree into
+    # every downstream reference. Without it, with_url_info's
+    # eligibility/filter/derivation expressions each re-inline the full
+    # synthesis (~50 copies measured), the fused stage's generated
+    # method passes the JVM 64 KB limit, and Spark silently falls back
+    # to interpreted execution for the hottest stage of every URL query.
+    # (The engine itself is unaffected — crawl candidates are cached
+    # attribute columns — this is purely the harness's synthesis.)
     return ev.select(
         "event_id", "user_id", "event_type", "ts",
-        F.concat(F.lit("http://"), host, pathqs).alias("url"),
+        F.explode(F.array(F.concat(F.lit("http://"), host, pathqs))).alias("url"),
     )
 
 
