@@ -589,6 +589,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering task as ``dedup_clusters`` via the O(log n)
+    large-star/small-star contraction (Kiveris et al. 2014) instead of
+    O(diameter) hash-min propagation — the scale path for long-chain
+    graphs (mirrors, redirect chains). Same oracle: the two operators
+    are contract-identical by construction (also pinned by pytest)."""
+    from tspider_spark.operators.graph import connected_components
+    from tspider_spark.operators.textdedup import ngram_jaccard_dups
+
+    docs = _dup_docs(spark, sf_dir, 300)
+    pairs = ngram_jaccard_dups(docs, n=3, tau=0.9)
+    return connected_components(docs.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id", "keep"
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling by predicted language —
     hash-based (md5-derived uniform), so the sample is reproducible
@@ -1391,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_components_star": q_dedup_components_star,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
         "bm25_scores": q_bm25_scores,
@@ -1519,7 +1536,7 @@ def oracle_sql() -> dict[str, str]:
  where n * 1.0 / (sa.c + sb.c - n) >= 0.9
 """
     )
-    return {
+    return _alias_shared_oracles({
         "t1_t2_url_enrich": _CLEAN_SQL + """
  select event_id, url, pattern, scan_key, hostname,
         (case when hostname like '%.co.uk'
@@ -2544,4 +2561,12 @@ def oracle_sql() -> dict[str, str]:
 """,
         # crawl_full_run / media_decode: rows-only (sequential
         # stateful crawl loop / binary payload decode)
-    }
+    })
+
+
+def _alias_shared_oracles(d: dict[str, str]) -> dict[str, str]:
+    # dedup_components_star computes the same (doc_id, cluster_id,
+    # keep) contract as dedup_clusters via star contraction — one
+    # recursive-CTE oracle serves both.
+    d["dedup_components_star"] = d["dedup_clusters"]
+    return d

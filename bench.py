@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "dsir_resample",
     "url_trap_hosts",
     "ann_sq_topk",
+    "dedup_components_star",
 ]
 
 

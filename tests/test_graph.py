@@ -56,3 +56,68 @@ def test_matches_numpy_power_iteration(spark):
         r = nxt
     for v in nodes:
         assert got[v] == pytest.approx(r[idx[v]], abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# connected components (large-star / small-star)
+
+
+def _cc_frames(spark, n, edge_pairs):
+    ids = spark.createDataFrame([(f"d{i:04d}",) for i in range(n)], "doc_id string")
+    pairs = spark.createDataFrame(edge_pairs, "ia string, ib string")
+    return ids, pairs
+
+
+def test_cc_star_matches_hash_min_on_random_graphs(spark):
+    """The two clustering paths must be interchangeable: identical
+    (id, cluster_id, keep) on seeded random graphs, including ones with
+    a giant high-diameter component (where hash-min needs ~60 rounds
+    and star contraction needs ~12)."""
+    import random
+
+    from tspider_spark.operators.graph import connected_components
+    from tspider_spark.operators.textdedup import dedup_clusters
+
+    for seed, n, m in ((7, 200, 150), (11, 120, 40)):
+        random.seed(seed)
+        edges = [
+            (f"d{random.randrange(n):04d}", f"d{random.randrange(n):04d}")
+            for _ in range(m)
+        ]
+        ids, pairs = _cc_frames(spark, n, edges)
+        pairs = pairs.filter("ia != ib")
+        a = connected_components(ids, pairs, max_iter=15).orderBy("doc_id").collect()
+        b = dedup_clusters(ids, pairs, max_iter=80).orderBy("doc_id").collect()
+        assert a == b
+
+
+def test_cc_star_logarithmic_rounds_on_path_graph(spark):
+    """A 64-node path has diameter 63: hash-min label propagation needs
+    63 rounds, star contraction must collapse it within 10 — the
+    O(log n) claim, pinned as a hard bound."""
+    from tspider_spark.operators.graph import connected_components
+
+    ids = spark.createDataFrame(
+        [(f"p{i:03d}",) for i in range(64)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [(f"p{i:03d}", f"p{i+1:03d}") for i in range(63)], "ia string, ib string"
+    )
+    rows = connected_components(ids, pairs, max_iter=10).collect()
+    assert all(r["cluster_id"] == "p000" for r in rows)
+    assert sum(r["keep"] for r in rows) == 1
+
+
+def test_cc_star_singletons_and_empty_edges(spark):
+    from tspider_spark.operators.graph import connected_components
+
+    ids, pairs = _cc_frames(spark, 5, [("d0001", "d0002")])
+    rows = {
+        r["doc_id"]: r
+        for r in connected_components(ids, pairs).collect()
+    }
+    assert rows["d0002"]["cluster_id"] == "d0001" and not rows["d0002"]["keep"]
+    for d in ("d0000", "d0003", "d0004"):
+        assert rows[d]["cluster_id"] == d and rows[d]["keep"]
+    empty = connected_components(ids, pairs.limit(0)).collect()
+    assert all(r["keep"] and r["cluster_id"] == r["doc_id"] for r in empty)

@@ -268,3 +268,134 @@ def pagerank_oracle_sql(
         "with " + ",\n ".join(parts)
         + f"\n select node, round(rank, 6) as rank from pr{iters}"
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components: large-star / small-star
+
+
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond"). Output contract is identical to
+    ``textdedup.dedup_clusters`` — (id, cluster_id, keep) with
+    cluster_id = the component's minimum id — and the two are pinned
+    equal by test on random graphs.
+
+    Why a second clustering path: hash-min label propagation
+    (``dedup_clusters``) converges in O(diameter) rounds — right for
+    the short chains of a near-dup graph, wrong for long-chain graphs
+    (URL redirect chains, site mirrors, citation paths) where the
+    diameter can be O(n). Star contraction converges in O(log n)
+    rounds on ANY graph shape: each round is two hash exchanges on the
+    node id (one per star step) + a distinct, with per-round eager
+    ``localCheckpoint`` lineage cuts (same rationale as ``pagerank``).
+
+    Round algebra (all id comparisons are plain column ``<``, so the
+    component minimum is the same lexicographic/numeric minimum the
+    hash-min path and the DuckDB recursive-CTE oracle compute):
+
+    * large-star at node u over bidirectional neighbors N(u):
+      m = min(N(u) ∪ {u}); emit (v, m) for every v in N(u), v > u.
+    * small-star over larger-to-smaller directed edges at node u:
+      m = min(N(u)); emit (u, m) and (v, m) for v in N(u) \\ {m}.
+
+    Star graphs (every node attached directly to its component min)
+    are a fixed point of both steps; convergence is detected by a
+    (count, hash-sum) signature of the canonical edge set becoming
+    stable — confirmed exactly with one ``exceptAll`` probe before
+    exiting, so a signature collision cannot end the loop early.
+    Terminates with one row per ``ids`` row; singletons keep
+    themselves.
+    """
+    canon = (
+        pairs.select(F.col("ia").alias("_x"), F.col("ib").alias("_y"))
+        .filter(F.col("_x") != F.col("_y"))
+        .select(
+            F.greatest("_x", "_y").alias("_a"),
+            F.least("_x", "_y").alias("_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(e: DataFrame):
+        # bit_xor is order-independent and cannot overflow (ANSI mode
+        # rejects a plain sum of 64-bit hashes); dup edges can't cancel
+        # because the set is distinct.
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(_a, _b))"), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _sig(canon)
+    for _ in range(max_iter):
+        # --- large star: group over BOTH directions -------------------
+        nbrs = canon.select(
+            F.col("_a").alias("_u"), F.col("_b").alias("_v")
+        ).unionByName(
+            canon.select(F.col("_b").alias("_u"), F.col("_a").alias("_v"))
+        )
+        mins = nbrs.groupBy("_u").agg(F.min("_v").alias("_mn"))
+        ls = (
+            nbrs.join(mins, "_u")
+            .filter(F.col("_v") > F.col("_u"))
+            .select(
+                F.col("_v").alias("_a"),
+                F.least("_u", "_mn").alias("_b"),
+            )
+            .distinct()
+        )
+        # --- small star: edges already directed larger -> smaller -----
+        smins = ls.groupBy("_a").agg(F.min("_b").alias("_mn"))
+        nxt = (
+            ls.join(smins, "_a")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("_a").alias("a"), F.col("_mn").alias("b")
+                        ),
+                        F.struct(
+                            F.col("_b").alias("a"), F.col("_mn").alias("b")
+                        ),
+                    )
+                ).alias("_e")
+            )
+            .select(F.col("_e.a").alias("_a"), F.col("_e.b").alias("_b"))
+            .filter(F.col("_a") != F.col("_b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        nsig = _sig(nxt)
+        if nsig == sig and canon.exceptAll(nxt).limit(1).count() == 0:
+            canon = nxt
+            break
+        canon, sig = nxt, nsig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"star rounds (O(log n) expected — raise max_iter)"
+        )
+
+    # converged: canon is a star set (child=_a, center=_b). The
+    # groupBy-min is a safety net (a converged star has exactly one
+    # center per child) keeping the label join 1:1 by construction.
+    centers = canon.groupBy(F.col("_a").alias("_v")).agg(
+        F.min("_b").alias("_lbl")
+    )
+    out = ids.select(F.col(id_col).alias("_v")).join(centers, "_v", "left")
+    lbl = F.coalesce(F.col("_lbl"), F.col("_v"))
+    return out.select(
+        F.col("_v").alias(id_col),
+        lbl.alias("cluster_id"),
+        (F.col("_v") == lbl).alias("keep"),
+    )
