@@ -1094,6 +1094,24 @@ def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iters=10)
 
 
+def q_host_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC online importance (Abiteboul et al. 2003) over the same
+    events-derived host link graph as host_pagerank — the incremental
+    cash/history estimator crawl schedulers run while crawling, vs the
+    offline PageRank passes (10 synchronous rounds, Cesàro-averaged)."""
+    from tspider_spark.operators.graph import opic
+
+    ev = _load(spark, sf_dir, "events")
+    src = F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string"))
+    dst = F.concat(
+        F.lit("h"), ((F.col("user_id") * 7 + F.col("event_id")) % 37).cast("string")
+    )
+    edges = ev.select(src.alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    return opic(edges, rounds=10)
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM quality score (CCNet KenLM-lite, one
     order above unigram_logprob): per-doc mean bits per token given
@@ -1102,6 +1120,16 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     return bigram_logprob(docs)
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split: exact ntile(3) over the bigram-LM
+    score via the scheduler's three-level distributed rank — no
+    single-partition window."""
+    from tspider_spark.operators.quality import perplexity_buckets
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return perplexity_buckets(docs)
 
 
 def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1374,6 +1402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         # round-3 additions (new => inside the driver's 50-query window)
         "host_hits": q_host_hits,
+        "host_opic": q_host_opic,
+        "perplexity_buckets": q_perplexity_buckets,
         "pack_sequences": q_pack_sequences,
         "containment_dups": q_containment_dups,
         "hashed_doc_vectors": q_hashed_doc_vectors,
@@ -1448,6 +1478,38 @@ _LANG_SQL = """
       w -> w in ({words}))) """
 
 
+_BIGRAM_LOGPROB_SQL = f"""
+ with words as (
+   select doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> x <> '') as wl
+   from documents
+ ),
+ toks as (select doc_id, unnest(wl) as w from words),
+ idx as (
+   select doc_id, wl, unnest(range(1, len(wl))) as i from words
+ ),
+ pairs as (
+   select doc_id, wl[i] as prev, wl[i + 1] as cur from idx
+ ),
+ bi as (select prev, cur, count(*) as cnt_bi from pairs group by 1, 2),
+ pt as (select prev, sum(cnt_bi) as cnt_prev from bi group by 1),
+ uni as (select w, count(*) as cnt_uni from toks group by 1),
+ tot as (select sum(cnt_uni) as total, count(*) as vocab from uni)
+ select doc_id, count(*) as n_bigrams,
+        round(avg(-log2(
+          cast(0.7 as double) * cnt_bi / cnt_prev
+          + cast({1.0 - 0.7!r} as double) * (cnt_uni + 1.0) / (total + vocab)
+        )), 6) as bits_per_token
+ from pairs
+ join bi using (prev, cur)
+ join pt using (prev)
+ join uni on pairs.cur = uni.w
+ cross join tot
+ group by doc_id
+"""
+
+
 def _lang_votes_sql() -> str:
     from tspider_spark.operators.textstats import LANG_STOPWORDS
 
@@ -1472,7 +1534,11 @@ def _shingle_sql(src: str = "documents", n: int = 3) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from tspider_spark.operators.graph import hits_oracle_sql, pagerank_oracle_sql
+    from tspider_spark.operators.graph import (
+        hits_oracle_sql,
+        opic_oracle_sql,
+        pagerank_oracle_sql,
+    )
     from tspider_spark.operators.quality import (
         normalize_text_oracle_sql,
         pii_redact_oracle_sql,
@@ -2293,35 +2359,20 @@ def oracle_sql() -> dict[str, str]:
             "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",
             iters=10,
         ),
-        "bigram_logprob": f"""
- with words as (
-   select doc_id,
-          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                      x -> x <> '') as wl
-   from documents
- ),
- toks as (select doc_id, unnest(wl) as w from words),
- idx as (
-   select doc_id, wl, unnest(range(1, len(wl))) as i from words
- ),
- pairs as (
-   select doc_id, wl[i] as prev, wl[i + 1] as cur from idx
- ),
- bi as (select prev, cur, count(*) as cnt_bi from pairs group by 1, 2),
- pt as (select prev, sum(cnt_bi) as cnt_prev from bi group by 1),
- uni as (select w, count(*) as cnt_uni from toks group by 1),
- tot as (select sum(cnt_uni) as total, count(*) as vocab from uni)
- select doc_id, count(*) as n_bigrams,
-        round(avg(-log2(
-          cast(0.7 as double) * cnt_bi / cnt_prev
-          + cast({1.0 - 0.7!r} as double) * (cnt_uni + 1.0) / (total + vocab)
-        )), 6) as bits_per_token
- from pairs
- join bi using (prev, cur)
- join pt using (prev)
- join uni on pairs.cur = uni.w
- cross join tot
- group by doc_id
+        "host_opic": opic_oracle_sql(
+            "edges as (select 'h' || (user_id % 37) as src, "
+            "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
+            "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",
+            rounds=10,
+        ),
+        "bigram_logprob": _BIGRAM_LOGPROB_SQL,
+        "perplexity_buckets": f"""
+ with scored as ({_BIGRAM_LOGPROB_SQL})
+ select doc_id, n_bigrams, bits_per_token,
+        case ntile(3) over (order by bits_per_token, doc_id)
+          when 1 then 'head' when 2 then 'middle' else 'tail'
+        end as bucket
+ from scored
 """,
         "dsir_resample": """
  with toks0 as (

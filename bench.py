@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "url_trap_hosts",
     "ann_sq_topk",
     "dedup_components_star",
+    "host_opic",
+    "perplexity_buckets",
 ]
 
 
@@ -173,6 +175,48 @@ def main():
 
     speedup = hi["urls_per_sec"] / lo["urls_per_sec"]
     efficiency = speedup / (CPUS / lo_cores)
+
+    # Second pair at half scale (4 -> 16 on a 32-core box): the hi
+    # level does NOT saturate the socket, so this pair is the closer
+    # sandbox analog of real N -> 4N executor scaling (a cluster
+    # multiplies sockets/memory channels with cores; the 8 -> 32 pair
+    # instead measures this one box's saturation — see BASELINE.md
+    # round-2 decomposition: per-thread CPU inflates 1.83x at 32
+    # threads with ~equal utilization and zero fetch-wait). Both
+    # levels pinned, same per-core heap, identical input.
+    scaling2 = None
+    if CPUS >= 16:
+        lo2_cores, hi2_cores = CPUS // 8, CPUS // 2
+        pair2_trials = int(os.environ.get("TSPIDER_BENCH_PAIR2_TRIALS", "2"))
+        cal2_lo = cpu_calibration(lo2_cores)
+        cal2_hi = cpu_calibration(hi2_cores)
+        hw2 = (cal2_hi / cal2_lo) / (hi2_cores / lo2_cores)
+        mem2_lo = cpu_calibration(lo2_cores, _burn_mem)
+        mem2_hi = cpu_calibration(hi2_cores, _burn_mem)
+        memc2 = (mem2_hi / mem2_lo) / (hi2_cores / lo2_cores)
+        lo2_trials, hi2_trials = [], []
+        for _ in range(pair2_trials):
+            lo2_trials.append(run_worker(lo2_cores, corpus_path, "2g", pin=True))
+            hi2_trials.append(run_worker(hi2_cores, corpus_path, "8g", pin=True))
+        lo2 = max(lo2_trials, key=lambda r: r["urls_per_sec"])
+        hi2 = max(hi2_trials, key=lambda r: r["urls_per_sec"])
+        eff2 = (hi2["urls_per_sec"] / lo2["urls_per_sec"]) / (hi2_cores / lo2_cores)
+        scaling2 = {
+            "cores_lo": lo2_cores,
+            "cores_hi": hi2_cores,
+            "lo_urls_per_sec": lo2["urls_per_sec"],
+            "hi_urls_per_sec": hi2["urls_per_sec"],
+            "lo_trials": [r["urls_per_sec"] for r in lo2_trials],
+            "hi_trials": [r["urls_per_sec"] for r in hi2_trials],
+            "efficiency": round(eff2, 3),
+            "hw_ceiling_same_pair": round(hw2, 3),
+            "hw_mem_ceiling_same_pair": round(memc2, 3),
+            "efficiency_vs_hw_ceiling": round(eff2 / hw2, 3),
+            "cal_lo_ops_per_s": round(cal2_lo, 0),
+            "cal_hi_ops_per_s": round(cal2_hi, 0),
+        }
+        print(f"# scaling pair2 {lo2_cores}->{hi2_cores}: {scaling2}",
+              file=sys.stderr)
 
     # per-query timings at the target sf
     import __spark_entry__ as entry
@@ -435,6 +479,8 @@ def main():
             "efficiency_vs_mem_ceiling": round(efficiency / mem_ceiling, 3),
         },
     }
+    if scaling2 is not None:
+        result["scaling_half_pair"] = scaling2
     print(json.dumps(result))
 
 

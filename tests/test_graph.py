@@ -68,6 +68,57 @@ def _cc_frames(spark, n, edge_pairs):
     return ids, pairs
 
 
+def test_opic_cycle_is_uniform(spark):
+    from tspider_spark.operators.graph import opic
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    got = {r["node"]: r["importance"] for r in opic(e, rounds=5).collect()}
+    assert got == {"a": 0.333333, "b": 0.333333, "c": 0.333333}
+
+
+def test_opic_importance_sums_to_one_and_matches_numpy(spark):
+    # cash is conserved through dangling redistribution, and the
+    # Cesàro average matches an independent numpy simulation
+    import numpy as np
+
+    from tspider_spark.operators.graph import opic
+
+    nodes = [f"n{i}" for i in range(8)]
+    pairs = [
+        (nodes[i], nodes[(i * 3 + j) % 8])
+        for i in range(8)
+        for j in (1, 2)
+        if i != (i * 3 + j) % 8
+    ]
+    # drop n1's out-edges so the graph has a dangling node
+    pairs = [p for p in pairs if p[0] != "n1"]
+    rounds = 7
+    rows = opic(_edges(spark, pairs), rounds=rounds).collect()
+    got = {r["node"]: r["importance"] for r in rows}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+    present = sorted({s for s, _ in pairs} | {t for _, t in pairs})
+    idx = {n: i for i, n in enumerate(present)}
+    out = {}
+    for s, t in set(pairs):
+        out.setdefault(s, []).append(t)
+    n = len(present)
+    cash = np.full(n, 1.0 / n)
+    hist = np.zeros(n)
+    for _ in range(rounds):
+        nxt = np.zeros(n)
+        dangling = sum(cash[idx[v]] for v in present if v not in out)
+        nxt += dangling / n
+        for s, ts in out.items():
+            for t in ts:
+                nxt[idx[t]] += cash[idx[s]] / len(ts)
+        hist += cash
+        cash = nxt
+    imp = (hist + cash) / (rounds + 1)
+    for v in present:
+        assert got[v] == pytest.approx(imp[idx[v]], abs=2e-6)
+
+
 def test_cc_star_matches_hash_min_on_random_graphs(spark):
     """The two clustering paths must be interchangeable: identical
     (id, cluster_id, keep) on seeded random graphs, including ones with

@@ -412,3 +412,57 @@ def test_sq_topk_candidate_cut_is_integer(spark):
         .collect()
     )
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets
+
+
+def _seeded_docs(spark, n):
+    # deterministic word-salad docs over a small vocabulary so the
+    # bigram LM spreads scores; lengths vary so ties are rare but the
+    # rank tie-break (doc_id) still gets exercised via duplicates
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = []
+    for i in range(n):
+        words = [vocab[(i * 7 + j * 3) % 5] for j in range(3 + i % 6)]
+        rows.append((i, " ".join(words)))
+    # exact duplicate texts -> identical bits_per_token, tie on doc_id
+    rows.append((n, rows[0][1]))
+    rows.append((n + 1, rows[1][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 7, 40])
+def test_perplexity_buckets_match_single_window_ntile(spark, n):
+    from pyspark.sql.window import Window
+
+    from tspider_spark.operators.quality import bigram_logprob, perplexity_buckets
+
+    docs = _seeded_docs(spark, n)
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(docs).collect()
+    }
+    scored = bigram_logprob(docs)
+    w = Window.orderBy("bits_per_token", "doc_id")
+    names = {1: "head", 2: "middle", 3: "tail"}
+    want = {
+        r["doc_id"]: names[r["b"]]
+        for r in scored.withColumn("b", F.ntile(3).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_perplexity_buckets_sizes_are_balanced(spark):
+    from tspider_spark.operators.quality import perplexity_buckets
+
+    docs = _seeded_docs(spark, 40)  # 42 docs total
+    sizes = {
+        r["bucket"]: r["n"]
+        for r in perplexity_buckets(docs).groupBy("bucket").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert sum(sizes.values()) == 42
+    assert max(sizes.values()) - min(sizes.values()) <= 1

@@ -270,6 +270,132 @@ def pagerank_oracle_sql(
     )
 
 
+def opic(
+    edges: DataFrame,
+    rounds: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """OPIC — Adaptive On-Line Page Importance Computation (Abiteboul,
+    Preda & Cobena, WWW 2003) over the distinct directed edge set: the
+    importance estimator production crawlers actually run ONLINE, vs
+    the offline multi-pass PageRank. Each node carries *cash* (current
+    flow) and *history* (accumulated flow); a visited node banks its
+    cash into history and distributes it equally to its out-links.
+    Importance is the Cesàro average (history + cash) / (rounds + 1) —
+    this average converges even where plain d=1 power iteration
+    oscillates (periodic graphs), which is exactly why OPIC needs no
+    damping factor.
+
+    Batch semantics here are the synchronous variant — every node is
+    "visited" each round (the paper's greatest-cash-first policy is a
+    sequencing optimization, not a semantics change; both converge to
+    the same importance vector):
+
+    cash_0 = 1/N, hist_0 = 0;
+    hist_{t+1}(v) = hist_t(v) + cash_t(v);
+    cash_{t+1}(v) = Σ_{u→v} cash_t(u)/outdeg(u) + dangling_t/N
+    (dangling cash rerouted through the paper's virtual node and
+    redistributed uniformly, so Σ cash = 1 at every round).
+
+    Scale shape mirrors :func:`pagerank`: one shuffle per round keyed
+    on the node id (edges ⋈ cash with map-side partial sums), the
+    dangling mass a broadcast 1-row cross join (never a driver scalar),
+    lineage cut per round (the cash/hist frame is referenced twice per
+    round — contributions + dangling).
+
+    Returns (node, importance) rounded to 6 places; importances sum
+    to 1.
+    """
+    e = edges.select(src, dst).distinct()
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_row = nodes.agg(F.count("*").alias("_n"))
+    deg = e.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("_deg"))
+    base = nodes.join(deg, "node", "left").crossJoin(F.broadcast(n_row))
+
+    state = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node",
+        (F.lit(1.0) / F.col("_n")).alias("cash"),
+        F.lit(0.0).alias("hist"),
+    )
+    for t in range(rounds):
+        s = base.join(state, "node")
+        contrib = (
+            s.filter(F.col("_deg").isNotNull())
+            .join(e, F.col("node") == F.col(src))
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum(F.col("cash") / F.col("_deg")).alias("_c"))
+        )
+        dangling = s.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_deg").isNull(), F.col("cash"))), F.lit(0.0)
+            ).alias("_dm")
+        )
+        state = (
+            s.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("_c"), F.lit(0.0))
+                    + F.col("_dm") / F.col("_n")
+                ).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+        )
+        if (t + 1) % checkpoint_every == 0 and t + 1 < rounds:
+            state = state.localCheckpoint(eager=True)
+    return state.select(
+        "node",
+        F.round(
+            (F.col("hist") + F.col("cash")) / F.lit(float(rounds + 1)), 6
+        ).alias("importance"),
+    )
+
+
+def opic_oracle_sql(edges_cte: str, rounds: int = 10) -> str:
+    """Chained-CTE SQL twin of :func:`opic` (same shape as
+    :func:`pagerank_oracle_sql`; every state CTE is MATERIALIZED
+    because each round references it twice — contributions +
+    dangling)."""
+    parts = [
+        edges_cte,
+        "e as (select distinct src, dst from edges)",
+        "nodes as (select src as node from e union select dst from e)",
+        "nn as (select count(*) as n from nodes)",
+        "deg as (select src as node, count(*) as deg from e group by 1)",
+        "s0 as materialized (select node, cast(1.0 as double) / nn.n as "
+        "cash, cast(0.0 as double) as hist from nodes, nn)",
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"c{t} as (select e.dst as node, sum(s.cash / deg.deg) as c "
+            f"from s{t} s join deg using (node) join e on e.src = s.node "
+            f"group by 1)"
+        )
+        parts.append(
+            f"dm{t} as (select coalesce(sum(s.cash), cast(0 as double)) as dm "
+            f"from s{t} s left join deg using (node) where deg.deg is null)"
+        )
+        parts.append(
+            f"s{t + 1} as materialized (select n.node, "
+            f"coalesce(c{t}.c, cast(0 as double)) + dm{t}.dm / nn.n as cash, "
+            f"s.hist + s.cash as hist "
+            f"from nodes n join s{t} s on n.node = s.node "
+            f"left join c{t} on n.node = c{t}.node, nn, dm{t})"
+        )
+    return (
+        "with " + ",\n ".join(parts)
+        + f"\n select node, round((hist + cash) / cast({rounds + 1} as "
+        f"double), 6) as importance from s{rounds}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # connected components: large-star / small-star
 

@@ -404,6 +404,65 @@ def bigram_logprob(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity split (Wenzek et al. 2020
+    §3.2: each language's documents are bucketed into equal thirds by
+    LM perplexity; 'head' = lowest perplexity = most Wikipedia-like,
+    and the buckets drive what gets kept/downsampled). The LM here is
+    :func:`bigram_logprob`'s interpolated bigram — the same rung of
+    the KenLM ladder the rest of this module uses.
+
+    Bucket assignment is exact ``ntile(3)`` semantics over the total
+    order (bits_per_token, id) — NOT a quantile-threshold
+    approximation — computed without a single-partition window: the
+    scored frame gets a global rank from the scheduler's three-level
+    :func:`~tspider_spark.operators.schedule.distributed_rank`
+    (lead bucket = the integer milli-bits prefix of the score, so
+    bucket order == score order), and the closed-form ntile formula
+    maps rank r of n into bucket b: the first n%3 buckets take
+    ceil(n/3) rows, the rest floor(n/3). Scale: one hash exchange on
+    the milli-bits bucket (thousands of distinct values), one
+    metadata-sized prefix-sum join — the 10^10-doc shape of CCNet's
+    per-shard sort-and-split.
+
+    Output: (id_col, n_bigrams, bits_per_token, bucket) with bucket in
+    {'head','middle','tail'}.
+    """
+    from tspider_spark.operators.schedule import distributed_rank
+
+    scored = bigram_logprob(df, lam=lam, id_col=id_col, text=text)
+    scored = scored.withColumn(
+        "_mb", F.floor(F.col("bits_per_token") * 1000).cast("long")
+    )
+    ranked = distributed_rank(
+        scored, ("_mb", "bits_per_token", id_col), "_r"
+    ).drop("_mb")
+    n_row = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    r, n = F.col("_r"), F.col("_n")
+    big, small = F.ceil(n / 3), F.floor(n / 3)
+    cut = (n % 3) * big  # rows covered by the ceil-sized buckets
+    b = F.when(r <= cut, F.ceil(r / big)).otherwise(
+        (n % 3) + F.ceil((r - cut) / small)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            id_col,
+            "n_bigrams",
+            "bits_per_token",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                b.cast("int"),
+            ).alias("bucket"),
+        )
+    )
+
+
 def decontam_flags(
     docs: DataFrame,
     eval_docs: DataFrame,
