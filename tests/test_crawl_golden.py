@@ -6,6 +6,7 @@ under several scope configurations."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tspider_spark.config import CrawlConfig
 from tspider_spark.plans.crawl import CrawlEngine
@@ -160,6 +161,43 @@ def test_authority_priority_mode_matches_oracle(spark, tmp_path, corpus):
     assert [u for u, _, _ in bfs.crawl_order] != [
         u for u, _, _ in oracle.crawl_order
     ]
+
+
+def test_opic_priorities_drive_authority_mode(spark, tmp_path, corpus):
+    """OPIC's actual use case (Abiteboul et al. 2003 §1: crawl the
+    most-important page next): derive host priorities from OPIC over
+    the corpus's own host link graph and feed them into the engine's
+    authority mode — distributed order must match the oracle's
+    sequential priority drain exactly."""
+    from tspider_spark.operators.graph import opic
+    from tspider_spark.operators.schedule import rank_hosts_by_score
+
+    docs, seeds = corpus
+    edges = set()
+    for url, spans in docs:
+        src = url.split("/")[2]
+        for kind, text, _, _ in spans:
+            if kind in ("link", "request") and text.startswith("http"):
+                dst = text.split("/")[2]
+                if dst != src:
+                    edges.add((src, dst))
+    assert len(edges) > 3, "corpus link graph too small to rank"
+    e_df = spark.createDataFrame(sorted(edges), "src string, dst string")
+    scores = opic(e_df, rounds=5).select(
+        F.col("node").alias("hostname"), F.col("importance").alias("score")
+    )
+    pr_df = rank_hosts_by_score(scores)
+    prios = {r["hostname"]: r["priority"] for r in pr_df.collect()}
+
+    cfg = CrawlConfig(tld=True, max_per_host=5, priority="authority")
+    oracle = ReferenceOracle(docs, cfg, host_priorities=prios).run(seeds)
+    engine = CrawlEngine(
+        spark, corpus_to_spark(spark, docs), str(tmp_path / "state"), cfg,
+        host_priorities=pr_df,
+    )
+    engine.seed(seeds)
+    engine.run()
+    assert_parity(oracle, engine)
 
 
 def test_rank_hosts_by_score_dense_desc(spark):

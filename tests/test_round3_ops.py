@@ -466,3 +466,66 @@ def test_perplexity_buckets_sizes_are_balanced(spark):
     }
     assert sum(sizes.values()) == 42
     assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+# ---------------------------------------------------------------------------
+# recrawl scheduling (Cho & Garcia-Molina change-rate estimation)
+
+
+def test_recrawl_priority_hand_computed(spark):
+    import datetime as dt
+
+    from tspider_spark.operators.recrawl import recrawl_priority
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # url A: 4 fetches, one change interval (v0,v0,v1,v1)
+        ("A", t0, "v0"),
+        ("A", t0 + dt.timedelta(seconds=10), "v0"),
+        ("A", t0 + dt.timedelta(seconds=20), "v1"),
+        ("A", t0 + dt.timedelta(seconds=30), "v1"),
+        # url B: single fetch -> no rate information, excluded
+        ("B", t0, "v0"),
+        # url C: two fetches at the same instant -> zero span, excluded
+        ("C", t0, "v0"),
+        ("C", t0, "v1"),
+    ]
+    obs = spark.createDataFrame(
+        rows, "url string, fetched_at timestamp, fingerprint string"
+    )
+    as_of = t0.replace(tzinfo=dt.timezone.utc).timestamp() + 40
+    got = {r["url"]: r for r in recrawl_priority(obs, as_of).collect()}
+    assert set(got) == {"A"}
+    a = got["A"]
+    assert (a["n_obs"], a["n_changes"]) == (4, 1)
+    # r_hat = -ln((3-1+0.5)/3.5) = ln(1.4); lam = r_hat*3/30 per sec
+    r_hat = math.log(1.4)
+    assert a["change_rate_per_day"] == pytest.approx(
+        r_hat * 3 / 30 * 86400, abs=1e-5
+    )
+    # since = 10s after the last fetch -> lam*since = ln(1.4) exactly
+    assert a["p_stale"] == pytest.approx(1 - 1 / 1.4, abs=1e-6)
+
+
+def test_recrawl_rate_orders_by_change_frequency(spark):
+    # a page that changes every fetch must out-rate one that never does
+    import datetime as dt
+
+    from tspider_spark.operators.recrawl import recrawl_priority
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):
+        rows.append(("busy", t0 + dt.timedelta(hours=i), f"v{i}"))
+        rows.append(("calm", t0 + dt.timedelta(hours=i), "v0"))
+    obs = spark.createDataFrame(
+        rows, "url string, fetched_at timestamp, fingerprint string"
+    )
+    as_of = t0.replace(tzinfo=dt.timezone.utc).timestamp() + 86400
+    got = {r["url"]: r for r in recrawl_priority(obs, as_of).collect()}
+    assert got["busy"]["change_rate_per_day"] > got["calm"]["change_rate_per_day"]
+    assert got["busy"]["p_stale"] > got["calm"]["p_stale"]
+    # zero observed changes -> the +0.5-corrected MLE is exactly 0
+    assert got["calm"]["n_changes"] == 0
+    assert got["calm"]["change_rate_per_day"] == 0.0
+    assert got["calm"]["p_stale"] == 0.0

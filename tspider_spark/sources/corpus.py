@@ -251,6 +251,30 @@ def corpus_to_spark(spark: SparkSession, docs) -> DataFrame:
     return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
 
 
+def write_bucketed_documents(
+    spark: SparkSession, docs: DataFrame, table: str, buckets: int = 8
+) -> DataFrame:
+    """Persist the documents table bucketed + sorted by ``doc_id`` and
+    return the bucketed scan — the 10^10-scale storage layout for the
+    crawl fetch join (plans/crawl.py shuffle boundary (1)): the join
+    key equals the bucket key, so the scan already satisfies the
+    join's required hash partitioning and ONLY the (small) frontier
+    side exchanges; the 100 TB documents side is never shuffled. On a
+    real deployment this is the Iceberg table's ``bucket(N, doc_id)``
+    partition transform (storage-partitioned join); the builtin
+    ``bucketBy`` table is the jar-less sandbox equivalent with the
+    same plan shape (pinned by tests/test_bucketed_fetch.py).
+    """
+    (
+        docs.write.mode("overwrite")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
 def seeds_to_spark(spark: SparkSession, seeds) -> DataFrame:
     return spark.createDataFrame(
         [(s, i) for i, s in enumerate(seeds)], SEEDS_SCHEMA
