@@ -234,3 +234,27 @@ def test_max_depth_limits_scheduling(spark, tmp_path, corpus):
 
     # round-trips through the store meta
     assert CrawlConfig.from_meta(engine.store.meta()["config"]).max_depth == 1
+
+
+def test_slim_fold_path_matches_default(spark, tmp_path, corpus):
+    """cfg.slim_fold=True (the opt-in narrow-exchange fold for
+    network-shuffle regimes) must produce byte-identical crawl output
+    to the default wide fold — same fold algebra on the same keys,
+    payload recovered by the broadcast probe."""
+    docs, seeds = corpus
+    runs = {}
+    for slim in (False, True):
+        cfg = CrawlConfig(tld=True, max_per_host=5, slim_fold=slim)
+        engine = CrawlEngine(
+            spark, corpus_to_spark(spark, docs),
+            str(tmp_path / f"state_{slim}"), cfg,
+        )
+        engine.seed(seeds)
+        engine.run()
+        runs[slim] = (
+            [(r["url"], r["depth"], r["rank"])
+             for r in engine.crawl_order().collect()],
+            {r["scan_key"]
+             for r in engine.store.read("seen_scanned").collect()},
+        )
+    assert runs[True] == runs[False]

@@ -182,13 +182,16 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
             F.lit(1).alias("synth_rank"),
         )
     )
-    # slim fold (engine cfg.slim_fold, the default): the hostname
-    # exchange + both window sorts carry only the fold's working set;
-    # the canonical url is re-attached AFTER admission by broadcast-
-    # probing the cap-bounded admitted key-set against the cached raw
-    # candidates and re-canonicalizing just those rows (an Arrow batch
-    # over ~cap×hosts rows, not a second full pass).
-    slim = os.environ.get("TSPIDER_BENCH_SLIM", "1") != "0"
+    # slim fold (engine cfg.slim_fold): the hostname exchange + both
+    # window sorts carry only the fold's working set; the canonical
+    # url is re-attached AFTER admission by broadcast-probing the
+    # cap-bounded admitted key-set against the cached raw candidates.
+    # DEFAULT OFF, matching CrawlConfig.slim_fold — event-log A/B at
+    # 32 cores measured 1.9x aggregate CPU (3414 vs 1796 CPU-s) for
+    # the slim path on in-memory shuffle: the payload-recovery rescan
+    # + broadcast outweighs the shuffled-bytes saving. Opt in with
+    # TSPIDER_BENCH_SLIM=1 for network-shuffle regimes.
+    slim = os.environ.get("TSPIDER_BENCH_SLIM", "0") != "0"
     fold_in = stream.drop("url") if slim else stream
     if salt:
         # skew path: (host, bucket) exchange shared by anti-join + fold

@@ -97,7 +97,18 @@ class CrawlConfig:
     # unique candidate id). Regime: admitted-per-wave must stay
     # broadcast-sized (≤ active_hosts × (cap+1) rows — tens of MB even
     # at 10^6 active hosts); disable for unbounded caps.
-    slim_fold: bool = True
+    #
+    # DEFAULT OFF — measured a 1.9x aggregate-CPU regression on the
+    # 24M-candidate bench with local (in-memory) shuffle: the payload
+    # recovery re-scans the cached candidate frame and rebuilds +
+    # broadcasts the admitted set, which costs far more than the
+    # ~70 B/row of url string it keeps out of the exchange (event-log
+    # A/B at 32 cores: 3414 vs 1796 CPU-s for identical output; wall
+    # 200.8k vs 294.3k URLs/s same-window). The knob exists for
+    # network-shuffle clusters where shuffled bytes are the scarce
+    # resource and a third map-side scan is cheap; exactness is
+    # parity-tested either way.
+    slim_fold: bool = False
     shuffle_partitions: int = 32
     max_waves: int | None = None
 
