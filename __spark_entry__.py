@@ -1112,6 +1112,58 @@ def q_host_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return opic(edges, rounds=10)
 
 
+def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the events-derived host graph with hosts
+    h0/h1/h2 as the trusted seed set — personalized-teleport spam
+    demotion for the frontier scheduler."""
+    from tspider_spark.operators.graph import trustrank
+
+    ev = _load(spark, sf_dir, "events")
+    src = F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string"))
+    dst = F.concat(
+        F.lit("h"), ((F.col("user_id") * 7 + F.col("event_id")) % 37).cast("string")
+    )
+    edges = ev.select(src.alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    seeds = spark.range(3).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("node")
+    )
+    return trustrank(edges, seeds, iters=10)
+
+
+def q_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc writing-script profile (latin/digit/cyrillic/greek/
+    arabic/cjk counts, known-char ratio, dominant script)."""
+    from tspider_spark.operators.textstats import script_stats
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return script_stats(docs)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster keeper over the near-dup components:
+    keep the highest-scoring member (score = text length, +100000
+    copies nudged +1 so argmax differs from the min-id keeper)."""
+    from tspider_spark.operators.textdedup import (
+        dedup_clusters,
+        keep_best,
+        ngram_jaccard_dups,
+    )
+
+    docs = _dup_docs(spark, sf_dir, 300)
+    pairs = ngram_jaccard_dups(docs, n=3, tau=0.9)
+    clusters = dedup_clusters(docs.select("doc_id"), pairs)
+    scores = docs.select(
+        "doc_id",
+        (
+            F.length("text")
+            + F.when(F.col("doc_id") >= 100000, 1).otherwise(0)
+        ).cast("long").alias("score"),
+    )
+    return keep_best(clusters, scores)
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM quality score (CCNet KenLM-lite, one
     order above unigram_logprob): per-doc mean bits per token given
@@ -1431,6 +1483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_opic": q_host_opic,
         "perplexity_buckets": q_perplexity_buckets,
         "recrawl_priority": q_recrawl_priority,
+        "host_trustrank": q_host_trustrank,
+        "script_stats": q_script_stats,
+        "dedup_keep_best": q_dedup_keep_best,
         # repetition_stats was rewritten this round (single-scan) —
         # keep it inside the driver's evaluation window
         "repetition_ratios": q_repetition_ratios,
@@ -1567,7 +1622,9 @@ def oracle_sql() -> dict[str, str]:
         hits_oracle_sql,
         opic_oracle_sql,
         pagerank_oracle_sql,
+        trustrank_oracle_sql,
     )
+    from tspider_spark.operators.textstats import script_stats_oracle_sql
     from tspider_spark.operators.quality import (
         normalize_text_oracle_sql,
         pii_redact_oracle_sql,
@@ -1630,6 +1687,38 @@ def oracle_sql() -> dict[str, str]:
         round(n * 1.0 / (sa.c + sb.c - n), 6) as jaccard
  from inter join sz sa on sa.doc_id = ia join sz sb on sb.doc_id = ib
  where n * 1.0 / (sa.c + sb.c - n) >= 0.9
+"""
+    )
+    # recursive min-label reachability over the jaccard pair graph —
+    # shared by dedup_clusters (min-id keeper) and dedup_keep_best
+    # (quality-aware keeper)
+    cluster_reach_sql = (
+        _DUP_DOCS_SQL.format(limit=300).replace(
+            "with dup_docs", "with recursive dup_docs", 1
+        )
+        + ","
+        + _shingle_sql("dup_docs")
+        + """
+ , inter as (
+   select a.doc_id ia, b.doc_id ib, count(*) n
+   from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+   group by 1, 2
+ ), sz as (select doc_id, count(*) c from sh group by 1),
+ pairs as (
+   select ia, ib
+   from inter join sz sa on sa.doc_id = ia join sz sb on sb.doc_id = ib
+   where n * 1.0 / (sa.c + sb.c - n) >= 0.9
+ ),
+ edges as (
+   select ia as a, ib as b from pairs
+   union all
+   select ib as a, ia as b from pairs
+ ),
+ reach(v, r) as (
+   select doc_id, doc_id from dup_docs
+   union
+   select e.b, reach.r from reach join edges e on e.a = reach.v
+ )
 """
     )
     return _alias_shared_oracles({
@@ -1830,34 +1919,31 @@ def oracle_sql() -> dict[str, str]:
         # min-label reachability (DuckDB recursive CTE; UNION distinct
         # terminates on the cyclic doubled-edge graph)
         "dedup_clusters": (
-            _DUP_DOCS_SQL.format(limit=300).replace(
-                "with dup_docs", "with recursive dup_docs", 1
-            )
-            + ","
-            + _shingle_sql("dup_docs")
+            cluster_reach_sql
             + """
- , inter as (
-   select a.doc_id ia, b.doc_id ib, count(*) n
-   from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
-   group by 1, 2
- ), sz as (select doc_id, count(*) c from sh group by 1),
- pairs as (
-   select ia, ib
-   from inter join sz sa on sa.doc_id = ia join sz sb on sb.doc_id = ib
-   where n * 1.0 / (sa.c + sb.c - n) >= 0.9
- ),
- edges as (
-   select ia as a, ib as b from pairs
-   union all
-   select ib as a, ia as b from pairs
- ),
- reach(v, r) as (
-   select doc_id, doc_id from dup_docs
-   union
-   select e.b, reach.r from reach join edges e on e.a = reach.v
- )
  select v as doc_id, min(r) as cluster_id, (v = min(r)) as keep
  from reach group by v
+"""
+        ),
+        # quality-aware keeper: highest score (here: text length, with
+        # the +100000 copies nudged +1 so argmax differs from min-id),
+        # ties by min doc_id
+        "dedup_keep_best": (
+            cluster_reach_sql
+            + """
+ , clusters as (select v as doc_id, min(r) as cluster_id
+                from reach group by v),
+ scored as (
+   select c.doc_id, c.cluster_id,
+          cast(length(d.text)
+               + case when c.doc_id >= 100000 then 1 else 0 end
+               as bigint) as score
+   from clusters c join dup_docs d using (doc_id)
+ )
+ select doc_id, cluster_id, score,
+        (row_number() over (partition by cluster_id
+                            order by score desc, doc_id) = 1) as keep
+ from scored
 """
         ),
         # gaps-and-islands sessionization, exact twin of Spark's
@@ -2403,6 +2489,14 @@ def oracle_sql() -> dict[str, str]:
             "as fingerprint from events)",
             as_of_epoch=1706745600.0,
         ),
+        "host_trustrank": trustrank_oracle_sql(
+            "edges as (select 'h' || (user_id % 37) as src, "
+            "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
+            "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",
+            "seeds as (select unnest(['h0', 'h1', 'h2']) as node)",
+            iters=10,
+        ),
+        "script_stats": script_stats_oracle_sql("documents"),
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "perplexity_buckets": f"""
  with scored as ({_BIGRAM_LOGPROB_SQL})

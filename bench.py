@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "host_opic",
     "perplexity_buckets",
     "recrawl_priority",
+    "host_trustrank",
+    "script_stats",
+    "dedup_keep_best",
 ]
 
 

@@ -172,3 +172,51 @@ def test_cc_star_singletons_and_empty_edges(spark):
         assert rows[d]["cluster_id"] == d and rows[d]["keep"]
     empty = connected_components(ids, pairs.limit(0)).collect()
     assert all(r["keep"] and r["cluster_id"] == r["doc_id"] for r in empty)
+
+
+def test_trustrank_spam_island_gets_zero(spark):
+    """Trust only flows from the seed set: a densely-interlinked farm
+    no trusted host points at ends with exactly zero trust, however
+    it links to itself or to trusted regions."""
+    from tspider_spark.operators.graph import trustrank
+
+    e = _edges(
+        spark,
+        [
+            ("a", "b"), ("b", "a"),          # trusted region
+            ("spam1", "spam2"), ("spam2", "spam1"),  # farm
+            ("spam1", "a"),                  # farm links INTO trust
+        ],
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["trust"] for r in trustrank(e, seeds, iters=8).collect()}
+    assert got["spam1"] == 0.0 and got["spam2"] == 0.0
+    assert got["a"] > 0 and got["b"] > 0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_trustrank_dangling_mass_teleports_to_seeds(spark):
+    # b is dangling; its trust must flow back to the seed, not leak
+    from tspider_spark.operators.graph import trustrank
+
+    e = _edges(spark, [("a", "b")])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["trust"] for r in trustrank(e, seeds, iters=6).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+    assert got["a"] > got["b"] > 0
+
+
+def test_trustrank_uniform_seeds_equals_pagerank(spark):
+    """With EVERY node in the seed set, TrustRank's personalization is
+    uniform — it must equal plain PageRank (same damping, same
+    dangling redistribution) on any graph."""
+    from tspider_spark.operators.graph import pagerank, trustrank
+
+    pairs = [(f"n{i}", f"n{(i * 3 + j) % 7}") for i in range(7) for j in (1, 2)]
+    pairs = [p for p in pairs if p[0] != p[1] and p[0] != "n2"]  # n2 dangling
+    e = _edges(spark, pairs)
+    nodes = sorted({x for p in pairs for x in p})
+    seeds = spark.createDataFrame([(n,) for n in nodes], "node string")
+    tr = {r["node"]: r["trust"] for r in trustrank(e, seeds, iters=7).collect()}
+    pr = {r["node"]: r["rank"] for r in pagerank(e, iters=7).collect()}
+    assert tr == pr

@@ -529,3 +529,48 @@ def test_recrawl_rate_orders_by_change_frequency(spark):
     assert got["calm"]["n_changes"] == 0
     assert got["calm"]["change_rate_per_day"] == 0.0
     assert got["calm"]["p_stale"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# script stats + quality-aware dedup keeper
+
+
+def test_script_stats_mixed_scripts(spark):
+    from tspider_spark.operators.textstats import script_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world 123"),
+            (2, "привет мир"),  # russian
+            (3, "abc 你好 αβ"),  # latin + cjk + greek
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in script_stats(docs).collect()}
+    assert got[1]["latin"] == 10 and got[1]["digit"] == 3
+    assert got[1]["dominant"] == "latin"
+    assert got[2]["cyrillic"] == 9 and got[2]["dominant"] == "cyrillic"
+    assert got[3]["cjk"] == 2 and got[3]["greek"] == 2
+    assert got[3]["dominant"] == "latin"  # 3 latin chars beat 2+2
+    assert got[4]["known_ratio"] == 0.0 and got[4]["dominant"] == "none"
+    # russian text: every non-space char is known
+    assert got[2]["known_ratio"] == pytest.approx(9 / 10, abs=1e-6)
+
+
+def test_keep_best_prefers_high_score_then_min_id(spark):
+    from tspider_spark.operators.textdedup import keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 5), (9, 1)],
+        "doc_id long, score long",
+    )
+    got = {
+        r["doc_id"]: r["keep"] for r in keep_best(clusters, scores).collect()
+    }
+    # cluster 1: 2 and 3 tie at 30 -> min id 2 wins; cluster 7: tie -> 7
+    assert got == {1: False, 2: True, 3: False, 7: True, 8: False, 9: True}

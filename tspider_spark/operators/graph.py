@@ -270,6 +270,133 @@ def pagerank_oracle_sql(
     )
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    personalized PageRank whose teleport distribution is uniform over
+    a hand-vetted *trusted seed set* instead of all nodes — trust
+    flows out from the seeds along links, so link-spam farms that
+    no trusted host points at score ~0 however densely they
+    interlink. The crawl-scheduler use is the inverse of the
+    authority boost: demote (or budget-cap) hosts whose trust is far
+    below their PageRank.
+
+    Semantics (biased-PageRank convention, pinned by the chained-CTE
+    oracle): s(v) = 1/|S∩V| on seed nodes, 0 elsewhere;
+    t_0 = s;  t_{k+1}(v) = (1-d)·s(v) + d·(Σ_{u→v} t_k(u)/outdeg(u)
+    + dangling_k·s(v)) — dangling mass teleports to the SEEDS (not
+    uniformly), keeping Σt = 1 per iteration. Seeds not present in
+    the graph are ignored.
+
+    Scale shape is :func:`pagerank`'s: one node-keyed exchange per
+    iteration, scalar carriers as broadcast 1-row cross joins, the
+    seed flag joined once onto the reusable base relation (the seed
+    set is metadata-sized next to the graph), lineage cut per
+    iteration. Returns (node, trust) rounded to 6 places.
+    """
+    e = edges.select(src, dst).distinct()
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    flagged = nodes.join(
+        s.withColumn("_is_seed", F.lit(1)), "node", "left"
+    ).select("node", F.coalesce("_is_seed", F.lit(0)).alias("_is_seed"))
+    ns_row = flagged.agg(F.sum("_is_seed").alias("_ns"))
+    deg = e.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("_deg"))
+    base = flagged.join(deg, "node", "left").crossJoin(F.broadcast(ns_row))
+    s_v = F.col("_is_seed").cast("double") / F.col("_ns")
+
+    trust = base.select("node", s_v.alias("trust"))
+    for i in range(iters):
+        r = base.join(trust, "node")
+        contrib = (
+            r.filter(F.col("_deg").isNotNull())
+            .join(e, F.col("node") == F.col(src))
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum(F.col("trust") / F.col("_deg")).alias("_c"))
+        )
+        dangling = r.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_deg").isNull(), F.col("trust"))),
+                F.lit(0.0),
+            ).alias("_dm")
+        )
+        trust = (
+            base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) * s_v
+                    + damping
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dm") * s_v
+                    )
+                ).alias("trust"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            trust = trust.localCheckpoint(eager=True)
+    return trust.select("node", F.round("trust", 6).alias("trust"))
+
+
+def trustrank_oracle_sql(
+    edges_cte: str, seeds_cte: str, iters: int = 10, damping: float = 0.85
+) -> str:
+    """Chained-CTE SQL twin of :func:`trustrank`. ``edges_cte``
+    defines ``edges(src, dst)``; ``seeds_cte`` defines
+    ``seeds(node)``. MATERIALIZED per-iteration CTEs for the same
+    3^k-inlining reason as :func:`pagerank_oracle_sql`."""
+    d = f"cast({damping!r} as double)"
+    tele = f"cast({1.0 - damping!r} as double)"
+    parts = [
+        edges_cte,
+        seeds_cte,
+        "e as (select distinct src, dst from edges)",
+        "nodes as (select src as node from e union select dst from e)",
+        "sflag as (select n.node, case when s.node is null then 0 else 1 "
+        "end as is_seed from nodes n left join (select distinct node from "
+        "seeds) s on n.node = s.node)",
+        "ns as (select sum(is_seed) as k from sflag)",
+        "deg as (select src as node, count(*) as deg from e group by 1)",
+        "t0 as materialized (select node, "
+        "cast(is_seed as double) / ns.k as trust from sflag, ns)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"c{t} as (select e.dst as node, sum(p.trust / deg.deg) as c "
+            f"from t{t} p join deg using (node) join e on e.src = p.node "
+            f"group by 1)"
+        )
+        parts.append(
+            f"dm{t} as (select coalesce(sum(p.trust), cast(0 as double)) "
+            f"as dm from t{t} p left join deg using (node) "
+            f"where deg.deg is null)"
+        )
+        parts.append(
+            f"t{t + 1} as materialized (select f.node, "
+            f"{tele} * cast(f.is_seed as double) / ns.k + {d} * "
+            f"(coalesce(c{t}.c, cast(0 as double)) + "
+            f"dm{t}.dm * cast(f.is_seed as double) / ns.k) as trust "
+            f"from sflag f left join c{t} on f.node = c{t}.node, ns, dm{t})"
+        )
+    return (
+        "with " + ",\n ".join(parts)
+        + f"\n select node, round(trust, 6) as trust from t{iters}"
+    )
+
+
 def opic(
     edges: DataFrame,
     rounds: int = 10,

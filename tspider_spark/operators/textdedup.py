@@ -396,6 +396,50 @@ def dedup_clusters(
     )
 
 
+def keep_best(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware cluster keeper: instead of :func:`dedup_clusters`'
+    min-id canonical doc, keep the HIGHEST-scoring member of each
+    near-dup cluster (ties by min id) — the production curation rule
+    ("keep the longest / highest-quality copy, drop its near-dups"),
+    e.g. score = doc length, a Gopher/C4 quality score, or a bigram-LM
+    bits-per-token (negated).
+
+    ``clusters``: (id, cluster_id) membership — dedup_clusters /
+    connected_components output. ``scores``: (id, score).
+
+    Scale shape: one equi-join on the id, then ONE cluster-keyed hash
+    aggregation with map-side partial ``min(struct(-score, id))`` — a
+    mega-cluster (viral boilerplate) partial-aggregates instead of
+    sorting inside a window, so hot clusters cost a combine, not a
+    single-task sort. The winner joins back on cluster_id (plain hash
+    join; cluster count scales with doc count, never broadcast).
+
+    Returns (id, cluster_id, score, keep).
+    """
+    m = clusters.select(id_col, cluster_col).join(
+        scores.select(id_col, score_col), id_col
+    )
+    best = m.groupBy(cluster_col).agg(
+        F.min(
+            F.struct(
+                (-F.col(score_col)).alias("_ns"), F.col(id_col).alias("_id")
+            )
+        ).alias("_b")
+    )
+    return m.join(best, cluster_col).select(
+        id_col,
+        cluster_col,
+        score_col,
+        (F.col(id_col) == F.col("_b._id")).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # winnowing fingerprints (rolling-hash document fingerprinting)
 

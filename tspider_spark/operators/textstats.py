@@ -88,6 +88,91 @@ def lang_id(text: str = "text") -> Column:
     return out
 
 
+# Unicode-script character classes in the Java-regex ∩ RE2 dialect
+# (\x{hhhh} ranges parse identically in both), so the DuckDB oracle
+# runs the same expressions — the pii_redact portability rule.
+SCRIPT_CLASSES = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "digit": r"[0-9]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "cjk": r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]",
+}
+
+
+def script_stats(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Per-document writing-script profile — the curation companion to
+    the stopword :func:`lang_id` (CCNet/Dolma pipelines gate on script
+    before language: mixed-script text is a spam/encoding-noise
+    signal, and non-target scripts route to different LM models).
+    Counts characters per script class (shuffle-free JVM
+    ``regexp_count`` projections), plus the dominant script by fixed
+    precedence on ties, and the fraction of characters in ANY known
+    class (low = binary junk / emoji floods / encoding damage).
+
+    Returns (id, n_chars, <one count per class>, known_ratio,
+    dominant) with known_ratio rounded to 6; empty docs get
+    known_ratio 0 and dominant 'none'.
+    """
+    counts = {
+        name: F.regexp_count(F.col(text), F.lit(pat)).alias(name)
+        for name, pat in SCRIPT_CLASSES.items()
+    }
+    d = df.select(
+        F.col(id_col), F.length(F.col(text)).alias("n_chars"), *counts.values()
+    )
+    known = sum((F.col(n) for n in SCRIPT_CLASSES), F.lit(0))
+    best = F.greatest(*[F.col(n) for n in SCRIPT_CLASSES])
+    dominant = F.lit("none")
+    for name in reversed(list(SCRIPT_CLASSES)):  # earlier names win ties
+        dominant = F.when((best > 0) & (F.col(name) == best), name).otherwise(
+            dominant
+        )
+    return d.select(
+        id_col,
+        "n_chars",
+        *SCRIPT_CLASSES,
+        F.round(
+            F.when(F.col("n_chars") > 0, known / F.col("n_chars")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("known_ratio"),
+        dominant.alias("dominant"),
+    )
+
+
+def script_stats_oracle_sql(src: str = "documents", text: str = "text") -> str:
+    """DuckDB twin of :func:`script_stats` (same regex literals)."""
+    cnt = {
+        n: f"len(regexp_extract_all({text}, '{p}'))"
+        for n, p in SCRIPT_CLASSES.items()
+    }
+    names = list(SCRIPT_CLASSES)
+    known = " + ".join(names)
+    best = f"greatest({', '.join(names)})"
+    dom = "case "
+    for n in names:  # first match in declaration order wins ties
+        dom += f"when {best} > 0 and {n} = {best} then '{n}' "
+    dom = dom.rstrip()
+    return f"""
+ with c as (
+   select doc_id, length({text}) as n_chars,
+          {', '.join(f'{e} as {n}' for n, e in cnt.items())}
+   from {src}
+ )
+ select doc_id, n_chars, {', '.join(names)},
+        round(case when n_chars > 0
+              then cast({known} as double) / n_chars
+              else cast(0 as double) end, 6) as known_ratio,
+        {dom} else 'none' end as dominant
+ from c
+"""
+
+
 def doc_fingerprint(text: str = "text") -> Column:
     """Canonical content fingerprint: md5 of lower-cased,
     whitespace-collapsed text — the exact-dedupe key."""
