@@ -74,3 +74,44 @@ def test_rebuild_seen_cache_tool(spark, tmp_path):
     assert n == 2
     keys = {r["saved_key"] for r in store.read("seen_saved").collect()}
     assert keys == {"GET-http://h1.com/a?x", "POST-http://h2.com/f"}
+
+
+def test_score_hosts_tool_feeds_authority_mode(spark, tmp_path):
+    """Close the authority loop: documents -> score_hosts (real
+    extraction -> host graph -> pagerank/trustrank -> dense ranks) ->
+    parquet consumable by submit_crawl --host-priorities."""
+    import score_hosts
+
+    from tspider_spark.sources.corpus import (
+        CorpusSpec,
+        corpus_to_spark,
+        generate_corpus,
+    )
+
+    docs, _ = generate_corpus(
+        CorpusSpec(seed=11, n_domains=3, hosts_per_domain=2, hot_host_pages=10)
+    )
+    dpath = str(tmp_path / "docs")
+    corpus_to_spark(spark, docs).write.parquet(dpath)
+
+    out = str(tmp_path / "prio")
+    n = score_hosts.main(
+        ["--documents", dpath, "--out", out, "--algo", "pagerank",
+         "--iters", "5"],
+        spark=spark,
+    )
+    pr = spark.read.parquet(out)
+    assert set(pr.columns) == {"hostname", "priority"}
+    rows = {r["hostname"]: r["priority"] for r in pr.collect()}
+    assert n == len(rows) > 3
+    assert sorted(rows.values()) == list(range(len(rows)))  # dense ranks
+
+    # trustrank variant with a real corpus host as seed
+    seed_host = sorted(rows)[0]
+    n2 = score_hosts.main(
+        ["--documents", dpath, "--out", str(tmp_path / "prio2"),
+         "--algo", "trustrank", "--iters", "5", "--seeds", seed_host],
+        spark=spark,
+    )
+    pr2 = spark.read.parquet(str(tmp_path / "prio2"))
+    assert n2 == pr2.count() == len(rows)
