@@ -574,3 +574,43 @@ def test_keep_best_prefers_high_score_then_min_id(spark):
     }
     # cluster 1: 2 and 3 tie at 30 -> min id 2 wins; cluster 7: tie -> 7
     assert got == {1: False, 2: True, 3: False, 7: True, 8: False, 9: True}
+
+
+def test_keep_best_plan_has_no_window_sort(spark):
+    # hot-cluster safety is the point: argmax via map-side partial
+    # min(struct), never a per-cluster window sort
+    from tspider_spark.operators.textdedup import keep_best
+
+    clusters = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("cluster_id")
+    )
+    scores = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 13).alias("score")
+    )
+    plan = (
+        keep_best(clusters, scores)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "min(" in plan
+
+
+def test_recrawl_priority_single_url_exchange(spark):
+    # the lag window and the per-url aggregation must share ONE hash
+    # exchange on url (the scale claim in the module docstring)
+    import datetime as dt
+
+    from tspider_spark.operators.recrawl import recrawl_priority
+
+    t0 = dt.datetime(2024, 1, 1)
+    obs = spark.createDataFrame(
+        [(f"u{i % 7}", t0 + dt.timedelta(hours=i), f"v{i % 3}")
+         for i in range(50)],
+        "url string, fetched_at timestamp, fingerprint string",
+    )
+    plan = (
+        recrawl_priority(obs, 1706745600.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
