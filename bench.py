@@ -373,18 +373,18 @@ def main():
         build_cuckoo_shard_df,
     )
 
-    filt_df = build_cuckoo_shard_df(
-        seen10, "scan_key", 32, int(n_seen * 1.6) // 32
-    )
+    delta_n = min(400_000, n_seen // 5)  # a wave-sized admitted delta
+    ck_cap = int((n_seen + delta_n) * 1.6) // 32  # sized for seen + delta
+    filt_df = build_cuckoo_shard_df(seen10, "scan_key", 32, ck_cap)
     filt_rows = filt_df.collect()  # bootstrap, untimed
     filt_small = spark.createDataFrame(filt_rows, filt_df.schema)
     t0 = time.time()
     n_ck = anti_join_seen_cuckoo(
         cands10, seen10, "scan_key", filt_rows, 32
     ).count()
-    delta = cands10.limit(400_000)  # a wave-sized admitted delta
+    delta = cands10.limit(delta_n)
     apply_cuckoo_delta(
-        filt_small, delta, "scan_key", 32, int(n_seen * 1.6) // 32, op="add"
+        filt_small, delta, "scan_key", 32, ck_cap, op="add"
     ).write.mode("overwrite").format("noop").save()
     seen_rows["seen10m_cuckoo_wave"] = round(time.time() - t0, 3)
     assert n_ck == n_exact, (n_ck, n_exact)
