@@ -1255,6 +1255,23 @@ def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality gate: unigram+bigram features
+    hashed into 512 buckets (portable md5 idiom), scored by a
+    broadcast (bucket, weight) model table — the learned-filter slot
+    of an LLM curation pipeline (GPT-3 WebText LR / CCNet quality
+    classifier shape), with deterministic md5-derived stand-in weights
+    so the full scoring path is oracle-checkable."""
+    from tspider_spark.operators.classify import (
+        linear_quality_scores,
+        md5_stub_weights,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = md5_stub_weights(spark, 512)
+    return linear_quality_scores(d, w, n_buckets=512)
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap seed extraction over synthesized bodies: hosts with
     host-number % 6 == 0 serve a <sitemapindex> (pointers, flagged),
@@ -1462,8 +1479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries. Front-loaded: the 8 queries that sat at positions 51-58
     # in r2 and never got a driver verdict, then the 3 r2 blemishes
     # (fixed this round), then the rows-only pair. Deferred past 50:
-    # 8 queries that were driver-green in BOTH r1 and r2 (TPC-style
-    # warm-ups and stable stats) — they keep their local-oracle check.
+    # 9 queries that were driver-green in BOTH r1 and r2 (TPC-style
+    # warm-ups, stable stats, robots_disallow) — they keep their
+    # local-oracle check.
     return {
         # never driver-checked before r3
         "simhash_dups": q_simhash_dups,
@@ -1496,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "url_trap_hosts": q_url_trap_hosts,
         "ann_sq_topk": q_ann_sq_topk,
+        "quality_classifier": q_quality_classifier,
         # rows-only (non-SQL-expressible: sequential stateful crawl
         # loop / binary payload decode)
         "crawl_full_run": q_crawl_full_run,
@@ -1511,7 +1530,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f10_suffix_blocklist": q_f10_suffix_blocklist,
         "f12_f13_saved_dedupe": q_f12_f13_saved_dedupe,
         "q2_politeness_delay": q_q2_politeness_delay,
-        "robots_disallow": q_robots_disallow,
         "k1_scope_routing": q_k1_scope_routing,
         "host_rate_windows": q_host_rate_windows,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1550,6 +1568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "ann_brute_topk": q_ann_brute_topk,
         "token_count_dist": q_token_count_dist,
+        # demoted r3: twice driver-green (r1+r2), robots.py untouched
+        # this round and covered in-window by robots_parse
+        "robots_disallow": q_robots_disallow,
     }
 
 
@@ -2587,6 +2608,41 @@ def oracle_sql() -> dict[str, str]:
    where rn <= 20
  )
  select query_id, rank, neighbor_id from rescored where rank <= 5
+""",
+        "quality_classifier": """
+ with toks0 as (
+   select doc_id, string_split_regex(trim(lower(text)), '\\s+') as t
+   from documents
+ ),
+ tl as (select doc_id, list_filter(t, w -> w <> '') as t from toks0),
+ grams as (
+   select doc_id, unnest(list_concat(
+     t, list_transform(range(1, len(t)), i -> t[i] || '_' || t[i + 1])
+   )) as g
+   from tl
+ ),
+ h as (
+   select doc_id,
+          cast(('0x' || substring(md5(g), 1, 15))::BIGINT % 512 as int)
+            as bucket
+   from grams
+ ),
+ w as (
+   select cast(i as int) as bucket,
+          (('0x' || substring(md5('qcw-' || i), 1, 15))::BIGINT
+             % 2000001 - 1000000) / 1000000.0 as weight
+   from (select unnest(range(0, 512)) as i)
+ ),
+ s as (
+   select doc_id, cast(count(*) as bigint) as n_grams,
+          sum(w.weight) / count(*) as score
+   from h join w using (bucket)
+   group by doc_id
+ )
+ select doc_id, n_grams, round(score, 6) as score,
+        round(1 / (1 + exp(-score)), 6) as prob,
+        round(1 / (1 + exp(-score)), 6) >= 0.5 as keep
+ from s
 """,
         "decontam_overlap": "with "
         + _shingle_sql("documents", 4).lstrip()

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "host_trustrank",
     "script_stats",
     "dedup_keep_best",
+    "quality_classifier",
 ]
 
 

@@ -1,0 +1,147 @@
+"""Model-based quality classification: fastText-style linear scoring
+over hashed word n-gram features.
+
+The standard LLM-curation quality gate (GPT-3's WebText-vs-Common-Crawl
+logistic regression, CCNet/fastText language+quality classifiers,
+LLaMA's "reference-like" filter) is a LINEAR model over hashed bag-of-
+n-gram features: tokens and word bigrams are feature-hashed into a
+fixed bucket space and the document score is a weighted sum of bucket
+counts pushed through a sigmoid.  This module implements the SCORING
+side of that pipeline Spark-first:
+
+- ``hashed_gram_features``: one scan, one explode — unigrams and word
+  bigrams hashed into ``n_buckets`` with the same portable md5 idiom as
+  MinHash/simhash (`conv(substring(md5(g),1,15),16,10)`), so the whole
+  path stays DuckDB-oracle-checkable.  No vocabulary table: the
+  hashing trick (Weinberger et al. 2009) makes the feature space fixed
+  and collision-tolerant, exactly like fastText's ``-hash`` buckets.
+- ``linear_quality_scores``: features ⋈ broadcast(weights) on the
+  bucket id, then ONE map-side-combinable aggregation per document.
+  The model is a *table* (bucket, weight), the way a trained fastText /
+  sklearn export lands in a warehouse — at 100 TB the weights (4k-2M
+  rows) broadcast to every executor and the corpus side is a single
+  projected scan; per-doc state is two running sums.  Documents with
+  no grams at all (empty/whitespace text) produce no output row — the
+  explode drops them on both the Spark and the oracle side, so the
+  contract stays aligned.
+- ``md5_stub_weights``: a deterministic stand-in for the trained
+  weight vector (hash of the bucket id mapped to [-1, 1]) so tests and
+  the driver contract exercise the full scoring path without shipping
+  a model; a real deployment replaces this one table.
+
+Reference parity: TSpider has no model gate (its filters are the F1-F14
+rule chain); this extends the curation layer alongside gopher_filter /
+c4_line_filter as the learned-filter slot of a training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _grams(text_col: str) -> "F.Column":
+    """Unigrams + word bigrams as one array column, from one split.
+
+    Bigrams are joined with '_' (fastText's word-ngram convention).
+    ``sequence(1, n-1)`` is guarded: Spark's sequence(1, 0) counts
+    DOWN, so docs with fewer than two tokens must take the empty
+    branch explicitly.
+    """
+    toks = f"filter(split(trim(lower({text_col})), '\\\\s+'), w -> w <> '')"
+    bigs = (
+        f"case when size({toks}) >= 2 then "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), '_', element_at({toks}, i + 1))) "
+        f"else array() end"
+    )
+    return F.expr(f"concat({toks}, {bigs})")
+
+
+def hashed_gram_features(
+    df: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(id, bucket, cnt) hashed n-gram counts — one scan, one explode,
+    one map-side-combinable count agg keyed on (id, bucket).  Bucket
+    cardinality per doc is min(n_grams, n_buckets), so the aggregation
+    state is bounded; no shuffle before the (id, bucket) exchange."""
+    grams = df.select(
+        F.col(id_col), F.explode(_grams(text)).alias("_g")
+    )
+    h = F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10).cast("long")
+    return (
+        grams.select(
+            F.col(id_col), F.pmod(h, F.lit(n_buckets)).cast("int").alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def md5_stub_weights(
+    spark: SparkSession, n_buckets: int = 4096, seed: str = "qcw"
+) -> DataFrame:
+    """Deterministic stand-in weight table (bucket, weight) with
+    weight in [-1, 1] derived from md5(seed-bucket) — the sandbox
+    substitute for a trained fastText/logistic export.  Generated
+    distributed (spark.range), tiny (n_buckets rows), broadcast at the
+    scoring join."""
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + "-"), F.col("id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((hv % 2000001 - 1000000) / 1000000.0).alias("weight"),
+    )
+
+
+def linear_quality_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 4096,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Score every document with a linear model over hashed n-gram
+    features: score = bias + Σ w(bucket(g))·cnt(g) / Σ cnt(g),
+    prob = sigmoid(score), keep = prob ≥ threshold.
+
+    Plan: feature explode → (id, bucket) partial-agg → BROADCAST join
+    with the weight table (the model is always tiny next to the
+    corpus) → one final per-doc agg.  Length normalization (divide by
+    the gram count) is fastText's mean-of-embeddings analog and keeps
+    long documents from saturating the sigmoid.  Docs whose every gram
+    hashes to an unweighted bucket (left join) score exactly ``bias``.
+
+    Output: (id_col, n_grams, score, prob, keep) — scalar columns only
+    (driver-contract rule).
+    """
+    feats = hashed_gram_features(df, n_buckets, id_col=id_col, text=text)
+    scored = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            (
+                F.lit(bias)
+                + F.sum(F.coalesce(F.col("weight"), F.lit(0.0)) * F.col("cnt"))
+                / F.sum("cnt")
+            ).alias("score"),
+        )
+    )
+    prob = F.round(1.0 / (1.0 + F.exp(-F.col("score"))), 6)
+    return scored.select(
+        F.col(id_col),
+        "n_grams",
+        F.round("score", 6).alias("score"),
+        prob.alias("prob"),
+        (prob >= F.lit(threshold)).alias("keep"),
+    )
