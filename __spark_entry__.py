@@ -1255,6 +1255,26 @@ def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-proportional dedupe: signatures/banding run over the NEW
+    batch only (copies of docs <150 shifted +100000, plus fresh docs
+    300-379); the old corpus (<300) participates via its band index
+    and a candidate-bounded shingle rescan. Pairs (ia, ib, jaccard)
+    with >= 1 new side — old-old dups are never emitted."""
+    from tspider_spark.operators.textdedup import incremental_lsh_dups
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") < 300)
+    new = (
+        d.filter(F.col("doc_id") < 150)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 380)))
+    )
+    return incremental_lsh_dups(old, new, n=3, tau=0.9).select(
+        "ia", "ib", "jaccard"
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear quality gate: unigram+bigram features
     hashed into 512 buckets (portable md5 idiom), scored by a
@@ -1515,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_hosts": q_url_trap_hosts,
         "ann_sq_topk": q_ann_sq_topk,
         "quality_classifier": q_quality_classifier,
+        "incremental_lsh_dups": q_incremental_lsh_dups,
         # rows-only (non-SQL-expressible: sequential stateful crawl
         # loop / binary payload decode)
         "crawl_full_run": q_crawl_full_run,
@@ -1531,7 +1552,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f12_f13_saved_dedupe": q_f12_f13_saved_dedupe,
         "q2_politeness_delay": q_q2_politeness_delay,
         "k1_scope_routing": q_k1_scope_routing,
-        "host_rate_windows": q_host_rate_windows,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -1568,9 +1588,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "ann_brute_topk": q_ann_brute_topk,
         "token_count_dist": q_token_count_dist,
-        # demoted r3: twice driver-green (r1+r2), robots.py untouched
-        # this round and covered in-window by robots_parse
+        # demoted r3: twice driver-green (r1+r2), backing files
+        # untouched this round (robots.py / stream.py); robots.py is
+        # covered in-window by robots_parse
         "robots_disallow": q_robots_disallow,
+        "host_rate_windows": q_host_rate_windows,
     }
 
 
@@ -2608,6 +2630,28 @@ def oracle_sql() -> dict[str, str]:
    where rn <= 20
  )
  select query_id, rank, neighbor_id from rescored where rank <= 5
+""",
+        "incremental_lsh_dups": """
+ with old as (select doc_id, text from documents where doc_id < 300),
+ nw as (
+   select doc_id + 100000 as doc_id, text from documents
+   where doc_id < 150
+   union all
+   select doc_id, text from documents where doc_id >= 300 and doc_id < 380
+ ),
+ src as (select * from old union all select * from nw),
+"""
+        + _shingle_sql("src").lstrip()
+        + """
+ , inter as (
+   select a.doc_id ia, b.doc_id ib, count(*) n
+   from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+   group by 1, 2
+ ), sz as (select doc_id, count(*) c from sh group by 1)
+ select ia, ib, round(n * 1.0 / (sa.c + sb.c - n), 6) as jaccard
+ from inter join sz sa on sa.doc_id = ia join sz sb on sb.doc_id = ib
+ where n * 1.0 / (sa.c + sb.c - n) >= 0.9
+   and (ia in (select doc_id from nw) or ib in (select doc_id from nw))
 """,
         "quality_classifier": """
  with toks0 as (

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "script_stats",
     "dedup_keep_best",
     "quality_classifier",
+    "incremental_lsh_dups",
 ]
 
 

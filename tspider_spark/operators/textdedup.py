@@ -183,12 +183,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     sigs: DataFrame, bands: int = 16, rows: int = 2, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Band the signature (bands x rows == len(sig)); docs sharing a
-    full band land in the same bucket -> candidate pair."""
-    banded = sigs.select(
+    """(id, band, bucket) rows — the LSH band index. This is the
+    PERSISTABLE artifact: a corpus's band index is written once
+    (bucketed by (band, bucket) at scale) and reused by
+    :func:`incremental_lsh_dups` every ingest wave, so signature work
+    is never repeated for already-indexed documents."""
+    return sigs.select(
         id_col,
         F.explode(
             F.array(*[
@@ -202,6 +205,14 @@ def lsh_candidate_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, rows: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature (bands x rows == len(sig)); docs sharing a
+    full band land in the same bucket -> candidate pair."""
+    banded = band_buckets(sigs, bands, rows, id_col)
     a = banded.select(F.col(id_col).alias("ia"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("ib"), "band", "bucket")
     return (
@@ -247,6 +258,86 @@ def minhash_lsh_dups(
     exact = jaccard_pairs(sh_cand, tau, id_col)
     out = exact.join(cand, ["ia", "ib"], "left_semi")
     return out
+
+
+def incremental_lsh_dups(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    n: int = 3,
+    tau: float = 0.8,
+    k: int = 32,
+    bands: int = 16,
+    rows: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+    hash_fn: str = "md5",
+    old_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs involving at least one NEW document — the
+    per-wave dedupe path of a continuously-ingesting corpus.
+
+    Rerunning :func:`minhash_lsh_dups` over old ∪ new every wave
+    recomputes shingles + signatures for the WHOLE corpus — O(corpus)
+    per wave, the dedupe analog of the unbucketed fetch join. This
+    operator makes the per-wave cost wave-proportional instead:
+
+    - signatures/banding run over ``new_docs`` only (one scan of the
+      wave);
+    - the old corpus participates through its PERSISTED band index
+      (``old_buckets``, built once via :func:`band_buckets`; pass
+      None to recompute it, which tests and the oracle do) — at
+      10^10-doc scale that table is bucketed by (band, bucket) so the
+      new-side probe is a storage-partitioned join, old-old pairs are
+      never even generated;
+    - exact-Jaccard verification is candidate-bounded on BOTH sides:
+      old documents' shingles are recomputed only for docs that
+      collide with a new band bucket (a semi-joined point scan of the
+      corpus, O(candidates)).
+
+    Output: (ia, ib, jaccard) with ia < ib, jaccard >= tau, and at
+    least one side from ``new_docs``; new×new pairs are included, so
+    old_dups(old) ∪ incremental(old, new) == full_dups(old ∪ new) —
+    the wave-invariant a resumable ingest pipeline needs. ``id_col``
+    values must be unique across old ∪ new.
+    """
+    new_sh = shingles(new_docs, n, id_col, text).cache()
+    new_bk = band_buckets(
+        minhash_signatures(new_sh, k, id_col, hash_fn), bands, rows, id_col
+    ).cache()
+    if old_buckets is None:
+        old_buckets = band_buckets(
+            minhash_signatures(shingles(old_docs, n, id_col, text), k,
+                               id_col, hash_fn),
+            bands, rows, id_col,
+        )
+    a = new_bk.select(F.col(id_col).alias("ia"), "band", "bucket")
+    b = new_bk.select(F.col(id_col).alias("ib"), "band", "bucket")
+    nn = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+    )
+    o = old_buckets.select(F.col(id_col).alias("_oid"), "band", "bucket")
+    nw = new_bk.select(F.col(id_col).alias("_nid"), "band", "bucket")
+    no = (
+        o.join(nw, ["band", "bucket"])
+        .filter(F.col("_oid") != F.col("_nid"))
+        .select(
+            F.least("_oid", "_nid").alias("ia"),
+            F.greatest("_oid", "_nid").alias("ib"),
+        )
+    )
+    cand = nn.unionByName(no).distinct().cache()
+    cand_docs = cand.select(
+        F.explode(F.array("ia", "ib")).alias(id_col)
+    ).distinct()
+    # bounded corpus touch: only colliding old docs are re-shingled
+    old_cand_sh = shingles(
+        old_docs.join(cand_docs, id_col, "left_semi"), n, id_col, text
+    )
+    sh_all = new_sh.join(cand_docs, id_col, "left_semi").unionByName(old_cand_sh)
+    exact = jaccard_pairs(sh_all, tau, id_col)
+    return exact.join(cand, ["ia", "ib"], "left_semi")
 
 
 # ---------------------------------------------------------------------------
