@@ -1255,6 +1255,26 @@ def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics (measurement side of the salting story): the
+    20 hottest hostnames of the clean candidate frame with row share
+    and rank — distributed TakeOrdered, rank window over 20 rows."""
+    from tspider_spark.operators.diagnose import hot_keys
+
+    d = _clean(spark, sf_dir).select(F.col("u.hostname").alias("hostname"))
+    return hot_keys(d, "hostname", k=20)
+
+
+def q_host_skew_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row skew report for a 32-way hostname exchange: hottest-key
+    share, bucket imbalance under the portable md5 bucket hash, and
+    the salt factor the engine's salted admission fold would need."""
+    from tspider_spark.operators.diagnose import skew_summary
+
+    d = _clean(spark, sf_dir).select(F.col("u.hostname").alias("hostname"))
+    return skew_summary(d, "hostname", width=32)
+
+
 def q_incremental_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wave-proportional dedupe: signatures/banding run over the NEW
     batch only (copies of docs <150 shifted +100000, plus fresh docs
@@ -1536,12 +1556,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq_topk": q_ann_sq_topk,
         "quality_classifier": q_quality_classifier,
         "incremental_lsh_dups": q_incremental_lsh_dups,
+        "host_hot_keys": q_host_hot_keys,
+        "host_skew_summary": q_host_skew_summary,
         # rows-only (non-SQL-expressible: sequential stateful crawl
         # loop / binary payload decode)
         "crawl_full_run": q_crawl_full_run,
         "media_decode": q_media_decode,
         # the rest of the contract surface
-        "t1_t2_url_enrich": q_t1_t2_url_enrich,
         "f1_f7_stateless_filters": q_f1_f7_stateless_filters,
         "f8_seen_anti_join": q_f8_seen_anti_join,
         "f9_budget_admission": q_f9_budget_admission,
@@ -1550,7 +1571,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_host_counts": q_a1_host_counts,
         "f10_suffix_blocklist": q_f10_suffix_blocklist,
         "f12_f13_saved_dedupe": q_f12_f13_saved_dedupe,
-        "q2_politeness_delay": q_q2_politeness_delay,
         "k1_scope_routing": q_k1_scope_routing,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
@@ -1589,10 +1609,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "token_count_dist": q_token_count_dist,
         # demoted r3: twice driver-green (r1+r2), backing files
-        # untouched this round (robots.py / stream.py); robots.py is
-        # covered in-window by robots_parse
+        # untouched this round (robots.py / stream.py / urlfuncs.py /
+        # schedule.py); robots.py is covered in-window by robots_parse
         "robots_disallow": q_robots_disallow,
         "host_rate_windows": q_host_rate_windows,
+        "t1_t2_url_enrich": q_t1_t2_url_enrich,
+        "q2_politeness_delay": q_q2_politeness_delay,
     }
 
 
@@ -2630,6 +2652,47 @@ def oracle_sql() -> dict[str, str]:
    where rn <= 20
  )
  select query_id, rank, neighbor_id from rescored where rank <= 5
+""",
+        "host_hot_keys": _CLEAN_SQL + """
+ , counts as (
+   select hostname, cast(count(*) as bigint) as cnt
+   from clean group by 1
+ ),
+ total as (select sum(cnt) as t from counts),
+ topk as (
+   select hostname, cnt from counts order by cnt desc, hostname limit 20
+ )
+ select hostname, cnt, round(cnt * 1.0 / t, 6) as share,
+        cast(row_number() over (order by cnt desc, hostname) as int) as rank
+ from topk, total
+""",
+        "host_skew_summary": _CLEAN_SQL + """
+ , counts as (select hostname, count(*) as cnt from clean group by 1),
+ b as (
+   select cast(('0x' || substring(md5(hostname), 1, 15))::BIGINT % 32
+               as int) as bucket,
+          cnt
+   from counts
+ ),
+ br as (select bucket, sum(cnt) as brows from b group by 1),
+ ks as (
+   select cast(sum(cnt) as bigint) as total_rows,
+          cast(count(*) as bigint) as n_keys,
+          cast(max(cnt) as bigint) as max_key_rows
+   from counts
+ ),
+ bs as (
+   select cast(max(brows) as bigint) as max_bucket_rows,
+          avg(brows) as mean_bucket_rows
+   from br
+ )
+ select total_rows, n_keys, max_key_rows,
+        round(max_key_rows * 1.0 / total_rows, 6) as max_key_share,
+        max_bucket_rows,
+        round(max_bucket_rows / mean_bucket_rows, 6) as bucket_imbalance,
+        greatest(1, cast(ceil(max_key_rows / (total_rows / 32.0)) as int))
+          as recommended_salt
+ from ks, bs
 """,
         "incremental_lsh_dups": """
  with old as (select doc_id, text from documents where doc_id < 300),

@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "quality_classifier",
     "incremental_lsh_dups",
+    "host_hot_keys",
+    "host_skew_summary",
 ]
 
 

@@ -178,3 +178,50 @@ def test_stream_budget_admission_state_across_batches(spark, tmp_path):
     # cap=2 -> strict '>' admits cap+1=3 keys; k2's duplicate is
     # state-deduped across batches; k4 exceeds the carried budget
     assert got == {"a.com/k1", "a.com/k2", "a.com/k3"}
+
+
+def test_foreach_batch_incremental_dedupe(spark, tmp_path):
+    from tspider_spark.streaming.stream import (
+        run_foreach_batch_incremental_dedupe,
+    )
+
+    texts = {
+        "A": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "B": "one two three four five six seven eight nine ten",
+        "C": "red orange yellow green blue indigo violet pink brown black",
+    }
+    store = StateStore(spark, str(tmp_path / "dedup_state"))
+
+    # batch 1: A, B, and an in-batch copy of A
+    b1 = str(tmp_path / "b1")
+    spark.createDataFrame(
+        [(1, texts["A"]), (2, texts["B"]), (3, texts["A"])],
+        "doc_id long, text string",
+    ).write.parquet(b1)
+    q = run_foreach_batch_incremental_dedupe(
+        spark.readStream.schema("doc_id long, text string").parquet(b1),
+        store, str(tmp_path / "ck_d1"),
+    )
+    q.awaitTermination(120)
+    kept1 = {r.doc_id for r in store.read("dedup_docs").collect()}
+    assert kept1 == {1, 2}  # in-batch copy dropped, keep-first
+
+    # batch 2 (separate stream, same store): a cross-batch copy of A
+    # (must be caught via the persisted index), a fresh C, and an
+    # in-batch copy of C
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(10, texts["A"]), (11, texts["C"]), (12, texts["C"])],
+        "doc_id long, text string",
+    ).write.parquet(b2)
+    q = run_foreach_batch_incremental_dedupe(
+        spark.readStream.schema("doc_id long, text string").parquet(b2),
+        store, str(tmp_path / "ck_d2"),
+    )
+    q.awaitTermination(120)
+    kept2 = {r.doc_id for r in store.read("dedup_docs").collect()}
+    assert kept2 == {1, 2, 11}
+
+    # the index covers exactly the surviving docs
+    idx_docs = {r.doc_id for r in store.read("band_index").collect()}
+    assert idx_docs == kept2

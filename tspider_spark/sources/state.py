@@ -121,9 +121,27 @@ SCHEMAS["host_pattern_stats"] = T.StructType(
     ]
 )
 
+# continuous-ingestion dedupe state (streaming/stream.py
+# run_foreach_batch_incremental_dedupe): the corpus-so-far and its
+# persisted MinHash band index — each micro-batch dedupes against the
+# index (wave-proportional work) and appends only its survivors
+SCHEMAS["dedup_docs"] = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+SCHEMAS["band_index"] = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.StringType()),
+    ]
+)
+
 APPEND_TABLES = (
     "frontier", "seen_scanned", "seen_saved", "results", "fetch_metrics",
-    "blocked_tasks",
+    "blocked_tasks", "dedup_docs", "band_index",
 )
 REPLACE_TABLES = ("host_budget", "whitelist", "seen_filter",
                   "host_pattern_stats")

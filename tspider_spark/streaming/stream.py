@@ -17,6 +17,9 @@ Operators:
   candidate stream through the SAME admission fold the batch engine
   uses, committing through the same StateStore (foreachBatch).
 * ``user_sessions`` — event-time sessionization (session_window).
+* ``run_foreach_batch_incremental_dedupe`` — continuous corpus
+  ingestion with wave-proportional near-dup dedupe against the
+  persisted band index (incremental_lsh_dups under foreachBatch).
 * ``stream_budget_admission`` — F8+F9 as a custom stateful operator
   (applyInPandasWithState): per-host budget + admitted-key state
   carried across micro-batches.
@@ -99,6 +102,66 @@ def run_foreach_batch_crawl_step(
             appends={"seen_scanned": admitted.select("hostname", "scan_key")},
             replaces={"host_budget": new_budget},
             meta={"last_stream_batch": batch_id},
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_foreach_batch_incremental_dedupe(
+    stream_df: DataFrame,
+    store,
+    checkpoint_dir: str,
+    n: int = 3,
+    tau: float = 0.9,
+    k: int = 32,
+    bands: int = 16,
+    rows: int = 2,
+    hash_fn: str = "xxhash64",
+):
+    """Continuous corpus ingestion with wave-proportional near-dup
+    dedupe: each micro-batch of (doc_id, text) rows is deduped against
+    the corpus-so-far via :func:`~tspider_spark.operators.textdedup.
+    incremental_lsh_dups` — signatures are computed for the batch
+    only; the accumulated corpus participates through its PERSISTED
+    band index (``band_index`` state table), never a full re-scan.
+
+    Keep-first policy (matches the batch dedupe convention): a new doc
+    appearing as the greater side of any >=tau pair is dropped;
+    survivors are appended to ``dedup_docs`` and their band buckets to
+    ``band_index`` in one atomic snapshot commit, so a killed stream
+    resumes from the last consistent corpus+index pair.
+    """
+    from tspider_spark.operators.textdedup import (
+        band_buckets,
+        incremental_lsh_dups,
+        minhash_signatures,
+        shingles,
+    )
+
+    def step(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.select("doc_id", "text")
+        pairs = incremental_lsh_dups(
+            store.read("dedup_docs"),
+            batch_df,
+            n=n, tau=tau, k=k, bands=bands, rows=rows, hash_fn=hash_fn,
+            old_buckets=store.read("band_index"),
+        )
+        drop = pairs.select(F.col("ib").alias("doc_id")).distinct()
+        kept = batch_df.join(drop, "doc_id", "left_anti")
+        idx_delta = band_buckets(
+            minhash_signatures(shingles(kept, n), k, hash_fn=hash_fn),
+            bands, rows,
+        )
+        store.commit(
+            appends={"dedup_docs": kept, "band_index": idx_delta},
+            meta={"last_dedup_batch": batch_id},
         )
 
     return (
