@@ -1275,6 +1275,25 @@ def q_host_skew_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_summary(d, "hostname", width=32)
 
 
+def q_host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-host pairs by co-citation (Dean & Henzinger 1999): two
+    hosts are similar when the same sources link to both — Jaccard
+    over distinct in-link source sets, bucketed join on the shared
+    source (the shingle-join scale shape), super-connector cap part of
+    the semantics. Same events-derived graph as host_pagerank."""
+    from tspider_spark.operators.graph import neighbor_jaccard_pairs
+
+    ev = _load(spark, sf_dir, "events")
+    src = F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string"))
+    dst = F.concat(
+        F.lit("h"), ((F.col("user_id") * 7 + F.col("event_id")) % 37).cast("string")
+    )
+    edges = ev.select(src.alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    return neighbor_jaccard_pairs(edges, "cocitation", min_shared=2)
+
+
 def q_incremental_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wave-proportional dedupe: signatures/banding run over the NEW
     batch only (copies of docs <150 shifted +100000, plus fresh docs
@@ -1558,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_lsh_dups": q_incremental_lsh_dups,
         "host_hot_keys": q_host_hot_keys,
         "host_skew_summary": q_host_skew_summary,
+        "host_cocitation": q_host_cocitation,
         # rows-only (non-SQL-expressible: sequential stateful crawl
         # loop / binary payload decode)
         "crawl_full_run": q_crawl_full_run,
@@ -1567,7 +1587,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_seen_anti_join": q_f8_seen_anti_join,
         "f9_budget_admission": q_f9_budget_admission,
         "a2_index_synthesis": q_a2_index_synthesis,
-        "k6_keepfirst": q_k6_keepfirst,
         "a1_host_counts": q_a1_host_counts,
         "f10_suffix_blocklist": q_f10_suffix_blocklist,
         "f12_f13_saved_dedupe": q_f12_f13_saved_dedupe,
@@ -1615,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rate_windows": q_host_rate_windows,
         "t1_t2_url_enrich": q_t1_t2_url_enrich,
         "q2_politeness_delay": q_q2_politeness_delay,
+        "k6_keepfirst": q_k6_keepfirst,
     }
 
 
@@ -2652,6 +2672,27 @@ def oracle_sql() -> dict[str, str]:
    where rn <= 20
  )
  select query_id, rank, neighbor_id from rescored where rank <= 5
+""",
+        "host_cocitation": """
+ with e0 as (
+   select distinct 'h' || (user_id % 37) as src,
+          'h' || ((user_id * 7 + event_id) % 37) as dst
+   from events
+   where (user_id % 37) <> ((user_id * 7 + event_id) % 37)
+ ),
+ deg as (select src, count(*) as d from e0 group by 1),
+ e as (select e0.src, e0.dst from e0 join deg using (src) where d <= 10000),
+ inter as (
+   select a.dst as ia, b.dst as ib, cast(count(*) as bigint) as shared
+   from e a join e b using (src)
+   where a.dst < b.dst
+   group by 1, 2
+ ),
+ sz as (select dst, count(*) as c from e group by 1)
+ select ia, ib, shared,
+        round(shared * 1.0 / (sa.c + sb.c - shared), 6) as jaccard
+ from inter join sz sa on sa.dst = ia join sz sb on sb.dst = ib
+ where shared >= 2
 """,
         "host_hot_keys": _CLEAN_SQL + """
  , counts as (

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "incremental_lsh_dups",
     "host_hot_keys",
     "host_skew_summary",
+    "host_cocitation",
 ]
 
 

@@ -220,3 +220,52 @@ def test_trustrank_uniform_seeds_equals_pagerank(spark):
     tr = {r["node"]: r["trust"] for r in trustrank(e, seeds, iters=7).collect()}
     pr = {r["node"]: r["rank"] for r in pagerank(e, iters=7).collect()}
     assert tr == pr
+
+
+def test_neighbor_jaccard_cocitation(spark):
+    from tspider_spark.operators.graph import neighbor_jaccard_pairs
+
+    edges = spark.createDataFrame(
+        [("s1", "a"), ("s1", "b"), ("s1", "c"),
+         ("s2", "a"), ("s2", "b"),
+         ("s3", "b"), ("s3", "c"),
+         ("s4", "a"),
+         ("s2", "a")],  # duplicate edge must not double-count
+        ["src", "dst"],
+    )
+    got = {
+        (r.ia, r.ib, r.shared, r.jaccard)
+        for r in neighbor_jaccard_pairs(edges, "cocitation", min_shared=2).collect()
+    }
+    assert got == {("a", "b", 2, 0.5), ("b", "c", 2, 0.666667)}
+
+    # coupling on reversed edges == cocitation on the originals
+    rev = edges.select(
+        edges.dst.alias("src"), edges.src.alias("dst")
+    )
+    got2 = {
+        (r.ia, r.ib, r.shared, r.jaccard)
+        for r in neighbor_jaccard_pairs(rev, "coupling", min_shared=2).collect()
+    }
+    assert got2 == got
+
+
+def test_neighbor_jaccard_degree_cap(spark):
+    from tspider_spark.operators.graph import neighbor_jaccard_pairs
+
+    edges = spark.createDataFrame(
+        [("s1", "a"), ("s1", "b"), ("s1", "c"),
+         ("s2", "a"), ("s2", "b"),
+         ("s3", "b"), ("s3", "c"),
+         ("s4", "a")],
+        ["src", "dst"],
+    )
+    # s1 (fan-out 3) is a super-connector: excluded at max_degree=2,
+    # and the per-item set sizes shrink consistently
+    got = {
+        (r.ia, r.ib, r.shared, r.jaccard)
+        for r in neighbor_jaccard_pairs(
+            edges, "cocitation", min_shared=1, max_degree=2
+        ).collect()
+    }
+    assert got == {("a", "b", 1, 0.333333), ("b", "c", 1, 0.5)}
