@@ -98,3 +98,20 @@ def test_bias_only_when_all_buckets_unweighted(spark, docs_df):
     out = linear_quality_scores(docs_df, empty_w, 8, bias=1.5).collect()
     assert out and all(r.score == 1.5 for r in out)
     assert all(r.keep for r in out)  # sigmoid(1.5) > 0.5
+
+
+def test_xxhash_path_same_shape(spark, docs_df):
+    # the scale-path hash produces the same feature SHAPE (per-doc gram
+    # totals identical; buckets differ by design) and scores every doc
+    from tspider_spark.operators.classify import hashed_gram_features
+
+    md5 = hashed_gram_features(docs_df, 64, hash_fn="md5")
+    xx = hashed_gram_features(docs_df, 64, hash_fn="xxhash64")
+    tot_md5 = {r.doc_id: r.t for r in md5.groupBy("doc_id").agg(
+        F.sum("cnt").alias("t")).collect()}
+    tot_xx = {r.doc_id: r.t for r in xx.groupBy("doc_id").agg(
+        F.sum("cnt").alias("t")).collect()}
+    assert tot_md5 == tot_xx
+    w = md5_stub_weights(spark, 64)
+    out = linear_quality_scores(docs_df, w, 64, hash_fn="xxhash64").collect()
+    assert {r.doc_id for r in out} == {"d1", "d2", "d3", "d6"}

@@ -62,15 +62,25 @@ def hashed_gram_features(
     n_buckets: int = 4096,
     id_col: str = "doc_id",
     text: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, bucket, cnt) hashed n-gram counts — one scan, one explode,
     one map-side-combinable count agg keyed on (id, bucket).  Bucket
     cardinality per doc is min(n_grams, n_buckets), so the aggregation
-    state is bounded; no shuffle before the (id, bucket) exchange."""
+    state is bounded; no shuffle before the (id, bucket) exchange.
+
+    hash_fn follows the MinHash convention: "md5" is the portable
+    (DuckDB-oracle-checkable) bucket hash; "xxhash64" is the JVM-native
+    scale path (~10x cheaper per gram) — legal whenever the weight
+    table was trained/exported against the same hash, which is the
+    production case (the hash is part of the model artifact)."""
     grams = df.select(
         F.col(id_col), F.explode(_grams(text)).alias("_g")
     )
-    h = F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10).cast("long")
+    if hash_fn == "xxhash64":
+        h = F.shiftrightunsigned(F.xxhash64("_g"), 1)
+    else:
+        h = F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10).cast("long")
     return (
         grams.select(
             F.col(id_col), F.pmod(h, F.lit(n_buckets)).cast("int").alias("bucket")
@@ -109,6 +119,7 @@ def linear_quality_scores(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Score every document with a linear model over hashed n-gram
     features: score = bias + Σ w(bucket(g))·cnt(g) / Σ cnt(g),
@@ -124,7 +135,9 @@ def linear_quality_scores(
     Output: (id_col, n_grams, score, prob, keep) — scalar columns only
     (driver-contract rule).
     """
-    feats = hashed_gram_features(df, n_buckets, id_col=id_col, text=text)
+    feats = hashed_gram_features(
+        df, n_buckets, id_col=id_col, text=text, hash_fn=hash_fn
+    )
     scored = (
         feats.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
