@@ -1,0 +1,110 @@
+"""End-to-end corpus curation plan: the LLM-training-data pipeline
+assembled from the individually oracle-checked operators.
+
+The crawl engine (plans/crawl.py) produces documents; this plan turns
+them into training-ready sequences the way the published pipelines do
+(CCNet / Gopher / C4 / Dolma: clean → rule gates → model gate →
+dedupe → pack):
+
+1. normalize     — NFC + whitespace/control cleanup (quality.normalize_text)
+2. rule gate     — Gopher composite pass/fail     (quality.gopher_filter)
+3. model gate    — hashed-ngram linear classifier  (classify.linear_quality_scores)
+4. exact dedupe  — fingerprint keep-first          (textdedup.dedupe_exact)
+5. near dedupe   — MinHash-LSH pair drop (greater id) (textdedup.minhash_lsh_dups)
+6. pack          — GPT-style sequence packing      (curate.pack_sequences)
+
+Laziness: every stage returns a DataFrame; nothing is collected or
+cached here, so Catalyst sees the whole pipeline and the caller
+chooses what to materialize (at 100 TB each stage boundary is
+typically a written table — the stage dict maps 1:1 onto those
+tables). Each stage's SEMANTICS are pinned by that operator's own
+contract oracle; this plan adds the composition and an engine-level
+pytest that the stage counts are consistent (monotone keeps, dedupe
+drops planted copies, packing covers every survivor exactly once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def curate_corpus(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text: str = "text",
+    stratum_col: str | None = None,
+    n_buckets: int = 4096,
+    quality_threshold: float = 0.5,
+    min_words: int = 50,
+    dedupe_tau: float = 0.9,
+    seq_tokens: int = 2048,
+    hash_fn: str = "xxhash64",
+) -> dict[str, DataFrame]:
+    """Run the full curation pipeline; returns the per-stage frames
+    under stable keys: normalized, rule_pass, quality, kept_quality,
+    exact_kept, near_pairs, deduped, packed.
+
+    ``weights`` is the trained (bucket, weight) classifier table; pass
+    None to skip the model gate (rule gates only). ``stratum_col``
+    defaults to a single stratum when the corpus has no language
+    column. ``hash_fn`` picks the cheap JVM hash for classifier +
+    MinHash (the oracle-checked md5 twins cover correctness).
+    """
+    from tspider_spark.operators.classify import linear_quality_scores
+    from tspider_spark.operators.curate import pack_sequences
+    from tspider_spark.operators.quality import gopher_filter, normalize_text
+    from tspider_spark.operators.textdedup import dedupe_exact, minhash_lsh_dups
+
+    stages: dict[str, DataFrame] = {}
+
+    norm = normalize_text(docs, id_col=id_col, text=text).select(
+        id_col, F.col("clean_text").alias(text)
+    )
+    stages["normalized"] = norm
+
+    gate = gopher_filter(norm, id_col=id_col, text=text, min_words=min_words)
+    rule_pass = norm.join(
+        gate.filter(F.col("passes")).select(id_col), id_col, "left_semi"
+    )
+    stages["rule_pass"] = rule_pass
+
+    if weights is not None:
+        scores = linear_quality_scores(
+            rule_pass, weights, n_buckets=n_buckets,
+            threshold=quality_threshold, id_col=id_col, text=text,
+            hash_fn=hash_fn,
+        )
+        stages["quality"] = scores
+        kept_quality = rule_pass.join(
+            scores.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+        )
+    else:
+        kept_quality = rule_pass
+    stages["kept_quality"] = kept_quality
+
+    exact_kept = kept_quality.join(
+        dedupe_exact(kept_quality, id_col=id_col, text=text).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    stages["exact_kept"] = exact_kept
+
+    near_pairs = minhash_lsh_dups(
+        exact_kept, tau=dedupe_tau, id_col=id_col, text=text, hash_fn=hash_fn
+    )
+    stages["near_pairs"] = near_pairs
+    drop = near_pairs.select(F.col("ib").alias(id_col)).distinct()
+    deduped = exact_kept.join(drop, id_col, "left_anti")
+    stages["deduped"] = deduped
+
+    sized = deduped.withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col(text)), r"\s+"))
+    )
+    if stratum_col is None:
+        sized = sized.withColumn("_stratum", F.lit("all"))
+        stratum_col = "_stratum"
+    stages["packed"] = pack_sequences(
+        sized, seq_tokens, stratum_col=stratum_col, id_col=id_col
+    )
+    return stages
