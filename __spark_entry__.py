@@ -1533,6 +1533,122 @@ def q_authority_wave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic interleaved span table synthesized from
+    documents.doc_id (same idiom as q_e1_e8_extraction: the corpus
+    generator's Python isn't SQL-expressible, the operator semantics
+    are). Per doc d: 6 + d%4 spans; span i is media when
+    (d*7 + i*3) % 5 < d%4 (so media density varies 0..3/5 across docs
+    and runs of exactly 2 consecutive media occur when d%4 == 3);
+    media_ref repeats across docs with period lcm(4,5,9) = 180 so
+    whole ordered sequences collide (the dedupe groups); text spans
+    have varying char mass. The engine-corpus run of the same
+    operators stays pinned by tests/test_interleaved.py."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+
+    def mk(i):
+        is_media = ((d * 7 + i * 3) % 5) < (d % 4)
+        return F.struct(
+            F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+            F.when(
+                ~is_media,
+                F.concat(
+                    F.substring(
+                        F.lit("wwwwwww"),
+                        F.lit(1),
+                        (F.lit(1) + (d + i) % 7).cast("int"),
+                    ),
+                    F.lit(" t"),
+                    ((d * 3 + i) % 8).cast("string"),
+                ),
+            ).alias("text"),
+            F.when(
+                is_media,
+                F.concat(
+                    F.lit("img://h"),
+                    (d % 5).cast("string"),
+                    F.lit("/"),
+                    ((d + i * 2) % 9).cast("string"),
+                ),
+            ).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        )
+
+    spans = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), F.lit(5) + (d % 4)), mk
+    )
+    return docs.select(d.alias("doc_id"), spans.alias("spans"))
+
+
+def q_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBELICS-style per-doc span-composition profile (shuffle-free
+    in-array JVM fold; operators/interleaved.py)."""
+    from tspider_spark.operators.interleaved import interleave_stats
+
+    st = interleave_stats(_interleaved_docs(spark, sf_dir))
+    return st.select(
+        "doc_id",
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in (
+                "n_spans", "n_text", "n_media", "n_media_distinct",
+                "text_chars", "max_media_run",
+            )
+        ],
+        "media_share",
+        "media_leading",
+    )
+
+
+def q_caption_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMC4-style media->following-text caption assignment, computed
+    inside the spans array (nested higher-order filter); trailing
+    media keep a NULL caption row."""
+    from tspider_spark.operators.interleaved import caption_candidates
+
+    cc = caption_candidates(_interleaved_docs(spark, sf_dir))
+    return cc.select(
+        "doc_id",
+        "media_ref",
+        F.col("media_offset").cast("long").alias("media_offset"),
+        "caption",
+        F.col("caption_offset").cast("long").alias("caption_offset"),
+        F.col("caption_gap").cast("long").alias("caption_gap"),
+    )
+
+
+def q_media_seq_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/mirror-page groups by ordered media-ref fingerprint
+    (one map-side-combinable hash agg on the md5 key)."""
+    from tspider_spark.operators.interleaved import media_sequence_dedup
+
+    g = media_sequence_dedup(_interleaved_docs(spark, sf_dir))
+    return g.select(
+        "media_seq_key",
+        F.col("keeper").cast("long").alias("keeper"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_media").cast("long").alias("n_media"),
+    )
+
+
+def q_interleave_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBELICS composite keep/drop with '|'-joined scalar fail
+    reasons (driver-canonicalizer-safe, like gopher_filter)."""
+    from tspider_spark.operators.interleaved import interleave_gate
+
+    g = interleave_gate(_interleaved_docs(spark, sf_dir))
+    return g.select(
+        "doc_id",
+        F.col("n_media").cast("long").alias("n_media"),
+        "media_share",
+        F.col("max_media_run").cast("long").alias("max_media_run"),
+        F.col("text_chars").cast("long").alias("text_chars"),
+        "keep",
+        "fail_reasons",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver evaluates (at most) the FIRST 50
     # entries. Front-loaded: the 8 queries that sat at positions 51-58
@@ -1578,6 +1694,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hot_keys": q_host_hot_keys,
         "host_skew_summary": q_host_skew_summary,
         "host_cocitation": q_host_cocitation,
+        # round-3 interleaved-payload curation (new => in-window;
+        # displaces 4 twice-green queries whose function bodies are
+        # unchanged since r1 — they keep their local-oracle check)
+        "interleave_stats": q_interleave_stats,
+        "caption_candidates": q_caption_candidates,
+        "media_seq_dedupe": q_media_seq_dedupe,
+        "interleave_gate": q_interleave_gate,
         # rows-only (non-SQL-expressible: sequential stateful crawl
         # loop / binary payload decode)
         "crawl_full_run": q_crawl_full_run,
@@ -1591,10 +1714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f10_suffix_blocklist": q_f10_suffix_blocklist,
         "f12_f13_saved_dedupe": q_f12_f13_saved_dedupe,
         "k1_scope_routing": q_k1_scope_routing,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "dedup_exact": q_dedup_exact,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1619,6 +1738,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recipe_rates": q_recipe_rates,
         # --- position 51+ (past the driver's 50-query window):
         # driver-green in BOTH r1 and r2, still locally oracle-checked
+        # (ann_ivf_topk / dedup_exact / dedup_exact_groups /
+        # minhash_signatures demoted r3 for the interleaved queries:
+        # twice-green and their function bodies unchanged since r1)
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "minhash_signatures": q_minhash_signatures,
         "lineitem_agg": q_lineitem_agg,
         "nation_revenue": q_nation_revenue,
         "top10_orders": q_top10_orders,
@@ -1676,6 +1802,25 @@ _BIGRAM_LOGPROB_SQL = f"""
  join uni on pairs.cur = uni.w
  cross join tot
  group by doc_id
+"""
+
+
+# mirrors _interleaved_docs() exactly, flattened (doc_id, i, kind,
+# text, media_ref); both engines compute the same arithmetic on d, i
+_INTERLEAVED_SQL = """
+ with d0 as (select doc_id::bigint d from documents),
+ pos as (select d, unnest(range(0, 6 + (d % 4)::int)) i from d0),
+ sp as (
+   select d as doc_id, i,
+     case when (d*7 + i*3) % 5 < (d % 4) then 'media' else 'text'
+       end as kind,
+     case when (d*7 + i*3) % 5 < (d % 4) then null
+       else substring('wwwwwww', 1, (1 + (d + i) % 7)::int)
+            || ' t' || ((d*3 + i) % 8) end as text,
+     case when (d*7 + i*3) % 5 < (d % 4)
+       then 'img://h' || (d % 5) || '/' || ((d + i*2) % 9)
+       end as media_ref
+   from pos)
 """
 
 
@@ -2853,6 +2998,96 @@ def oracle_sql() -> dict[str, str]:
         row_number() over (partition by page order by section, offs) as seq,
         method, url, postdata, type
  from dd where rn = 1
+""",
+        # interleaved-payload curation: shared synthesized-span CTE;
+        # max_media_run replays the in-array fold as gaps-and-islands
+        "interleave_stats": _INTERLEAVED_SQL + """
+ , isl as (
+   select doc_id, i, kind,
+          i - row_number() over (partition by doc_id, kind order by i)
+            as grp
+   from sp
+ ), runs as (
+   select doc_id, count(*) as r from isl where kind = 'media'
+   group by doc_id, grp
+ ), mr as (select doc_id, max(r) as mmr from runs group by doc_id),
+ base as (
+   select doc_id,
+     count(*)::bigint as n_spans,
+     sum(case when kind = 'text' then 1 else 0 end)::bigint as n_text,
+     sum(case when kind = 'media' then 1 else 0 end)::bigint as n_media,
+     count(distinct media_ref)::bigint as n_media_distinct,
+     coalesce(sum(case when kind = 'text' then length(text) end),
+              0)::bigint as text_chars,
+     round(sum(case when kind = 'media' then 1 else 0 end)::double
+           / count(*), 6) as media_share,
+     bool_or(i = 0 and kind = 'media') as media_leading
+   from sp group by doc_id
+ )
+ select b.doc_id, b.n_spans, b.n_text, b.n_media, b.n_media_distinct,
+        b.text_chars, b.media_share,
+        coalesce(mr.mmr, 0)::bigint as max_media_run, b.media_leading
+ from base b left join mr using (doc_id)
+""",
+        "caption_candidates": _INTERLEAVED_SQL + """
+ , med as (select doc_id, i, media_ref from sp where kind = 'media'),
+ txt as (select doc_id, i, text from sp where kind = 'text'),
+ cap as (
+   select m.doc_id, m.media_ref, m.i as media_offset,
+          t.text as caption, t.i as caption_offset
+   from med m left join txt t
+     on m.doc_id = t.doc_id and t.i > m.i
+   qualify row_number() over (partition by m.doc_id, m.i
+                              order by t.i) = 1
+ )
+ select doc_id, media_ref, media_offset::bigint as media_offset,
+        caption, caption_offset::bigint as caption_offset,
+        (caption_offset - media_offset)::bigint as caption_gap
+ from cap
+""",
+        "media_seq_dedupe": _INTERLEAVED_SQL + """
+ , seqs as (
+   select doc_id, count(*) as nm,
+          md5(string_agg(media_ref, '|' order by i)) as k
+   from sp where kind = 'media' group by doc_id
+ )
+ select k as media_seq_key, min(doc_id)::bigint as keeper,
+        count(*)::bigint as n_docs, min(nm)::bigint as n_media
+ from seqs group by k having count(*) > 1
+""",
+        "interleave_gate": _INTERLEAVED_SQL + """
+ , isl as (
+   select doc_id, i, kind,
+          i - row_number() over (partition by doc_id, kind order by i)
+            as grp
+   from sp
+ ), runs as (
+   select doc_id, count(*) as r from isl where kind = 'media'
+   group by doc_id, grp
+ ), mr as (select doc_id, max(r) as mmr from runs group by doc_id),
+ base as (
+   select doc_id,
+     sum(case when kind = 'media' then 1 else 0 end)::bigint as n_media,
+     coalesce(sum(case when kind = 'text' then length(text) end),
+              0)::bigint as text_chars,
+     round(sum(case when kind = 'media' then 1 else 0 end)::double
+           / count(*), 6) as media_share
+   from sp group by doc_id
+ ), st as (
+   select b.*, coalesce(mr.mmr, 0)::bigint as max_media_run
+   from base b left join mr using (doc_id)
+ ), reasons as (
+   select *, concat_ws('|',
+     case when n_media < 1 then 'no_media' end,
+     case when n_media > 8 then 'too_many_media' end,
+     case when media_share > 0.5 then 'media_heavy' end,
+     case when max_media_run > 2 then 'media_wall' end,
+     case when text_chars < 20 then 'too_little_text' end
+   ) as fail_reasons from st
+ )
+ select doc_id, n_media, media_share, max_media_run, text_chars,
+        (fail_reasons = '') as keep, fail_reasons
+ from reasons
 """,
         # windows over the UNFILTERED split array (positions count ''
         # tokens, matching Spark's gram_array), tokens filtered after

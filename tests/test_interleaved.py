@@ -1,0 +1,155 @@
+"""Interleaved text+media curation (operators/interleaved.py): span
+profile stats, MMC4-style caption assignment, media-sequence dedupe,
+and the OBELICS gate — over hand-built span docs AND the real
+generated corpus (the engine's fetch-join table)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tspider_spark.operators.interleaved import (
+    caption_candidates,
+    interleave_gate,
+    interleave_stats,
+    media_sequence_dedup,
+    media_sequence_fingerprint,
+)
+
+SPAN_SCHEMA = (
+    "doc_id string, spans array<struct<"
+    "kind string, text string, media_ref string, offset int>>"
+)
+
+
+def _doc(doc_id, *spans):
+    return (
+        doc_id,
+        [
+            {"kind": k, "text": t, "media_ref": m, "offset": i}
+            for i, (k, t, m) in enumerate(spans)
+        ],
+    )
+
+
+def t(text):
+    return ("text", text, None)
+
+
+def img(ref):
+    return ("media", None, ref)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            # text, img, text, img, img, text  — run of 2, all captioned
+            _doc("a", t("hello world"), img("i1"), t("mid"), img("i2"),
+                 img("i3"), t("tail")),
+            # trailing image -> uncaptioned; leading image
+            _doc("b", img("i1"), t("x"), img("i9")),
+            # no media at all (text mass >= 20 so only no_media fires)
+            _doc("c", t("only text here, quite a lot of it")),
+            # same ordered media sequence as doc a (text differs)
+            _doc("d", t("zzz"), img("i1"), img("i2"), img("i3")),
+        ],
+        SPAN_SCHEMA,
+    )
+
+
+def test_interleave_stats(docs):
+    rows = {r["doc_id"]: r for r in interleave_stats(docs).collect()}
+    a = rows["a"]
+    assert (a["n_spans"], a["n_text"], a["n_media"]) == (6, 3, 3)
+    assert a["n_media_distinct"] == 3
+    assert a["text_chars"] == len("hello world") + len("mid") + len("tail")
+    assert rows["c"]["text_chars"] == len("only text here, quite a lot of it")
+    assert a["media_share"] == pytest.approx(0.5)
+    assert a["max_media_run"] == 2
+    assert not a["media_leading"]
+    b = rows["b"]
+    assert b["media_leading"] and b["max_media_run"] == 1
+    c = rows["c"]
+    assert c["n_media"] == 0 and c["media_share"] == 0.0
+    assert c["max_media_run"] == 0 and not c["media_leading"]
+
+
+def test_caption_candidates(docs):
+    got = {
+        (r["doc_id"], r["media_ref"]): r
+        for r in caption_candidates(docs).collect()
+    }
+    assert got[("a", "i1")]["caption"] == "mid"
+    assert got[("a", "i1")]["caption_gap"] == 1
+    # i2 and i3 are consecutive; both caption to the SAME following text
+    assert got[("a", "i2")]["caption"] == "tail"
+    assert got[("a", "i2")]["caption_gap"] == 2
+    assert got[("a", "i3")]["caption"] == "tail"
+    # trailing media has a NULL caption row (kept, not dropped)
+    assert got[("b", "i9")]["caption"] is None
+    assert got[("b", "i9")]["caption_gap"] is None
+    # doc c contributes no rows
+    assert not any(k[0] == "c" for k in got)
+
+
+def test_media_sequence_dedup(docs):
+    fp = {
+        r["doc_id"]: r
+        for r in media_sequence_fingerprint(docs).collect()
+    }
+    assert fp["a"]["media_seq_key"] == fp["d"]["media_seq_key"]
+    assert fp["c"]["media_seq_key"] is None
+    groups = media_sequence_dedup(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["keeper"] == "a" and g["n_docs"] == 2 and g["n_media"] == 3
+
+
+def test_interleave_gate_reasons(docs):
+    rows = {r["doc_id"]: r for r in interleave_gate(docs).collect()}
+    assert rows["c"]["fail_reasons"] == "no_media"
+    # doc d: media_share 0.75 > 0.5, run of 3 > 2, text 3 chars < 20
+    assert rows["d"]["fail_reasons"] == (
+        "media_heavy|media_wall|too_little_text"
+    )
+    assert not rows["d"]["keep"]
+    # doc a: share exactly 0.5 (not >), run 2 (not >2), text 18 < 20
+    assert rows["a"]["fail_reasons"] == "too_little_text"
+
+
+def test_interleaved_over_generated_corpus(spark):
+    """The operators run over the REAL corpus table (the same frame
+    the crawl fetch join reads): stats cover every doc, captions
+    reference only genuine media spans, and the gate's keep column
+    is consistent with the stats."""
+    from tspider_spark.sources.corpus import (
+        CorpusSpec,
+        corpus_to_spark,
+        generate_corpus,
+    )
+
+    docs_py, _ = generate_corpus(CorpusSpec(seed=7, n_domains=3))
+    docs = corpus_to_spark(spark, docs_py)
+    n_docs = docs.count()
+
+    st = interleave_stats(docs)
+    assert st.count() == n_docs
+    bad = st.filter(
+        (F.col("n_text") + F.col("n_media") > F.col("n_spans"))
+        | (F.col("media_share") < 0)
+        | (F.col("media_share") > 1)
+        | (F.col("max_media_run") > F.col("n_media"))
+    )
+    assert bad.count() == 0
+
+    caps = caption_candidates(docs)
+    n_media_total = st.agg(F.sum("n_media")).collect()[0][0]
+    assert caps.count() == n_media_total  # one row per media span
+
+    gate = interleave_gate(docs)
+    disagree = gate.filter(
+        (F.col("keep") & (F.col("fail_reasons") != ""))
+        | (~F.col("keep") & (F.col("fail_reasons") == ""))
+    )
+    assert disagree.count() == 0

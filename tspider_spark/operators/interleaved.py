@@ -1,0 +1,244 @@
+"""Interleaved text+media document curation (OBELICS / MMC4-style).
+
+The engine's input table is interleaved documents
+``(doc_id, spans:array<struct<kind,text,media_ref,offset>>)`` —
+BASELINE.json's input_hint shape, the same table the crawl fetch join
+reads (reference analog: the rendered page the JS crawler walks,
+core/spider/core.js:96-425 — text nodes interleaved with media
+resources).  The text-only quality gates (quality.py) can't see span
+STRUCTURE; these operators curate at that level, following the two
+published interleaved-corpus pipelines:
+
+* OBELICS (Laurencon et al. 2023 §3.2-3.3): per-document node stats —
+  image count caps, image/text balance, consecutive-image ("image
+  wall") limits — gate which crawled pages become training documents.
+* MMC4 (Zhu et al. 2023 §3): images are ASSIGNED to surrounding text
+  spans; here the deterministic zero-model reduction — each media span
+  pairs with the nearest FOLLOWING text span (distance measured in
+  span positions), the "caption candidate" a contrastive filter would
+  then score.
+* Media-sequence dedupe: mirror/template pages reuse the same ORDERED
+  image sequence even when their text differs (boilerplate rotators,
+  product templates); exact dedupe on the ordered media_ref fingerprint
+  is the interleaved complement of text exact-dedupe
+  (textdedup.exact_dedupe) and media payload dedupe
+  (multimodal.media_dedup_exact — which keys on CONTENT, not sequence).
+
+Physical shape, sized for the 10^10-row corpus:
+
+* ``interleave_stats`` / ``interleave_gate`` / caption extraction are
+  SHUFFLE-FREE: every statistic is computed inside the spans array with
+  JVM higher-order functions (``filter``/``transform``/``aggregate``),
+  one projection per doc, whole-stage codegen, no explode of the span
+  table and no Python;
+* ``caption_candidates`` explodes only the MEDIA spans (a small
+  fraction of the array) after pairing in-array — output rows ∝ media
+  count, not span count;
+* ``media_sequence_dedup`` is ONE hash agg on a 32-char fingerprint
+  (map-side combinable); group sizes are bounded by template reuse, so
+  no skew beyond what AQE handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _spans(spans_col: str) -> Column:
+    return F.col(spans_col)
+
+
+def _media(spans_col: str) -> Column:
+    return F.filter(_spans(spans_col), lambda s: s["kind"] == F.lit("media"))
+
+
+def _text(spans_col: str) -> Column:
+    return F.filter(_spans(spans_col), lambda s: s["kind"] == F.lit("text"))
+
+
+def max_media_run(spans_col: str = "spans") -> Column:
+    """Longest run of CONSECUTIVE media spans (OBELICS "image wall"
+    signal), computed by a single in-array fold: accumulator carries
+    (current run, best run). Relies on the spans array being in
+    document order (offset order), which the corpus guarantees."""
+    return F.aggregate(
+        _spans(spans_col),
+        F.struct(F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda a, s: F.struct(
+            F.when(s["kind"] == "media", a["run"] + 1)
+            .otherwise(F.lit(0))
+            .alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(s["kind"] == "media", a["run"] + 1).otherwise(F.lit(0)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+
+
+def interleave_stats(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Per-document span-composition profile — the gate inputs.
+
+    Columns: ``n_spans, n_text, n_media, n_media_distinct, text_chars,
+    media_share (media/total, 0.0 for empty docs), max_media_run,
+    media_leading`` (doc starts with an image — OBELICS drops these
+    from the caption-quality stratum). Shuffle-free JVM projection.
+    """
+    n_spans = F.size(_spans(spans_col))
+    n_media = F.size(_media(spans_col))
+    return docs.select(
+        F.col(id_col),
+        n_spans.alias("n_spans"),
+        F.size(_text(spans_col)).alias("n_text"),
+        n_media.alias("n_media"),
+        F.size(
+            F.array_distinct(
+                F.transform(_media(spans_col), lambda s: s["media_ref"])
+            )
+        ).alias("n_media_distinct"),
+        F.aggregate(
+            _text(spans_col),
+            F.lit(0).cast("long"),
+            lambda a, s: a + F.length(s["text"]),
+        ).alias("text_chars"),
+        F.round(
+            F.when(n_spans > 0, n_media.cast("double") / n_spans).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("media_share"),
+        max_media_run(spans_col).alias("max_media_run"),
+        (
+            F.coalesce(
+                F.element_at(_spans(spans_col), 1)["kind"] == "media",
+                F.lit(False),
+            )
+        ).alias("media_leading"),
+    )
+
+
+def caption_candidates(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """MMC4-style media→text assignment, deterministic reduction: each
+    media span pairs with the nearest text span at a LARGER offset
+    (the paragraph that follows the image). Media with no following
+    text (trailing image) yields a NULL caption — kept, so the gate
+    can count uncaptioned media.
+
+    Output: ``doc_id, media_ref, media_offset, caption,
+    caption_offset, caption_gap`` (gap in span positions; NULL when
+    uncaptioned). The pairing runs INSIDE the array (nested
+    higher-order filter), then only media spans explode.
+    """
+    paired = F.transform(
+        _media(spans_col),
+        lambda m: F.struct(
+            m["media_ref"].alias("media_ref"),
+            m["offset"].alias("media_offset"),
+            F.get(  # null-safe head: trailing media have no caption
+                F.filter(
+                    _spans(spans_col),
+                    lambda t: (t["kind"] == F.lit("text"))
+                    & (t["offset"] > m["offset"]),
+                ),
+                0,
+            ).alias("cap"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(paired).alias("p"))
+        .select(
+            id_col,
+            F.col("p.media_ref").alias("media_ref"),
+            F.col("p.media_offset").alias("media_offset"),
+            F.col("p.cap.text").alias("caption"),
+            F.col("p.cap.offset").alias("caption_offset"),
+            (F.col("p.cap.offset") - F.col("p.media_offset")).alias(
+                "caption_gap"
+            ),
+        )
+    )
+
+
+def media_sequence_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """``doc_id, n_media, media_seq_key`` where the key is
+    md5 over the ORDERED '|'-joined media_refs (portable: DuckDB md5
+    agrees byte-for-byte). Docs with no media get a NULL key (they
+    have no sequence to share). Shuffle-free."""
+    refs = F.transform(_media(spans_col), lambda s: s["media_ref"])
+    return docs.select(
+        F.col(id_col),
+        F.size(refs).alias("n_media"),
+        F.when(
+            F.size(refs) > 0, F.md5(F.concat_ws("|", refs))
+        ).alias("media_seq_key"),
+    )
+
+
+def media_sequence_dedup(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Template/mirror-page groups: documents sharing an identical
+    ordered media sequence. Keep-first (min doc id) — ONE map-side-
+    combinable hash agg on the 32-char key, same shape as
+    textdedup.exact_dedupe. Returns groups with >1 member:
+    ``media_seq_key, keeper, n_docs, n_media``."""
+    fp = media_sequence_fingerprint(docs, id_col, spans_col).filter(
+        F.col("media_seq_key").isNotNull()
+    )
+    return (
+        fp.groupBy("media_seq_key")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.first("n_media").alias("n_media"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def interleave_gate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    min_media: int = 1,
+    max_media: int = 8,
+    max_media_share: float = 0.5,
+    max_run: int = 2,
+    min_text_chars: int = 20,
+) -> DataFrame:
+    """OBELICS-style composite keep/drop over the span profile, with
+    '|'-joined scalar fail reasons (driver-canonicalizer-safe — no
+    array columns; same convention as quality.gopher_filter).
+
+    Defaults follow OBELICS §3.3's shape (their production values are
+    tuned per-corpus): at least one image, image cap, image/text
+    balance, no image walls, minimum text mass.
+    """
+    st = interleave_stats(docs, id_col, spans_col)
+    checks = [
+        (F.col("n_media") < min_media, "no_media"),
+        (F.col("n_media") > max_media, "too_many_media"),
+        (F.col("media_share") > max_media_share, "media_heavy"),
+        (F.col("max_media_run") > max_run, "media_wall"),
+        (F.col("text_chars") < min_text_chars, "too_little_text"),
+    ]
+    reasons = F.concat_ws(
+        "|", *[F.when(cond, F.lit(name)) for cond, name in checks]
+    )
+    return st.select(
+        id_col,
+        "n_media",
+        "media_share",
+        "max_media_run",
+        "text_chars",
+        (reasons == "").alias("keep"),
+        reasons.alias("fail_reasons"),
+    )
