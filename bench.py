@@ -104,6 +104,11 @@ BENCH_QUERIES = [
     "host_hot_keys",
     "host_skew_summary",
     "host_cocitation",
+    # round-3 interleaved-payload curation
+    "interleave_stats",
+    "caption_candidates",
+    "media_seq_dedupe",
+    "interleave_gate",
 ]
 
 

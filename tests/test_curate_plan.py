@@ -66,3 +66,70 @@ def test_pipeline_without_model_gate(spark, corpus):
     stages = curate_corpus(corpus, weights=None, dedupe_tau=0.8, seq_tokens=32)
     assert "quality" not in stages
     assert {r.doc_id for r in stages["deduped"].collect()} == {1, 3}
+
+
+# ---------------------------------------------------------------------------
+# interleaved front-end (OBELICS shape): span gate -> media-seq dedupe
+# -> captions -> flatten -> text pipeline
+
+
+def test_interleaved_pipeline(spark):
+    from tspider_spark.plans.curate import curate_interleaved_corpus
+
+    far = (
+        GOOD.replace("fox", "hare").replace("dog", "cat")
+        .replace("farmer", "keeper").replace("jump", "leap")
+        .replace("field", "meadow").replace("fence", "hedge")
+        .replace("gate", "door").replace("evening", "morning")
+        .replace("day", "week").replace("story", "tale")
+        .replace("rest", "sleep")
+    )
+    half = len(GOOD.split()) // 2
+    g1 = " ".join(GOOD.split()[:half])
+    g2 = " ".join(GOOD.split()[half:])
+
+    def doc(doc_id, *spans):
+        return (
+            doc_id,
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": i}
+                for i, (k, t, m) in enumerate(spans)
+            ],
+        )
+
+    t = lambda x: ("text", x, None)
+    img = lambda r: ("media", None, r)
+    docs = spark.createDataFrame(
+        [
+            # 1: GOOD split across two text spans, media m1/m2 captioned
+            doc(1, t(g1), img("m1"), t(g2), img("m2"), t("fin")),
+            # 2: image wall (run of 3) -> span gate drops it
+            doc(2, t(g1), img("m1"), img("m2"), img("m3"), t(g2)),
+            # 3: same ordered media sequence as 1 -> seq dedupe drops it
+            doc(3, t(far + " extra"), img("m1"), t("mid"), img("m2")),
+            # 4: different media, but flattens to 1's exact text
+            doc(4, t(g1 + " " + g2), img("m9"), t("fin")),
+            # 5: text-only doc (min_media=0 keeps it)
+            doc(5, t(far)),
+        ],
+        "doc_id long, spans array<struct<"
+        "kind string, text string, media_ref string, offset int>>",
+    )
+
+    stages = curate_interleaved_corpus(docs, dedupe_tau=0.8, seq_tokens=32)
+    gate = {r.doc_id: r.keep for r in stages["span_gate"].collect()}
+    assert gate == {1: True, 2: False, 3: True, 4: True, 5: True}
+    assert {r.doc_id for r in stages["seq_deduped"].collect()} == {1, 4, 5}
+
+    caps = stages["captions"].collect()
+    assert {(r.doc_id, r.media_ref) for r in caps} == {
+        (1, "m1"), (1, "m2"), (4, "m9")
+    }
+    assert all(r.caption is not None for r in caps)
+
+    flat = {r.doc_id: r.text for r in stages["flattened"].collect()}
+    assert flat[1] == GOOD + " fin"
+    assert flat[4] == GOOD + " fin"  # the planted exact-text copy
+    # exact dedupe keeps min id of the 1/4 pair; 5 is far enough to stay
+    assert {r.doc_id for r in stages["deduped"].collect()} == {1, 5}
+    assert {r.doc_id for r in stages["packed"].collect()} == {1, 5}

@@ -153,3 +153,24 @@ def test_interleaved_over_generated_corpus(spark):
         | (~F.col("keep") & (F.col("fail_reasons") == ""))
     )
     assert disagree.count() == 0
+
+
+def test_pack_sequences_string_ids(spark):
+    """The crawl corpus keys docs by URL (string ids): the cumsum
+    bucketing must fall back to the order-preserving prefix bucket and
+    produce the same layout as a manual cumulative sum in id order."""
+    from tspider_spark.operators.curate import pack_sequences
+
+    rows = [
+        (f"http://site{i % 3}.com/p/{i:04d}", "all", 10 + (i * 7) % 30)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n_tokens int")
+    got = {
+        r["doc_id"]: r["start_tok"]
+        for r in pack_sequences(df, 64, stratum_col="lang").collect()
+    }
+    cum = 0
+    for doc_id, _, n in sorted(rows):
+        assert got[doc_id] == cum
+        cum += n

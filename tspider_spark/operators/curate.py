@@ -119,10 +119,23 @@ def _exclusive_stratum_cumsum(
     bounded by 2^super_shift rows); (2) per-bucket totals get running
     offsets in a stratum-partitioned window over ONE ROW PER BUCKET
     (metadata-scale even at 10^10 docs). Sums stay < 2^53 so the
-    double division downstream is exact for any real corpus."""
+    double division downstream is exact for any real corpus.
+
+    The bucket must be an ORDER-PRESERVING prefix of the id ordering
+    so that (bucket asc, id asc) == (id asc). Numeric ids use
+    ``id >> super_shift`` (exact 2^shift row bound per bucket);
+    string ids (the crawl corpus keys docs by URL) fall back to a
+    lexicographic 24-char prefix — consistent with full-string order
+    by construction, bucket sizes bounded by URL-prefix fan-out
+    rather than a hard power of two."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        bucket = F.shiftright(F.col(id_col).cast("long"), super_shift)
+    else:
+        bucket = F.substring(F.col(id_col).cast("string"), 1, 24)
     d = df.select(
         F.col(id_col), F.col(stratum_col), F.col(token_col).cast("long").alias("_t")
-    ).withColumn("_bk", F.shiftright(F.col(id_col).cast("long"), super_shift))
+    ).withColumn("_bk", bucket)
     w_local = (
         Window.partitionBy(stratum_col, "_bk")
         .orderBy(id_col)

@@ -108,3 +108,88 @@ def curate_corpus(
         sized, seq_tokens, stratum_col=stratum_col, id_col=id_col
     )
     return stages
+
+
+def curate_interleaved_corpus(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    min_media: int = 0,
+    max_media: int = 8,
+    max_media_share: float = 0.5,
+    max_run: int = 2,
+    min_text_chars: int = 20,
+    **curate_kwargs,
+) -> dict[str, DataFrame]:
+    """OBELICS-shaped front-end over the INTERLEAVED input table
+    (the crawl engine's own ``(doc_id, spans)`` fetch table), then the
+    text pipeline:
+
+    0a. span gate   — media caps / balance / image-wall / text mass
+                      (interleaved.interleave_gate; min_media=0 here —
+                      text-only docs are curated, not dropped)
+    0b. media-sequence dedupe — template/mirror pages sharing an
+                      ordered image sequence keep only the min-id doc
+    0c. captions    — MMC4-style media→text side table (the multimodal
+                      training-pair output, not a filter)
+    0d. flatten     — text spans concatenated in offset order become
+                      the ``text`` column feeding curate_corpus()
+
+    Extra stage keys: ``span_gate, seq_deduped, captions, flattened``;
+    all curate_corpus() keys follow. Same laziness contract: nothing
+    materialized here, stage dict == the 100 TB table boundaries.
+    """
+    from tspider_spark.operators.interleaved import (
+        caption_candidates,
+        interleave_gate,
+        media_sequence_dedup,
+        media_sequence_fingerprint,
+    )
+
+    stages: dict[str, DataFrame] = {}
+
+    gate = interleave_gate(
+        docs, id_col=id_col, spans_col=spans_col, min_media=min_media,
+        max_media=max_media, max_media_share=max_media_share,
+        max_run=max_run, min_text_chars=min_text_chars,
+    )
+    stages["span_gate"] = gate
+    kept = docs.join(
+        gate.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+
+    # drop every non-keeper member of a shared-media-sequence group:
+    # fingerprint join on the 32-char key, anti vs (member != keeper)
+    fp = media_sequence_fingerprint(kept, id_col=id_col, spans_col=spans_col)
+    groups = media_sequence_dedup(kept, id_col=id_col, spans_col=spans_col)
+    dup_members = (
+        fp.join(groups, "media_seq_key")
+        .filter(F.col(id_col) != F.col("keeper"))
+        .select(id_col)
+    )
+    seq_deduped = kept.join(dup_members, id_col, "left_anti")
+    stages["seq_deduped"] = seq_deduped
+
+    stages["captions"] = caption_candidates(
+        seq_deduped, id_col=id_col, spans_col=spans_col
+    )
+
+    flat = seq_deduped.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.col(spans_col), lambda s: s["kind"] == F.lit("text")
+                ),
+                lambda s: s["text"],
+            ),
+        ).alias("text"),
+    )
+    stages["flattened"] = flat
+
+    stages.update(
+        curate_corpus(flat, weights, id_col=id_col, text="text", **curate_kwargs)
+    )
+    return stages
