@@ -1255,6 +1255,23 @@ def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN top-k (Jegou et al. 2011): 4 subspace
+    codebooks of 16 centroids each (2 bytes/vector resident index),
+    asymmetric-distance candidate generation + exact cosine rescore of
+    the top 4k; deterministic md5-sampled seeds + one Lloyd step make
+    the codebooks engine-portable."""
+    from tspider_spark.operators.similarity import pq_topk
+
+    e = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 8)
+    return pq_topk(q, e, k=5, m=4, ksub=16, dim=64, rescore_factor=4).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
 def q_host_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostics (measurement side of the salting story): the
     20 hottest hostnames of the clean candidate frame with row share
@@ -1689,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "url_trap_hosts": q_url_trap_hosts,
         "ann_sq_topk": q_ann_sq_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "quality_classifier": q_quality_classifier,
         "incremental_lsh_dups": q_incremental_lsh_dups,
         "host_hot_keys": q_host_hot_keys,
@@ -1715,7 +1733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f12_f13_saved_dedupe": q_f12_f13_saved_dedupe,
         "k1_scope_routing": q_k1_scope_routing,
         "minhash_lsh_dups": q_minhash_lsh_dups,
-        "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_clusters": q_dedup_clusters,
         "dedup_components_star": q_dedup_components_star,
@@ -1761,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_t2_url_enrich": q_t1_t2_url_enrich,
         "q2_politeness_delay": q_q2_politeness_delay,
         "k6_keepfirst": q_k6_keepfirst,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
     }
 
 
@@ -2814,6 +2832,87 @@ def oracle_sql() -> dict[str, str]:
             partition by qid
             order by list_cosine_similarity(qq.qv, c.v) desc, nid asc) as rank
    from cand join qq using (qid) join qt c on cand.nid = c.vec_id
+   where rn <= 20
+ )
+ select query_id, rank, neighbor_id from rescored where rank <= 5
+""",
+        "ann_pq_topk": """
+ with c0 as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+ un as (
+   select vec_id, v,
+          list_transform(v, x -> x / greatest(
+            sqrt(list_sum(list_transform(v, y -> y * y))), 1e-300)) as nv
+   from c0
+ ),
+ seeds as (
+   select vec_id as cid, nv from un
+   order by md5(vec_id::VARCHAR), vec_id limit 16
+ ),
+ sgrid as (select unnest(range(4)) as s),
+ cent0 as (
+   select s, cid, list_slice(nv, s * 16 + 1, s * 16 + 16) as cv
+   from seeds, sgrid
+ ),
+ subs as (
+   select vec_id, s, list_slice(nv, s * 16 + 1, s * 16 + 16) as sv
+   from un, sgrid
+ ),
+ asg0 as (
+   select vec_id, s, cid as code from (
+     select subs.vec_id, subs.s, cent0.cid,
+            row_number() over (
+              partition by subs.vec_id, subs.s
+              order by list_sum(list_transform(list_zip(sv, cv),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) asc,
+                       cent0.cid asc) as rn
+     from subs join cent0 on subs.s = cent0.s
+   ) where rn = 1
+ ),
+ cent as (
+   select s, code as cid, list(mx order by i) as cv from (
+     select a.s, a.code, t.i, avg(sv[t.i]) as mx
+     from asg0 a
+     join subs on a.vec_id = subs.vec_id and a.s = subs.s
+     cross join (select unnest(range(1, 17)) as i) t
+     group by a.s, a.code, t.i
+   ) group by s, code
+ ),
+ codes as (
+   select vec_id as nid, s, cid as code from (
+     select subs.vec_id, subs.s, cent.cid,
+            row_number() over (
+              partition by subs.vec_id, subs.s
+              order by list_sum(list_transform(list_zip(sv, cv),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) asc,
+                       cent.cid asc) as rn
+     from subs join cent on subs.s = cent.s
+   ) where rn = 1
+ ),
+ qd as (
+   select subs.vec_id as qid, subs.s, cent.cid as code,
+          list_sum(list_transform(list_zip(sv, cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) as d
+   from subs join cent on subs.s = cent.s
+   where subs.vec_id < 8
+ ),
+ approx as (
+   select qid, nid, round(sum(d), 9) as adc
+   from codes join qd using (s, code)
+   where qid <> nid
+   group by qid, nid
+ ),
+ cand as (
+   select qid, nid,
+          row_number() over (partition by qid order by adc asc, nid asc) as rn
+   from approx
+ ),
+ qq as (select vec_id as qid, v as qv from c0 where vec_id < 8),
+ rescored as (
+   select qid as query_id, nid as neighbor_id,
+          row_number() over (
+            partition by qid
+            order by list_cosine_similarity(qq.qv, c.v) desc, nid asc) as rank
+   from cand join qq using (qid) join c0 c on cand.nid = c.vec_id
    where rn <= 20
  )
  select query_id, rank, neighbor_id from rescored where rank <= 5

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "dsir_resample",
     "url_trap_hosts",
     "ann_sq_topk",
+    "ann_pq_topk",
     "dedup_components_star",
     "host_opic",
     "perplexity_buckets",

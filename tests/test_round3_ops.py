@@ -12,7 +12,12 @@ from pyspark.sql import functions as F
 from tspider_spark.operators.filters import detect_pattern_traps
 from tspider_spark.operators.graph import hits
 from tspider_spark.operators.quality import bigram_logprob, dsir_resample
-from tspider_spark.operators.similarity import brute_force_topk, sq_topk
+from tspider_spark.operators.similarity import (
+    brute_force_topk,
+    pq_codebooks,
+    pq_topk,
+    sq_topk,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -411,6 +416,71 @@ def test_sq_topk_candidate_cut_is_integer(spark):
         .select("query_id", "rank", "neighbor_id")
         .collect()
     )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# product-quantized ANN
+
+
+def _pq_fixture(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(80)]
+    vecs = [(i, v) for i, v in enumerate(base)]
+    vecs += [
+        (1000 + i, [x + rng.gauss(0, 0.01) for x in base[i]]) for i in range(5)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    return df, df.filter(F.col("vec_id") < 5)
+
+
+def test_pq_codebooks_shape(spark):
+    df, _ = _pq_fixture(spark)
+    rows = pq_codebooks(df, m=4, ksub=16, dim=16).collect()
+    # <= m*ksub codebook rows (emptied codes vanish), dsub-wide each
+    assert len(rows) <= 64
+    assert {r["s"] for r in rows} == {0, 1, 2, 3}
+    assert all(len(r["cv"]) == 4 for r in rows)
+
+
+def test_pq_topk_exact_when_candidates_cover_corpus(spark):
+    # with k*rescore_factor >= corpus size the candidate set is the
+    # whole corpus, so the exact-rescore stage must reproduce brute
+    # force verbatim — pins the rescore machinery independent of how
+    # lossy the codes are
+    df, q = _pq_fixture(spark)
+    got = sorted(
+        map(tuple, pq_topk(q, df, k=3, m=4, ksub=16, dim=16, rescore_factor=40)
+            .select("query_id", "rank", "neighbor_id").collect())
+    )
+    exp = sorted(
+        map(tuple, brute_force_topk(q, df, k=3)
+            .select("query_id", "rank", "neighbor_id").collect())
+    )
+    assert got == exp
+
+
+def test_pq_topk_recalls_planted_near_dups(spark):
+    # at the real rescore budget (4x) the 2-byte codes still put the
+    # planted near-identical copy at rank 1 for every query
+    df, q = _pq_fixture(spark)
+    out = pq_topk(q, df, k=3, m=4, ksub=16, dim=16, rescore_factor=4)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out.collect() if r["rank"] == 1}
+    assert top1 == {i: 1000 + i for i in range(5)}
+
+
+def test_pq_topk_deterministic_under_repartition(spark):
+    # ADC sums are rounded before ranking and ties break by neighbor
+    # id, so partitioning must not change the candidate cut
+    df, q = _pq_fixture(spark)
+    a = pq_topk(q, df, k=5, m=4, ksub=16, dim=16).select(
+        "query_id", "rank", "neighbor_id"
+    ).collect()
+    b = pq_topk(
+        q.repartition(7), df.repartition(13), k=5, m=4, ksub=16, dim=16
+    ).select("query_id", "rank", "neighbor_id").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
