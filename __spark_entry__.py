@@ -1443,6 +1443,40 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scalarize(parse_robots(hosts.withColumn("body", body)))
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 Sitemap-directive extraction over synthesized robots
+    bodies (mis-cased keys, trailing comments, a relative URL that
+    must be dropped, an exact duplicate that must dedupe). The oracle
+    derives the expected URL set directly from the host number."""
+    from tspider_spark.operators.robots import robots_sitemap_urls
+
+    hosts = _clean(spark, sf_dir).select(
+        F.col("u.hostname").alias("host")
+    ).distinct()
+    n = _host_num(F.col("host"))
+    body = F.concat(
+        F.lit("# discovery directives\nUser-agent: *\nDisallow: /tmp\n"
+              "Sitemap: /relative-invalid.xml\n"),
+        F.when(
+            n % 3 == 0,
+            F.concat(
+                F.lit("sitemap: http://"), F.col("host"),
+                F.lit("/sitemap.xml # primary\nSITEMAP: http://"),
+                F.col("host"), F.lit("/sitemap.xml\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            n % 2 == 0,
+            F.concat(
+                F.lit("Sitemap: https://cdn."), F.col("host"),
+                F.lit("/maps/sitemap-"), (n % 4).cast("string"),
+                F.lit(".xml\n"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return robots_sitemap_urls(hosts.withColumn("body", body))
+
+
 def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual audio near-dup pairs over REAL decoded PCM: each
     clip plus a low-amplitude-noise re-encoded variant (#v); energy
@@ -1687,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r2 blemishes, fixed this round
         "paragraph_dedupe": q_paragraph_dedupe,
         "robots_parse": q_robots_parse,
+        "robots_sitemaps": q_robots_sitemaps,
         "gopher_filter": q_gopher_filter,
         # round-3 additions (new => inside the driver's 50-query window)
         "host_hits": q_host_hits,
@@ -1732,7 +1767,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f10_suffix_blocklist": q_f10_suffix_blocklist,
         "f12_f13_saved_dedupe": q_f12_f13_saved_dedupe,
         "k1_scope_routing": q_k1_scope_routing,
-        "minhash_lsh_dups": q_minhash_lsh_dups,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_clusters": q_dedup_clusters,
         "dedup_components_star": q_dedup_components_star,
@@ -1779,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_politeness_delay": q_q2_politeness_delay,
         "k6_keepfirst": q_k6_keepfirst,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "minhash_lsh_dups": q_minhash_lsh_dups,
     }
 
 
@@ -2648,6 +2683,20 @@ def oracle_sql() -> dict[str, str]:
         else cast(null as int) end as crawl_delay_ms
  from hosts
  where n % 5 = 0 or n % 4 = 0
+""",
+        "robots_sitemaps": _CLEAN_SQL + """
+ , hosts as (
+   select distinct hostname as host,
+     cast(regexp_extract(hostname, 'host([0-9]+)', 1) as int) as n
+   from clean
+ )
+ select host, 'http://' || host || '/sitemap.xml' as sitemap_url
+ from hosts where n % 3 = 0
+ union all
+ select host,
+        'https://cdn.' || host || '/maps/sitemap-' || (n % 4) || '.xml'
+   as sitemap_url
+ from hosts where n % 2 = 0
 """,
         "audio_near_dups": """
  with refs as (

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "image_near_dups",
     "audio_near_dups",
     "robots_parse",
+    "robots_sitemaps",
     "sitemap_parse",
     "normalize_text",
     "dsir_weights",

@@ -139,6 +139,74 @@ def test_parse_sitemap_formats(spark):
     }
 
 
+def test_robots_sitemap_urls_edges(spark):
+    """Sitemap: directives parse independent of groups and key case,
+    tolerate trailing comments, drop relative URLs, and dedupe exact
+    repeats; hosts without a directive are absent."""
+    from tspider_spark.operators.robots import robots_sitemap_urls
+
+    body_a = (
+        "# header\nUser-agent: googlebot\nDisallow: /private\n"
+        "sitemap: http://a.com/sitemap.xml # primary\n"
+        "User-agent: *\nDisallow: /x\n"
+        "SITEMAP: http://a.com/sitemap.xml\n"
+        "Sitemap: https://cdn.a.com/maps/s2.xml\n"
+        "Sitemap: /relative-invalid.xml\n"
+    )
+    body_b = "User-agent: *\nDisallow: /y\n"
+    df = spark.createDataFrame(
+        [("a.com", body_a), ("b.com", body_b)], "host string, body string"
+    )
+    got = {(r["host"], r["sitemap_url"])
+           for r in robots_sitemap_urls(df).collect()}
+    assert got == {
+        ("a.com", "http://a.com/sitemap.xml"),
+        ("a.com", "https://cdn.a.com/maps/s2.xml"),
+    }
+
+
+def test_discover_sitemaps_gates_seed_extension(spark, tmp_path):
+    """--discover-sitemaps: only sitemaps a host's robots.txt declares
+    contribute seeds; undeclared sitemap bodies are ignored."""
+    from tspider_spark.submit_crawl import main
+
+    docs, seeds = generate_corpus(
+        CorpusSpec(seed=33, n_domains=3, hosts_per_domain=2)
+    )
+    hosts = sorted({d.split("/")[2] for d, _ in docs})
+    declared, undeclared = hosts[0], hosts[1]
+    rb, sb = str(tmp_path / "rb"), str(tmp_path / "sb")
+    spark.createDataFrame(
+        [(declared,
+          f"User-agent: *\nDisallow:\nSitemap: http://{declared}/sm.xml\n")],
+        "host string, body string",
+    ).write.parquet(rb)
+    sm = "<urlset><url><loc>http://{h}/</loc></url></urlset>"
+    spark.createDataFrame(
+        [(declared, sm.format(h=declared)),
+         (undeclared, sm.format(h=undeclared))],
+        "host string, body string",
+    ).write.parquet(sb)
+
+    docs_path = str(tmp_path / "docs")
+    corpus_to_spark(spark, docs).write.parquet(docs_path)
+    # seed only with the first corpus seed so sitemap extension shows
+    base = [seeds[0]]
+    state = str(tmp_path / "state")
+    main(["--documents", docs_path, "--state", state, "--tld",
+          "--max-per-host", "10", "--max-waves", "0",
+          "--robots-bodies", rb, "--sitemap-bodies", sb,
+          "--discover-sitemaps", "--seeds"] + base,
+         stop_session=False)
+    eng = CrawlEngine(
+        spark, spark.read.parquet(docs_path), state,
+        CrawlConfig(tld=True, max_per_host=10, robots_enabled=True),
+    )
+    seeded = {r["url"] for r in eng.crawl_order().collect()}
+    assert f"http://{declared}/" in seeded
+    assert f"http://{undeclared}/" not in seeded
+
+
 def test_submit_cli_robots_and_sitemap_bodies(spark, tmp_path):
     """--robots-bodies / --sitemap-bodies: raw bodies parse inside the
     CLI, sitemap <loc>s extend the seed list, robots rules are

@@ -139,6 +139,45 @@ def parse_robots(
     )
 
 
+def robots_sitemap_urls(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Extract ``Sitemap:`` directive URLs from robots.txt bodies —
+    the discovery edge RFC 9309 §2.3 defines OUTSIDE user-agent groups
+    (any group membership is ignored; the directive is global to the
+    file). Closes the crawl seed-discovery loop:
+    ``parse_robots`` scopes fetching, this feeds :func:`parse_sitemap`
+    whose non-index rows feed ``CrawlEngine.seed()``.
+
+    Pure JVM and shuffle-free like :func:`parse_sitemap`: one
+    line-explode per body, comment/CRLF/case tolerant (the key is
+    case-insensitive per RFC; the URL value is not case-folded).
+    Returns distinct (host, sitemap_url) rows, keeping only absolute
+    http(s) URLs (relative Sitemap values are invalid per the RFC and
+    dropped)."""
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.split(F.regexp_replace(F.col(body_col), "\r", ""), "\n")
+        ).alias("raw"),
+    )
+    cleaned = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    parsed = (
+        lines.withColumn("line", cleaned)
+        .filter(F.col("line").contains(":"))
+        .withColumn("key", F.lower(F.trim(F.substring_index("line", ":", 1))))
+        .withColumn(
+            "val", F.trim(F.expr("substring(line, instr(line, ':') + 1)"))
+        )
+        .filter(F.col("key") == "sitemap")
+        .filter(
+            F.col("val").startswith("http://")
+            | F.col("val").startswith("https://")
+        )
+    )
+    return parsed.select("host", F.col("val").alias("sitemap_url")).distinct()
+
+
 def parse_sitemap(
     bodies: DataFrame, host_col: str = "host", body_col: str = "body"
 ) -> DataFrame:

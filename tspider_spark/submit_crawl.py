@@ -50,6 +50,11 @@ def main(argv=None, stop_session=True):
                     help="parquet dir with (host, body): sitemap XML/"
                          "text bodies; non-index <loc> URLs become "
                          "seeds (in addition to --seeds/--seeds-file)")
+    ap.add_argument("--discover-sitemaps", action="store_true",
+                    help="with --robots-bodies and --sitemap-bodies: "
+                         "only seed from sitemaps that robots.txt "
+                         "actually declares (RFC 9309 Sitemap: lines) "
+                         "— the robots->sitemap->seeds discovery loop")
     ap.add_argument("--host-priorities", default=None,
                     help="parquet dir with (hostname, priority) enabling "
                          "authority-priority frontier ordering "
@@ -118,6 +123,15 @@ def main(argv=None, stop_session=True):
             from tspider_spark.operators.robots import parse_sitemap
 
             sm = parse_sitemap(spark.read.parquet(args.sitemap_bodies))
+            if args.discover_sitemaps and args.robots_bodies:
+                from tspider_spark.operators.robots import (
+                    robots_sitemap_urls,
+                )
+
+                declared = robots_sitemap_urls(
+                    spark.read.parquet(args.robots_bodies)
+                ).select("host").distinct()
+                sm = sm.join(declared, "host", "left_semi")
             extra = sorted(
                 r["url"]
                 for r in sm.filter(~sm["is_index"]).select("url")
