@@ -1443,6 +1443,29 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scalarize(parse_robots(hosts.withColumn("body", body)))
 
 
+def q_url_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL keyword gate over clean URLs salted with
+    keyword-bearing suffixes: whole-word hits (strict, weight 2),
+    substring-only hits (soft, weight 1), keep = score < 2. Exercises
+    strict vs soft vs clean paths via the host number."""
+    from tspider_spark.operators.filters import url_keyword_score
+
+    d = (
+        _clean(spark, sf_dir)
+        .select("url", F.col("u.hostname").alias("hostname"))
+        .distinct()
+    )
+    n = _host_num(F.col("hostname"))
+    salted = d.select(
+        F.when(n % 7 == 0, F.concat("url", F.lit("/casino/bonus")))
+        .when(n % 7 == 1, F.concat("url", F.lit("?ref=webcams")))
+        .when(n % 7 == 2, F.concat("url", F.lit("/pokerxxx")))
+        .otherwise(F.col("url"))
+        .alias("url")
+    )
+    return url_keyword_score(salted)
+
+
 def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 Sitemap-directive extraction over synthesized robots
     bodies (mis-cased keys, trailing comments, a relative URL that
@@ -1740,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "dsir_resample": q_dsir_resample,
         "url_trap_hosts": q_url_trap_hosts,
+        "url_keyword_filter": q_url_keyword_filter,
         "ann_sq_topk": q_ann_sq_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "quality_classifier": q_quality_classifier,
@@ -1759,7 +1783,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_full_run": q_crawl_full_run,
         "media_decode": q_media_decode,
         # the rest of the contract surface
-        "f1_f7_stateless_filters": q_f1_f7_stateless_filters,
         "f8_seen_anti_join": q_f8_seen_anti_join,
         "f9_budget_admission": q_f9_budget_admission,
         "a2_index_synthesis": q_a2_index_synthesis,
@@ -1814,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k6_keepfirst": q_k6_keepfirst,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
+        "f1_f7_stateless_filters": q_f1_f7_stateless_filters,
     }
 
 
@@ -2683,6 +2707,43 @@ def oracle_sql() -> dict[str, str]:
         else cast(null as int) end as crawl_delay_ms
  from hosts
  where n % 5 = 0 or n % 4 = 0
+""",
+        "url_keyword_filter": _CLEAN_SQL + """
+ , salted as (
+   select case
+     when n % 7 = 0 then url || '/casino/bonus'
+     when n % 7 = 1 then url || '?ref=webcams'
+     when n % 7 = 2 then url || '/pokerxxx'
+     else url end as url
+   from (
+     select distinct url, hostname,
+       cast(regexp_extract(hostname, 'host([0-9]+)', 1) as int) as n
+     from clean
+   )
+ ),
+ toks as (
+   select url, lower(url) as lurl,
+     list_filter(string_split_regex(lower(url), '[^a-z0-9]+'),
+                 w -> w <> '') as words
+   from salted
+ ),
+ scored as (
+   select url,
+     cast(len(list_filter(
+       ['betting','casino','escort','lottery','pills','poker','porn',
+        'torrent','viagra','webcam','xxx'],
+       k -> list_contains(words, k))) as int) as strict_hits,
+     cast(len(list_filter(
+       ['betting','casino','escort','lottery','pills','poker','porn',
+        'torrent','viagra','webcam','xxx'],
+       k -> contains(lurl, k) and not list_contains(words, k)))
+       as int) as soft_hits
+   from toks
+ )
+ select url, strict_hits, soft_hits,
+        strict_hits * 2 + soft_hits as url_score,
+        (strict_hits * 2 + soft_hits) < 2 as keep
+ from scored
 """,
         "robots_sitemaps": _CLEAN_SQL + """
  , hosts as (

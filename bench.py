@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "dsir_resample",
     "url_trap_hosts",
+    "url_keyword_filter",
     "ann_sq_topk",
     "ann_pq_topk",
     "dedup_components_star",

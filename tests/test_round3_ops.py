@@ -420,6 +420,77 @@ def test_sq_topk_candidate_cut_is_integer(spark):
 
 
 # ---------------------------------------------------------------------------
+# URL keyword gate
+
+
+def test_url_keyword_score_strict_soft_clean(spark):
+    from tspider_spark.operators.filters import url_keyword_score
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.com/casino/bonus",),      # whole word -> strict
+            ("http://b.com/?ref=webcams",),      # substring only -> soft
+            ("http://c.com/pokerxxx",),          # two substrings -> drop
+            ("http://d.com/plain/page",),        # clean
+            ("http://CASINO.example/x",),        # case-folded strict
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: (r["strict_hits"], r["soft_hits"], r["url_score"], r["keep"])
+        for r in url_keyword_score(df).collect()
+    }
+    assert got["http://a.com/casino/bonus"] == (1, 0, 2, False)
+    assert got["http://b.com/?ref=webcams"] == (0, 1, 1, True)
+    assert got["http://c.com/pokerxxx"] == (0, 2, 2, False)
+    assert got["http://d.com/plain/page"] == (0, 0, 0, True)
+    assert got["http://CASINO.example/x"] == (1, 0, 2, False)
+
+
+def test_engine_url_keyword_gate(spark, tmp_path):
+    """With url_block_keywords set, keyword-scoring URLs are never
+    scheduled; with the default empty tuple the crawl is reference
+    parity (the gate is absent from the plan)."""
+    from tspider_spark.config import CrawlConfig
+    from tspider_spark.plans.crawl import CrawlEngine
+    from tspider_spark.sources.corpus import corpus_to_spark
+
+    docs = [
+        ("http://ok.com/", [
+            ("link", "http://ok.com/casino/promo", None, 0),
+            ("link", "http://ok.com/plain", None, 1),
+        ]),
+        ("http://ok.com/plain", []),
+        ("http://ok.com/casino/promo", []),
+    ]
+    cfg = CrawlConfig(
+        tld=True, max_per_host=10, url_block_keywords=("casino",),
+    )
+    eng = CrawlEngine(
+        spark, corpus_to_spark(spark, docs), str(tmp_path / "s1"), cfg
+    )
+    eng.seed(["http://ok.com/"])
+    eng.run()
+    scheduled = {r["url"] for r in eng.crawl_order().collect()}
+    assert "http://ok.com/plain" in scheduled
+    assert not any("casino" in u for u in scheduled)
+    # off by default: same corpus schedules the keyword URL
+    eng2 = CrawlEngine(
+        spark, corpus_to_spark(spark, docs), str(tmp_path / "s2"),
+        CrawlConfig(tld=True, max_per_host=10),
+    )
+    eng2.seed(["http://ok.com/"])
+    eng2.run()
+    assert "http://ok.com/casino/promo" in {
+        r["url"] for r in eng2.crawl_order().collect()
+    }
+    # meta round-trip keeps the gate on resume
+    assert CrawlConfig.from_meta(cfg.to_meta()).url_block_keywords == (
+        "casino",
+    )
+
+
+# ---------------------------------------------------------------------------
 # product-quantized ANN
 
 

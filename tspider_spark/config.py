@@ -47,6 +47,13 @@ class CrawlConfig:
     # was wrong).
     trap_min_urls: int = 0
     trap_max_patterns_per_url: float = 0.9
+    # URL keyword gate (RefinedWeb §G.1-style; empty = off = reference
+    # parity): candidates whose lowercased URL scores >=
+    # url_keyword_threshold (2 per whole-word keyword hit, 1 per
+    # substring-only hit) are dropped in the stateless filter chain —
+    # before any stateful bookkeeping, exactly like F1/F7.
+    url_block_keywords: tuple = ()
+    url_keyword_threshold: int = 2
     # performance knobs
     use_bloom_prefilter: bool = False
     bloom_shards: int = 8
@@ -122,6 +129,8 @@ class CrawlConfig:
             "max_depth": self.max_depth,
             "trap_min_urls": self.trap_min_urls,
             "trap_max_patterns_per_url": self.trap_max_patterns_per_url,
+            "url_block_keywords": list(self.url_block_keywords),
+            "url_keyword_threshold": self.url_keyword_threshold,
         }
 
     @staticmethod
@@ -140,4 +149,6 @@ class CrawlConfig:
             trap_max_patterns_per_url=float(
                 meta.get("trap_max_patterns_per_url", 0.9)
             ),
+            url_block_keywords=tuple(meta.get("url_block_keywords", ())),
+            url_keyword_threshold=int(meta.get("url_keyword_threshold", 2)),
         )

@@ -137,6 +137,80 @@ def detect_pattern_traps(
     )
 
 
+# RefinedWeb §G.1-style URL keyword filtering: a neutral default list
+# of spam-signal words standing in for the UT1-derived production
+# lists (the list is a parameter; production swaps in its own).
+DEFAULT_URL_BLOCK_KEYWORDS = (
+    "betting", "casino", "escort", "lottery", "pills",
+    "poker", "porn", "torrent", "viagra", "webcam", "xxx",
+)
+
+
+def url_keyword_score(
+    df: DataFrame,
+    url_col: str = "url",
+    keywords: tuple = DEFAULT_URL_BLOCK_KEYWORDS,
+    threshold: int = 2,
+) -> DataFrame:
+    """URL-level quality gate (RefinedWeb §G.1 simplified): curation
+    pipelines drop documents on the URL alone before fetching or
+    scoring text — the cheapest filter in the stack, and the only one
+    that saves the fetch itself when applied at admission time.
+
+    Scoring: the lowercased URL is split into words on non-alphanumeric
+    runs; a keyword appearing as a whole word counts 2 (strict hit), a
+    keyword appearing only as a substring counts 1 (soft hit — catches
+    'pornhub' without banning 'scunthorpe'-style false positives at
+    full weight); ``keep`` = score < threshold, so one strict hit or
+    two soft hits drop the URL by default.
+
+    All-JVM and shuffle-free: the keyword list is a literal array
+    (bounded, UT1-scale lists are thousands of entries — still literal
+    or a broadcast join at worst), the word split + membership are
+    higher-order array functions inside whole-stage codegen. Integer
+    score so the output is hash-stable across engines.
+
+    Output: (url_col..., strict_hits, soft_hits, url_score, keep).
+    """
+    strict, soft = _url_keyword_hits(url_col, keywords)
+    return (
+        df.withColumn("strict_hits", strict)
+        .withColumn("soft_hits", soft)
+        .withColumn(
+            "url_score", (F.col("strict_hits") * 2 + F.col("soft_hits"))
+        )
+        .withColumn("keep", F.col("url_score") < F.lit(int(threshold)))
+    )
+
+
+def url_keyword_keep(
+    url_col: str = "url",
+    keywords: tuple = DEFAULT_URL_BLOCK_KEYWORDS,
+    threshold: int = 2,
+) -> Column:
+    """Predicate form of :func:`url_keyword_score` for the stateless
+    filter chain (composes with ``stateless_valid``; opt-in via
+    ``CrawlConfig.url_block_keywords``)."""
+    strict, soft = _url_keyword_hits(url_col, keywords)
+    return (strict * 2 + soft) < F.lit(int(threshold))
+
+
+def _url_keyword_hits(url_col: str, keywords: tuple):
+    lower = F.lower(F.col(url_col))
+    words = F.filter(
+        F.split(lower, "[^a-z0-9]+"), lambda w: w != F.lit("")
+    )
+    kw = F.array(*[F.lit(k) for k in keywords])
+    strict = F.size(F.filter(kw, lambda k: F.array_contains(words, k)))
+    soft = F.size(
+        F.filter(
+            kw,
+            lambda k: lower.contains(k) & ~F.array_contains(words, k),
+        )
+    )
+    return strict, soft
+
+
 def is_target(df: DataFrame, whitelist_df: DataFrame, tld: bool, u: str = "u") -> DataFrame:
     """F11 (redis_utils.py:129-137) — scope membership on registered
     domain (tld mode) or hostname, via broadcast semi-join; adds an

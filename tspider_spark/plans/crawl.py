@@ -122,6 +122,11 @@ class CrawlEngine:
             seeds = seeds.withColumn("fetch_context", F.lit(""))
         s = with_url_info(seeds, "url")
         s = s.filter(FL.stateless_valid(self.cfg.blocklist))
+        if self.cfg.url_block_keywords:
+            s = s.filter(FL.url_keyword_keep(
+                "u.url", tuple(self.cfg.url_block_keywords),
+                self.cfg.url_keyword_threshold,
+            ))
         if self.robots is not None:
             s = robots_filter(s, self.robots, host_col="u.hostname")
         cands = s.select(
@@ -594,6 +599,11 @@ class CrawlEngine:
 
         # --- stateless filters (F1/F3, F7, F10) ---------------------------
         stream = stream.filter(FL.stateless_valid(self.cfg.blocklist))
+        if self.cfg.url_block_keywords:  # RefinedWeb-style URL gate
+            stream = stream.filter(FL.url_keyword_keep(
+                "u.url", tuple(self.cfg.url_block_keywords),
+                self.cfg.url_keyword_threshold,
+            ))
         if self.robots is not None:  # north_rule robots extension
             stream = robots_filter(stream, self.robots, host_col="u.hostname")
 
