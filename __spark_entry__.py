@@ -1675,6 +1675,35 @@ def q_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_df_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBELICS-style high-frequency media removal: assets in more
+    than 28 documents (site furniture at this scale) are cut from
+    every spans array; text untouched. Surviving refs emitted as a
+    '|'-joined scalar."""
+    from pyspark.sql import functions as FF
+
+    from tspider_spark.operators.interleaved import media_frequency_filter
+
+    d = media_frequency_filter(
+        _interleaved_docs(spark, sf_dir), max_doc_freq=28
+    )
+    kept_refs = FF.array_join(
+        FF.transform(
+            FF.filter(
+                FF.col("spans"), lambda s: s["kind"] == FF.lit("media")
+            ),
+            lambda s: s["media_ref"],
+        ),
+        "|",
+    )
+    return d.select(
+        "doc_id",
+        FF.col("n_media_before").cast("long").alias("n_media_before"),
+        FF.col("n_media_dropped").cast("long").alias("n_media_dropped"),
+        kept_refs.alias("kept_refs"),
+    )
+
+
 def q_caption_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMC4-style media->following-text caption assignment, computed
     inside the spans array (nested higher-order filter); trailing
@@ -1777,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_stats": q_interleave_stats,
         "caption_candidates": q_caption_candidates,
         "media_seq_dedupe": q_media_seq_dedupe,
+        "media_df_filter": q_media_df_filter,
         "interleave_gate": q_interleave_gate,
         # rows-only (non-SQL-expressible: sequential stateful crawl
         # loop / binary payload decode)
@@ -1786,7 +1816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_seen_anti_join": q_f8_seen_anti_join,
         "f9_budget_admission": q_f9_budget_admission,
         "a2_index_synthesis": q_a2_index_synthesis,
-        "a1_host_counts": q_a1_host_counts,
         "f10_suffix_blocklist": q_f10_suffix_blocklist,
         "f12_f13_saved_dedupe": q_f12_f13_saved_dedupe,
         "k1_scope_routing": q_k1_scope_routing,
@@ -1838,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "f1_f7_stateless_filters": q_f1_f7_stateless_filters,
+        "a1_host_counts": q_a1_host_counts,
     }
 
 
@@ -3210,6 +3240,32 @@ def oracle_sql() -> dict[str, str]:
 """,
         # interleaved-payload curation: shared synthesized-span CTE;
         # max_media_run replays the in-array fold as gaps-and-islands
+        "media_df_filter": _INTERLEAVED_SQL + """
+ , df as (
+   select media_ref, count(distinct doc_id) as dfreq
+   from sp where kind = 'media' group by 1
+ ),
+ med as (
+   select doc_id, i, media_ref,
+          media_ref in (select media_ref from df where dfreq > 28)
+            as is_hot
+   from sp where kind = 'media'
+ ),
+ agg as (
+   select doc_id,
+     cast(count(*) as bigint) as n_media_before,
+     cast(sum(case when is_hot then 1 else 0 end) as bigint)
+       as n_media_dropped,
+     string_agg(case when not is_hot then media_ref end, '|' order by i)
+       as kept_refs
+   from med group by doc_id
+ )
+ select d0.d as doc_id,
+   coalesce(agg.n_media_before, 0) as n_media_before,
+   coalesce(agg.n_media_dropped, 0) as n_media_dropped,
+   coalesce(agg.kept_refs, '') as kept_refs
+ from d0 left join agg on d0.d = agg.doc_id
+""",
         "interleave_stats": _INTERLEAVED_SQL + """
  , isl as (
    select doc_id, i, kind,

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "dsir_resample",
     "url_trap_hosts",
     "url_keyword_filter",
+    "media_df_filter",
     "ann_sq_topk",
     "ann_pq_topk",
     "dedup_components_star",

@@ -118,6 +118,33 @@ def test_interleave_gate_reasons(docs):
     assert rows["a"]["fail_reasons"] == "too_little_text"
 
 
+def test_media_frequency_filter(docs):
+    """i1 appears in 3 docs (site furniture at cap 2) and is cut
+    everywhere; i2/i3 (2 docs) and i9 (1 doc) survive; text spans and
+    media-free docs are untouched."""
+    from tspider_spark.operators.interleaved import (
+        media_doc_frequency,
+        media_frequency_filter,
+    )
+
+    df = {r["media_ref"]: r["doc_freq"]
+          for r in media_doc_frequency(docs).collect()}
+    assert df == {"i1": 3, "i2": 2, "i3": 2, "i9": 1}
+    out = {r["doc_id"]: r for r in media_frequency_filter(docs, 2).collect()}
+    refs = {
+        k: [s["media_ref"] for s in v["spans"] if s["kind"] == "media"]
+        for k, v in out.items()
+    }
+    assert refs == {"a": ["i2", "i3"], "b": ["i9"], "c": [],
+                    "d": ["i2", "i3"]}
+    assert (out["a"]["n_media_before"], out["a"]["n_media_dropped"]) == (3, 1)
+    assert (out["c"]["n_media_before"], out["c"]["n_media_dropped"]) == (0, 0)
+    # text spans untouched, original offsets preserved
+    a_text = [(s["text"], s["offset"]) for s in out["a"]["spans"]
+              if s["kind"] == "text"]
+    assert a_text == [("hello world", 0), ("mid", 2), ("tail", 5)]
+
+
 def test_interleaved_over_generated_corpus(spark):
     """The operators run over the REAL corpus table (the same frame
     the crawl fetch join reads): stats cover every doc, captions

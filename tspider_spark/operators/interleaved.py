@@ -204,6 +204,76 @@ def media_sequence_dedup(
     )
 
 
+def media_doc_frequency(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """``media_ref, doc_freq``: how many distinct documents each media
+    asset appears in. ONE aggregation: the per-doc DISTINCT refs are
+    computed in-array (no media-span explode beyond the distinct set),
+    then a ref-keyed count — map-side combinable, no skew beyond the
+    boilerplate refs themselves (which are exactly what AQE skew-split
+    and the downstream filter exist for)."""
+    refs = F.array_distinct(
+        F.transform(_media(spans_col), lambda s: s["media_ref"])
+    )
+    return (
+        docs.select(F.explode(refs).alias("media_ref"))
+        .groupBy("media_ref")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+
+
+def media_frequency_filter(
+    docs: DataFrame,
+    max_doc_freq: int,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """OBELICS §3.1-style high-frequency media removal: assets that
+    appear in more than ``max_doc_freq`` documents are site furniture
+    (logos, banners, tracking pixels, nav sprites), not content — their
+    spans are cut from every document; text spans and offsets are
+    untouched (downstream pairing reads original offsets).
+
+    Physical shape: the hot set (refs with doc_freq > cap) is
+    aggregated into ONE row and broadcast — a broadcast-of-one-row
+    cross join like the corpus-stats idiom in bm25 — so the document
+    table itself is never shuffled; the span cut is an in-array JVM
+    filter. The hot set is bounded by total_media_spans / max_doc_freq
+    (at 10^10 docs with a production cap this is thousands of refs —
+    broadcastable); for aggressive caps where the hot set is itself
+    corpus-scale, explode + anti-join + doc-keyed regroup is the
+    fallback, at the cost of one doc_id exchange.
+
+    Output: the input columns with ``spans`` filtered, plus
+    ``n_media_before`` / ``n_media_dropped``.
+    """
+    hot = (
+        media_doc_frequency(docs, id_col, spans_col)
+        .filter(F.col("doc_freq") > max_doc_freq)
+        .agg(F.sort_array(F.collect_list("media_ref")).alias("_hot"))
+    )
+    before = F.size(_media(spans_col))
+    kept = F.filter(
+        F.col(spans_col),
+        lambda s: (s["kind"] != F.lit("media"))
+        | ~F.array_contains(F.col("_hot"), s["media_ref"]),
+    )
+    return (
+        docs.join(F.broadcast(hot))
+        .withColumn("n_media_before", before)
+        # n_media_before must be read back as a COLUMN here: the
+        # `before` expression would re-evaluate over the replaced
+        # (already filtered) spans and always yield dropped = 0
+        .withColumn(spans_col, kept)
+        .withColumn(
+            "n_media_dropped",
+            F.col("n_media_before") - F.size(_media(spans_col)),
+        )
+        .drop("_hot")
+    )
+
+
 def interleave_gate(
     docs: DataFrame,
     id_col: str = "doc_id",
