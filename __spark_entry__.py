@@ -1704,6 +1704,37 @@ def q_media_df_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host repeated-text-span removal (nav/footer boilerplate):
+    text recurring in >= max(2, ceil(0.1 * host docs)) distinct docs
+    of its host group is cut from the spans arrays; media untouched.
+    Surviving texts emitted '|'-joined in span order."""
+    from pyspark.sql import functions as FF
+
+    from tspider_spark.operators.interleaved import boilerplate_text_filter
+
+    d = _interleaved_docs(spark, sf_dir).withColumn(
+        "g", FF.concat(FF.lit("h"), (FF.col("doc_id") % 5).cast("string"))
+    )
+    out = boilerplate_text_filter(d, "g", min_docs=2, min_frac=0.1)
+    kept_texts = FF.array_join(
+        FF.transform(
+            FF.filter(
+                FF.col("spans"), lambda s: s["kind"] == FF.lit("text")
+            ),
+            lambda s: s["text"],
+        ),
+        "|",
+    )
+    return out.select(
+        "doc_id",
+        "g",
+        FF.col("n_text_before").cast("long").alias("n_text_before"),
+        FF.col("n_text_dropped").cast("long").alias("n_text_dropped"),
+        kept_texts.alias("kept_texts"),
+    )
+
+
 def q_caption_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMC4-style media->following-text caption assignment, computed
     inside the spans array (nested higher-order filter); trailing
@@ -1807,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_candidates": q_caption_candidates,
         "media_seq_dedupe": q_media_seq_dedupe,
         "media_df_filter": q_media_df_filter,
+        "boilerplate_spans": q_boilerplate_spans,
         "interleave_gate": q_interleave_gate,
         # rows-only (non-SQL-expressible: sequential stateful crawl
         # loop / binary payload decode)
@@ -1816,7 +1848,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_seen_anti_join": q_f8_seen_anti_join,
         "f9_budget_admission": q_f9_budget_admission,
         "a2_index_synthesis": q_a2_index_synthesis,
-        "f10_suffix_blocklist": q_f10_suffix_blocklist,
         "f12_f13_saved_dedupe": q_f12_f13_saved_dedupe,
         "k1_scope_routing": q_k1_scope_routing,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1868,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "f1_f7_stateless_filters": q_f1_f7_stateless_filters,
         "a1_host_counts": q_a1_host_counts,
+        "f10_suffix_blocklist": q_f10_suffix_blocklist,
     }
 
 
@@ -3240,6 +3272,38 @@ def oracle_sql() -> dict[str, str]:
 """,
         # interleaved-payload curation: shared synthesized-span CTE;
         # max_media_run replays the in-array fold as gaps-and-islands
+        "boilerplate_spans": _INTERLEAVED_SQL + """
+ , tf as (
+   select 'h' || (doc_id % 5) as g, text, count(distinct doc_id) as df
+   from sp where kind = 'text' group by 1, 2
+ ),
+ gd as (select 'h' || (d % 5) as g, count(*) as docs from d0 group by 1),
+ hot as (
+   select tf.g, tf.text from tf join gd using (g)
+   where df >= greatest(2, ceil(0.1 * docs))
+ ),
+ tx as (
+   select sp.doc_id, 'h' || (sp.doc_id % 5) as g, sp.i, sp.text,
+          h.text is not null as is_hot
+   from sp left join hot h
+     on h.g = 'h' || (sp.doc_id % 5) and h.text = sp.text
+   where sp.kind = 'text'
+ ),
+ agg as (
+   select doc_id, g,
+     cast(count(*) as bigint) as n_text_before,
+     cast(sum(case when is_hot then 1 else 0 end) as bigint)
+       as n_text_dropped,
+     string_agg(case when not is_hot then text end, '|' order by i)
+       as kept_texts
+   from tx group by 1, 2
+ )
+ select d0.d as doc_id, 'h' || (d0.d % 5) as g,
+   coalesce(agg.n_text_before, 0) as n_text_before,
+   coalesce(agg.n_text_dropped, 0) as n_text_dropped,
+   coalesce(agg.kept_texts, '') as kept_texts
+ from d0 left join agg on d0.d = agg.doc_id
+""",
         "media_df_filter": _INTERLEAVED_SQL + """
  , df as (
    select media_ref, count(distinct doc_id) as dfreq

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "url_trap_hosts",
     "url_keyword_filter",
     "media_df_filter",
+    "boilerplate_spans",
     "ann_sq_topk",
     "ann_pq_topk",
     "dedup_components_star",

@@ -145,6 +145,39 @@ def test_media_frequency_filter(docs):
     assert a_text == [("hello world", 0), ("mid", 2), ("tail", 5)]
 
 
+def test_boilerplate_text_filter(spark):
+    """'nav' recurs in 3 of host A's 3 docs (>= ceil(0.5*3)=2 and
+    >= min_docs) and is cut from all of them; unique prose survives;
+    host B's single doc is protected by the min_docs floor even though
+    any text there trivially hits 100% frequency."""
+    from tspider_spark.operators.interleaved import boilerplate_text_filter
+
+    rows = [
+        _doc("a1", t("nav"), t("unique one"), img("i1")),
+        _doc("a2", t("nav"), t("other prose")),
+        _doc("a3", t("nav"), t("third body"), t("unique one")),
+        _doc("b1", t("nav"), t("solo page")),
+    ]
+    df = spark.createDataFrame(rows, SPAN_SCHEMA).withColumn(
+        "host", F.substring("doc_id", 1, 1)
+    )
+    out = {r["doc_id"]: r for r in
+           boilerplate_text_filter(df, "host", min_docs=2, min_frac=0.5)
+           .collect()}
+    texts = {
+        k: [s["text"] for s in v["spans"] if s["kind"] == "text"]
+        for k, v in out.items()
+    }
+    # 'unique one' is in 2 of 3 host-a docs = ceil(0.5*3)=2 -> also cut
+    assert texts == {
+        "a1": [], "a2": ["other prose"], "a3": ["third body"],
+        "b1": ["nav", "solo page"],
+    }
+    assert (out["a1"]["n_text_before"], out["a1"]["n_text_dropped"]) == (2, 2)
+    # media spans untouched
+    assert [s["media_ref"] for s in out["a1"]["spans"]] == ["i1"]
+
+
 def test_interleaved_over_generated_corpus(spark):
     """The operators run over the REAL corpus table (the same frame
     the crawl fetch join reads): stats cover every doc, captions

@@ -274,6 +274,78 @@ def media_frequency_filter(
     )
 
 
+def boilerplate_text_filter(
+    docs: DataFrame,
+    group_col: str,
+    min_docs: int = 2,
+    min_frac: float = 0.5,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Per-group repeated-text-span removal — the TEXT complement of
+    :func:`media_frequency_filter`: a text span whose exact content
+    recurs across a site's pages is navigation/footer/cookie-banner
+    boilerplate, not prose (the span-structured analog of CCNet's
+    paragraph-frequency rule; OBELICS removes these before its node
+    stats). A span is boilerplate in its group when its text appears
+    in at least ``max(min_docs, ceil(min_frac * group_docs))``
+    DISTINCT documents of the group (both bounds matter: the fraction
+    alone would flag everything in 1-doc groups, the count alone would
+    flag shared phrases on huge sites).
+
+    Physical shape: one (group, text) hash agg over in-array DISTINCT
+    text values + one group-keyed doc-count agg, then the per-group
+    boilerplate dimension (bounded by group_spans / min_docs) joins
+    back on ``group_col`` — at engine scale that is the hostname
+    exchange the admission fold already pays, and AQE broadcasts it
+    when small. The span cut is an in-array JVM filter; media spans
+    and offsets are untouched.
+
+    Output: input columns with ``spans`` filtered, plus
+    ``n_text_before`` / ``n_text_dropped``.
+    """
+    texts = F.array_distinct(
+        F.transform(_text(spans_col), lambda s: s["text"])
+    )
+    tf = (
+        docs.select(F.col(group_col).alias("_g"), F.explode(texts).alias("_t"))
+        .groupBy("_g", "_t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    gd = docs.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_docs")
+    )
+    cut = F.greatest(
+        F.lit(int(min_docs)).cast("long"),
+        F.ceil(F.lit(float(min_frac)) * F.col("_docs")),
+    )
+    hot = (
+        tf.join(gd, "_g")
+        .filter(F.col("_df") >= cut)
+        .groupBy("_g")
+        .agg(F.sort_array(F.collect_list("_t")).alias("_hot"))
+    )
+    before = F.size(_text(spans_col))
+    kept = F.filter(
+        F.col(spans_col),
+        lambda s: (s["kind"] != F.lit("text"))
+        | ~F.array_contains(
+            F.coalesce(F.col("_hot"), F.array().cast("array<string>")),
+            s["text"],
+        ),
+    )
+    return (
+        docs.join(hot, F.col(group_col) == F.col("_g"), "left")
+        .withColumn("n_text_before", before)
+        .withColumn(spans_col, kept)
+        .withColumn(
+            "n_text_dropped",
+            F.col("n_text_before") - F.size(_text(spans_col)),
+        )
+        .drop("_g", "_hot")
+    )
+
+
 def interleave_gate(
     docs: DataFrame,
     id_col: str = "doc_id",
