@@ -308,3 +308,66 @@ def test_audio_near_dups_recovers_variants(spark):
     assert got == {(r[0], r[0] + "#v") for r in refs}
     # image/stub rows are dropped, audio rows all fingerprinted
     assert audio_fingerprints(alld).count() == 24
+
+
+def test_resize_images_box_average_exact(spark):
+    import numpy as np
+
+    from tspider_spark.operators.multimodal import (
+        decode_media,
+        encode_ppm,
+        encode_wav,
+        parse_ppm,
+        resize_images,
+    )
+
+    # 4x4 image with constant 2x2 quadrants -> 2x2 box average is the
+    # quadrant values verbatim
+    q = np.zeros((4, 4, 3), np.uint8)
+    q[:2, :2] = (10, 20, 30)
+    q[:2, 2:] = (40, 50, 60)
+    q[2:, :2] = (70, 80, 90)
+    q[2:, 2:] = (200, 210, 220)
+    wav = encode_wav(np.zeros((8, 1), np.int16))
+    df = spark.createDataFrame(
+        [("http://i.com/a.png", "image", bytearray(encode_ppm(q))),
+         ("http://a.com/s.wav", "audio", bytearray(wav))],
+        "media_ref string, kind string, payload binary",
+    )
+    out = {r["media_ref"]: r
+           for r in resize_images(decode_media(df), 2, 2).collect()}
+    r = out["http://i.com/a.png"]
+    assert (r["width"], r["height"]) == (2, 2)
+    w, h, c, arr = parse_ppm(bytes(r["payload"]))
+    assert (w, h) == (2, 2)
+    assert arr[0, 0].tolist() == [10, 20, 30]
+    assert arr[0, 1].tolist() == [40, 50, 60]
+    assert arr[1, 0].tolist() == [70, 80, 90]
+    assert arr[1, 1].tolist() == [200, 210, 220]
+    assert r["n_bytes"] == len(bytes(r["payload"]))
+    # non-image rows pass through untouched
+    a = out["http://a.com/s.wav"]
+    assert bytes(a["payload"]) == wav and a["width"] == 8
+
+
+def test_resize_feeds_feature_stage(spark):
+    import numpy as np
+
+    from tspider_spark.operators.multimodal import (
+        attach_media_payload,
+        decode_media,
+        extract_features,
+        media_refs_from_documents,
+        resize_images,
+    )
+
+    refs = spark.createDataFrame(
+        [("http://img0.com/a.png",), ("http://img1.com/b.bmp",)],
+        "media_ref string",
+    )
+    decoded = decode_media(attach_media_payload(refs))
+    small = resize_images(decoded, 8, 8)
+    rows = {r["media_ref"]: r for r in small.collect()}
+    assert all((r["width"], r["height"]) == (8, 8) for r in rows.values())
+    feats = extract_features(small).collect()
+    assert len(feats) == 2 and all(len(r["feature"]) == 16 for r in feats)

@@ -473,6 +473,60 @@ def ahash_images(decoded: DataFrame, grid: int = 8) -> DataFrame:
     return decoded.select("media_ref", "payload").mapInPandas(ah, AHASH_SCHEMA)
 
 
+def resize_images(
+    decoded: DataFrame, out_w: int = 32, out_h: int = 32
+) -> DataFrame:
+    """Resize stage over decoded rows: decodable image payloads
+    (netpbm/BMP) are REALLY resized by exact box averaging — each
+    output pixel is the mean of its source box, the same reduceat
+    reduction :func:`ahash_images` uses per cell, applied per channel
+    and rounded half-up — and re-encoded as P6 PPM (the canonical
+    post-resize codec, so downstream stages see one format).
+    Non-image and stub-codec rows pass through UNCHANGED, schema
+    stable, so the stage drops into a mixed-media pipeline between
+    decode and feature extraction. n_bytes/width/height/sha are
+    recomputed for resized rows. Arrow-batched ``mapInPandas``; per
+    image the work is two vectorized reductions."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            for idx, b in zip(pdf.index, pdf["payload"]):
+                bb = bytes(b)
+                if bb[:2] == b"BM":
+                    _, _, _, arr = parse_bmp(bb)
+                elif bb[:2] in (b"P6", b"P5"):
+                    _, _, _, arr = parse_ppm(bb)
+                else:
+                    continue
+                px = arr.astype(np.float64)
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                h, w, c = px.shape
+                yb = np.linspace(0, h, out_h + 1).astype(np.int64)[:-1]
+                xb = np.linspace(0, w, out_w + 1).astype(np.int64)[:-1]
+                cells = np.add.reduceat(
+                    np.add.reduceat(px, yb, axis=0), xb, axis=1
+                )
+                ylen = np.diff(np.append(yb, h)).astype(np.float64)
+                xlen = np.diff(np.append(xb, w)).astype(np.float64)
+                cells = cells / np.outer(ylen, xlen)[:, :, None]
+                small = np.clip(np.floor(cells + 0.5), 0, 255).astype(
+                    np.uint8
+                )
+                if c == 1:
+                    small = np.repeat(small, 3, axis=2)
+                nb = encode_ppm(small)
+                out.at[idx, "payload"] = nb
+                out.at[idx, "n_bytes"] = len(nb)
+                out.at[idx, "width"] = out_w
+                out.at[idx, "height"] = out_h
+                out.at[idx, "sha"] = hashlib.sha256(nb).hexdigest()
+            yield out
+
+    return decoded.mapInPandas(rs, MEDIA_META_SCHEMA)
+
+
 def image_near_dups(decoded: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Perceptual near-duplicate image pairs: aHash signatures paired
     by the pigeonhole chunk join (max_hamming+1 slices), exact JVM
