@@ -133,3 +133,58 @@ def test_interleaved_pipeline(spark):
     # exact dedupe keeps min id of the 1/4 pair; 5 is far enough to stay
     assert {r.doc_id for r in stages["deduped"].collect()} == {1, 5}
     assert {r.doc_id for r in stages["packed"].collect()} == {1, 5}
+
+
+def test_interleaved_pipeline_furniture_cuts(spark):
+    """The opt-in furniture stages run BEFORE the gate: a sitewide
+    logo (media in every doc) no longer counts as an image wall, and
+    a repeated nav text span no longer contributes text mass."""
+    from tspider_spark.plans.curate import curate_interleaved_corpus
+
+    def doc(doc_id, *spans):
+        return (
+            doc_id,
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": i}
+                for i, (k, t, m) in enumerate(spans)
+            ],
+        )
+
+    t = lambda x: ("text", x, None)
+    img = lambda r: ("media", None, r)
+    def prose(i):
+        return ("a genuinely long body of unique prose for document %d " % i) * 3
+
+    docs = spark.createDataFrame(
+        [
+            # logo + banner + content image = run of 3 (gate would drop
+            # it) but logo/banner are sitewide furniture
+            doc(1, t("nav bar"), img("logo"), img("banner"), img("m1"),
+                t(prose(1))),
+            doc(2, t("nav bar"), img("logo"), img("banner"), t(prose(2))),
+            doc(3, t("nav bar"), img("logo"), img("banner"), t(prose(3))),
+        ],
+        "doc_id long, spans array<struct<"
+        "kind string, text string, media_ref string, offset int>>",
+    )
+    docs = docs.withColumn("host", F.lit("h"))
+    stages = curate_interleaved_corpus(
+        docs.select("doc_id", "spans", "host"),
+        media_max_doc_freq=2,
+        boilerplate_group_col="host",
+        dedupe_tau=0.8, seq_tokens=32, min_words=5,
+    )
+    gate = {r.doc_id: r.keep for r in stages["span_gate"].collect()}
+    assert gate == {1: True, 2: True, 3: True}
+    flat = {r.doc_id: r.text for r in stages["flattened"].collect()}
+    assert all("nav bar" not in x for x in flat.values())
+    caps = {(r.doc_id, r.media_ref)
+            for r in stages["captions"].collect()}
+    assert caps == {(1, "m1")}  # logo/banner never reach captioning
+    # without the cuts, doc 1 is an image wall and every doc carries nav
+    plain = curate_interleaved_corpus(
+        docs.select("doc_id", "spans"), dedupe_tau=0.8, seq_tokens=32,
+        min_words=5,
+    )
+    pgate = {r.doc_id: r.keep for r in plain["span_gate"].collect()}
+    assert pgate[1] is False

@@ -120,12 +120,23 @@ def curate_interleaved_corpus(
     max_media_share: float = 0.5,
     max_run: int = 2,
     min_text_chars: int = 20,
+    media_max_doc_freq: int | None = None,
+    boilerplate_group_col: str | None = None,
+    boilerplate_min_docs: int = 2,
+    boilerplate_min_frac: float = 0.5,
     **curate_kwargs,
 ) -> dict[str, DataFrame]:
     """OBELICS-shaped front-end over the INTERLEAVED input table
     (the crawl engine's own ``(doc_id, spans)`` fetch table), then the
     text pipeline:
 
+    0  (opt) furniture cuts — high-frequency media removal
+                      (``media_max_doc_freq``) and per-group repeated
+                      text-span removal (``boilerplate_group_col``),
+                      applied BEFORE the gate so logos and nav bars
+                      don't count against a page's media caps or text
+                      mass (OBELICS applies its dedup/boilerplate
+                      passes before node stats for the same reason)
     0a. span gate   — media caps / balance / image-wall / text mass
                       (interleaved.interleave_gate; min_media=0 here —
                       text-only docs are curated, not dropped)
@@ -136,18 +147,35 @@ def curate_interleaved_corpus(
     0d. flatten     — text spans concatenated in offset order become
                       the ``text`` column feeding curate_corpus()
 
-    Extra stage keys: ``span_gate, seq_deduped, captions, flattened``;
+    Extra stage keys: ``media_filtered``/``boilerplate_filtered``
+    (when enabled), ``span_gate, seq_deduped, captions, flattened``;
     all curate_corpus() keys follow. Same laziness contract: nothing
     materialized here, stage dict == the 100 TB table boundaries.
     """
     from tspider_spark.operators.interleaved import (
+        boilerplate_text_filter,
         caption_candidates,
         interleave_gate,
+        media_frequency_filter,
         media_sequence_dedup,
         media_sequence_fingerprint,
     )
 
     stages: dict[str, DataFrame] = {}
+
+    base_cols = docs.columns
+    if media_max_doc_freq is not None:
+        docs = media_frequency_filter(
+            docs, media_max_doc_freq, id_col=id_col, spans_col=spans_col
+        ).select(*base_cols)
+        stages["media_filtered"] = docs
+    if boilerplate_group_col is not None:
+        docs = boilerplate_text_filter(
+            docs, boilerplate_group_col, min_docs=boilerplate_min_docs,
+            min_frac=boilerplate_min_frac, id_col=id_col,
+            spans_col=spans_col,
+        ).select(*base_cols)
+        stages["boilerplate_filtered"] = docs
 
     gate = interleave_gate(
         docs, id_col=id_col, spans_col=spans_col, min_media=min_media,
