@@ -115,3 +115,59 @@ def test_score_hosts_tool_feeds_authority_mode(spark, tmp_path):
     )
     pr2 = spark.read.parquet(str(tmp_path / "prio2"))
     assert n2 == pr2.count() == len(rows)
+
+
+def test_run_curate_tool(spark, tmp_path):
+    """CLI face of the curation plan: text mode writes the requested
+    stage tables; interleaved mode runs the OBELICS front-end with the
+    furniture cuts."""
+    import run_curate
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "patient farmer watches the field and counts the hours "
+            "of the long day before the rest of the evening ")
+    far = ("a silver river winds between the tall mountains carrying "
+           "cold water toward the distant villages where children of "
+           "the valley gather wood and old sailors mend their nets ")
+    rows = [(0, good), (1, far), (99, good)]  # 99 = exact dup of 0
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        corpus
+    )
+    out = str(tmp_path / "out")
+    counts = run_curate.main(
+        [corpus, out, "--min-words", "10", "--stages", "rule_pass,deduped"],
+        spark=spark, stop_session=False,
+    )
+    assert counts["rule_pass"] == 3
+    assert counts["deduped"] == 2  # the exact dup is gone, far stays
+    assert (Path(out) / "deduped").exists()
+
+    spans = [
+        (1, [{"kind": "text", "text": good, "media_ref": None, "offset": 0},
+             {"kind": "media", "text": None, "media_ref": "logo",
+              "offset": 1}], "h"),
+        (2, [{"kind": "text", "text": far, "media_ref": None,
+              "offset": 0},
+             {"kind": "media", "text": None, "media_ref": "logo",
+              "offset": 1}], "h"),
+    ]
+    inter = str(tmp_path / "inter")
+    spark.createDataFrame(
+        spans,
+        "doc_id long, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>, host string",
+    ).write.parquet(inter)
+    out2 = str(tmp_path / "out2")
+    counts2 = run_curate.main(
+        [inter, out2, "--interleaved", "--min-words", "10",
+         "--media-max-doc-freq", "1", "--stages", "media_filtered,packed"],
+        spark=spark, stop_session=False,
+    )
+    assert counts2["media_filtered"] == 2
+    # the logo (doc_freq 2 > 1) was cut from the spans of both docs
+    mf = spark.read.parquet(str(Path(out2) / "media_filtered")).collect()
+    assert all(
+        s["kind"] != "media" for r in mf for s in r["spans"]
+    )
+    assert counts2["packed"] == 2
