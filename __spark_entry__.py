@@ -1466,6 +1466,44 @@ def q_url_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_keyword_score(salted)
 
 
+def q_url_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-param canonicalization over clean URLs salted with
+    utm_/fbclid decorations (and fragments for n%5==0): tracking keys
+    are cut, surviving params keep their order, fragments drop —
+    collapsing decorated links before the seen-set."""
+    from pyspark.sql import functions as FF
+
+    from tspider_spark.functions.urlfuncs import strip_tracking_params
+
+    d = (
+        _clean(spark, sf_dir)
+        .select("url", FF.col("u.hostname").alias("hostname"))
+        .distinct()
+    )
+    n = _host_num(FF.col("hostname"))
+    sep = FF.when(FF.col("url").contains("?"), FF.lit("&")).otherwise(
+        FF.lit("?")
+    )
+    salted = (
+        FF.when(
+            n % 3 == 0,
+            FF.concat("url", sep, FF.lit("utm_source=news&utm_campaign=x")),
+        )
+        .when(
+            n % 3 == 1,
+            FF.concat("url", sep, FF.lit("fbclid=abc123&page=2")),
+        )
+        .otherwise(FF.col("url"))
+    )
+    salted = FF.when(n % 5 == 0, FF.concat(salted, FF.lit("#frag"))).otherwise(
+        salted
+    )
+    return d.select(
+        salted.alias("url_in"),
+        strip_tracking_params(salted).alias("url_out"),
+    )
+
+
 def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 Sitemap-directive extraction over synthesized robots
     bodies (mis-cased keys, trailing comments, a relative URL that
@@ -1824,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "url_trap_hosts": q_url_trap_hosts,
         "url_keyword_filter": q_url_keyword_filter,
+        "url_strip_tracking": q_url_strip_tracking,
         "ann_sq_topk": q_ann_sq_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "quality_classifier": q_quality_classifier,
@@ -1848,7 +1887,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_seen_anti_join": q_f8_seen_anti_join,
         "f9_budget_admission": q_f9_budget_admission,
         "a2_index_synthesis": q_a2_index_synthesis,
-        "f12_f13_saved_dedupe": q_f12_f13_saved_dedupe,
         "k1_scope_routing": q_k1_scope_routing,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_clusters": q_dedup_clusters,
@@ -1900,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_f7_stateless_filters": q_f1_f7_stateless_filters,
         "a1_host_counts": q_a1_host_counts,
         "f10_suffix_blocklist": q_f10_suffix_blocklist,
+        "f12_f13_saved_dedupe": q_f12_f13_saved_dedupe,
     }
 
 
@@ -2806,6 +2845,49 @@ def oracle_sql() -> dict[str, str]:
         strict_hits * 2 + soft_hits as url_score,
         (strict_hits * 2 + soft_hits) < 2 as keep
  from scored
+""",
+        "url_strip_tracking": _CLEAN_SQL + """
+ , salted0 as (
+   select case
+       when n % 3 = 0 then url ||
+         (case when contains(url, '?') then '&' else '?' end) ||
+         'utm_source=news&utm_campaign=x'
+       when n % 3 = 1 then url ||
+         (case when contains(url, '?') then '&' else '?' end) ||
+         'fbclid=abc123&page=2'
+       else url end as u, n
+   from (
+     select distinct url, hostname,
+       cast(regexp_extract(hostname, 'host([0-9]+)', 1) as int) as n
+     from clean
+   )
+ ),
+ salted as (
+   select case when n % 5 = 0 then u || '#frag' else u end as url_in
+   from salted0
+ ),
+ parts as (
+   select url_in, split_part(url_in, '#', 1) as u0 from salted
+ ),
+ toks as (
+   select url_in, u0, split_part(u0, '?', 1) as base,
+     list_filter(
+       string_split(
+         case when strpos(u0, '?') > 0
+              then substring(u0, strpos(u0, '?') + 1) else '' end, '&'),
+       t -> not (starts_with(lower(split_part(t, '=', 1)), 'utm_')
+                 or lower(split_part(t, '=', 1)) in
+                    ('fbclid','gclid','gclsrc','icid','igshid','mc_cid',
+                     'mc_eid','mkt_tok','msclkid','ref','ref_src','yclid',
+                     '_hsenc','_hsmi'))
+     ) as kept
+   from parts
+ )
+ select url_in,
+   case when strpos(u0, '?') = 0 then base
+        when len(kept) > 0 then base || '?' || array_to_string(kept, '&')
+        else base end as url_out
+ from toks
 """,
         "robots_sitemaps": _CLEAN_SQL + """
  , hosts as (

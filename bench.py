@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "url_keyword_filter",
     "media_df_filter",
     "boilerplate_spans",
+    "url_strip_tracking",
     "ann_sq_topk",
     "ann_pq_topk",
     "dedup_components_star",

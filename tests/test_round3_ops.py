@@ -490,6 +490,70 @@ def test_engine_url_keyword_gate(spark, tmp_path):
     )
 
 
+def test_strip_tracking_params_edges(spark):
+    from tspider_spark.functions.urlfuncs import strip_tracking_params
+
+    cases = [
+        ("http://a.com/p?utm_source=x&id=3&fbclid=z", "http://a.com/p?id=3"),
+        ("http://a.com/p?UTM_Campaign=x", "http://a.com/p"),  # key case-folds
+        ("http://a.com/p?id=3#frag", "http://a.com/p?id=3"),
+        ("http://a.com/p", "http://a.com/p"),
+        ("http://a.com/p?", "http://a.com/p?"),  # empty qs preserved
+        ("http://a.com/p?a=1&b=2", "http://a.com/p?a=1&b=2"),  # order kept
+        ("http://a.com/p?ref=tw", "http://a.com/p"),
+        ("http://a.com/p?REFER=x", "http://a.com/p?REFER=x"),  # not 'ref'
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["out"]
+           for r in df.select("url", strip_tracking_params("url").alias("out"))
+           .collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_engine_strip_tracking(spark, tmp_path):
+    """With strip_tracking on, a utm-decorated link collapses to the
+    canonical URL (which then fetches and yields children); off keeps
+    reference parity (the decorated URL is scheduled verbatim)."""
+    from tspider_spark.config import CrawlConfig
+    from tspider_spark.plans.crawl import CrawlEngine
+    from tspider_spark.sources.corpus import corpus_to_spark
+
+    docs = [
+        ("http://ok.com/", [
+            ("link", "http://ok.com/page?utm_source=feed&utm_medium=rss",
+             None, 0),
+        ]),
+        ("http://ok.com/page", [
+            ("link", "http://ok.com/deep", None, 0),
+        ]),
+        ("http://ok.com/deep", []),
+    ]
+    on = CrawlEngine(
+        spark, corpus_to_spark(spark, docs), str(tmp_path / "on"),
+        CrawlConfig(tld=True, max_per_host=10, strip_tracking=True),
+    )
+    on.seed(["http://ok.com/"])
+    on.run()
+    sched_on = {r["url"] for r in on.crawl_order().collect()}
+    assert "http://ok.com/page" in sched_on
+    assert "http://ok.com/deep" in sched_on  # canonical URL fetched
+    assert not any("utm_" in u for u in sched_on)
+
+    off = CrawlEngine(
+        spark, corpus_to_spark(spark, docs), str(tmp_path / "off"),
+        CrawlConfig(tld=True, max_per_host=10),
+    )
+    off.seed(["http://ok.com/"])
+    off.run()
+    sched_off = {r["url"] for r in off.crawl_order().collect()}
+    assert "http://ok.com/page?utm_source=feed&utm_medium=rss" in sched_off
+    assert "http://ok.com/deep" not in sched_off  # decorated URL 404s
+    assert CrawlConfig.from_meta(
+        CrawlConfig(strip_tracking=True).to_meta()
+    ).strip_tracking is True
+
+
 # ---------------------------------------------------------------------------
 # product-quantized ANN
 

@@ -54,6 +54,12 @@ class CrawlConfig:
     # before any stateful bookkeeping, exactly like F1/F7.
     url_block_keywords: tuple = ()
     url_keyword_threshold: int = 2
+    # tracking-param canonicalization (extension; False = reference
+    # parity — the reference's T2 pattern key absorbs utm_ params into
+    # the DEDUPE key but still schedules the decorated URL): when on,
+    # candidate URLs lose utm_*/fbclid/gclid/... query params before
+    # derivation, so decorated links collapse to one frontier task.
+    strip_tracking: bool = False
     # performance knobs
     use_bloom_prefilter: bool = False
     bloom_shards: int = 8
@@ -131,6 +137,7 @@ class CrawlConfig:
             "trap_max_patterns_per_url": self.trap_max_patterns_per_url,
             "url_block_keywords": list(self.url_block_keywords),
             "url_keyword_threshold": self.url_keyword_threshold,
+            "strip_tracking": self.strip_tracking,
         }
 
     @staticmethod
@@ -151,4 +158,5 @@ class CrawlConfig:
             ),
             url_block_keywords=tuple(meta.get("url_block_keywords", ())),
             url_keyword_threshold=int(meta.get("url_keyword_threshold", 2)),
+            strip_tracking=bool(meta.get("strip_tracking", False)),
         )

@@ -370,3 +370,48 @@ def with_url_info(
     ).drop("_psl_ml", "_psl_h", *drop)
     slow = df.filter(~elig | c.isNull()).withColumn(out, derive_url(c)).drop(*drop)
     return fast.unionByName(slow)
+
+
+# ---------------------------------------------------------------------------
+# tracking-parameter stripping (canonicalization extension; the
+# reference has no analog — its T2 pattern key absorbs tracking params
+# into the dedupe key, but the SCHEDULED url still carries them, so
+# utm-decorated links burn budget on pages the crawl already has)
+
+TRACKING_PARAM_KEYS = (
+    "fbclid", "gclid", "gclsrc", "icid", "igshid", "mc_cid", "mc_eid",
+    "mkt_tok", "msclkid", "ref", "ref_src", "yclid", "_hsenc", "_hsmi",
+)
+
+
+def strip_tracking_params(
+    url_col, extra_keys: tuple = (), drop_fragment: bool = True
+):
+    """Column expression removing ad/analytics tracking query params
+    (any ``utm_*`` key plus :data:`TRACKING_PARAM_KEYS`, matched
+    case-insensitively on the key only) while PRESERVING the order of
+    the surviving params — canonicalization, not normalization: two
+    URLs that differ only in tracking decoration collapse to one
+    frontier task *before* the seen-set, saving the fetch itself.
+
+    Pure JVM (split + higher-order filter + concat), shuffle-free.
+    Fragments are dropped by default — the same choice the reference's
+    JS normalizer makes (core.js:125-131 strips ``#fragment``)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    u0 = F.substring_index(c, "#", 1) if drop_fragment else c
+    base = F.substring_index(u0, "?", 1)
+    qs = F.regexp_extract(u0, r"\?(.*)", 1)  # "" when no '?'
+    keys = tuple(k.lower() for k in TRACKING_PARAM_KEYS + tuple(extra_keys))
+    klit = F.array(*[F.lit(k) for k in keys])
+
+    def keep(tok):
+        k = F.lower(F.substring_index(tok, "=", 1))
+        return ~(k.startswith("utm_") | F.array_contains(klit, k))
+
+    kept = F.filter(F.split(qs, "&"), keep)
+    return F.when(~u0.contains("?"), base).otherwise(
+        F.when(
+            F.size(kept) > 0,
+            F.concat(base, F.lit("?"), F.array_join(kept, "&")),
+        ).otherwise(base)
+    )

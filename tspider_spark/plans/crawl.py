@@ -120,6 +120,12 @@ class CrawlEngine:
         # context id, "" = anonymous. Inherited by every child task.
         if "fetch_context" not in seeds.columns:
             seeds = seeds.withColumn("fetch_context", F.lit(""))
+        if self.cfg.strip_tracking:
+            from tspider_spark.functions.urlfuncs import (
+                strip_tracking_params,
+            )
+
+            seeds = seeds.withColumn("url", strip_tracking_params("url"))
         s = with_url_info(seeds, "url")
         s = s.filter(FL.stateless_valid(self.cfg.blocklist))
         if self.cfg.url_block_keywords:
@@ -479,6 +485,14 @@ class CrawlEngine:
             fetched = t.join(self.documents, cond, "inner")
 
         cands = extract_candidates(fetched)
+        if self.cfg.strip_tracking:  # canonicalization extension
+            from tspider_spark.functions.urlfuncs import (
+                strip_tracking_params,
+            )
+
+            cands = cands.withColumn(
+                "url", strip_tracking_params("url")
+            )
         # materialize the raw extraction ONCE before the hybrid URL
         # derivation: with_url_info's two-branch union otherwise scans
         # (and re-executes) the whole fetch+extract pipeline twice per
