@@ -1504,6 +1504,43 @@ def q_url_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_allow_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 longest-match Allow/Disallow evaluation: every host
+    serves Disallow /d + Allow /d/ok (+ Disallow /d/ok/sub when n%2==0);
+    four probe paths per host. The oracle derives the kept set
+    directly from the host number case analysis."""
+    from pyspark.sql import functions as FF
+
+    from tspider_spark.operators.robots import (
+        parse_robots_rules,
+        robots_filter_precedence,
+    )
+
+    hosts = _clean(spark, sf_dir).select(
+        F.col("u.hostname").alias("host")
+    ).distinct()
+    n = _host_num(F.col("host"))
+    body = FF.concat(
+        FF.lit("User-agent: *\nDisallow: /d\nAllow: /d/ok\n"),
+        FF.when(n % 2 == 0, FF.lit("Disallow: /d/ok/sub\n")).otherwise(
+            FF.lit("")
+        ),
+    )
+    rules = parse_robots_rules(hosts.withColumn("body", body))
+    cands = hosts.select(
+        FF.col("host").alias("hostname"),
+        FF.explode(
+            FF.array(
+                FF.lit("/d/ok/page"), FF.lit("/d/other"),
+                FF.lit("/free"), FF.lit("/d/ok/sub/x"),
+            )
+        ).alias("path"),
+    )
+    return robots_filter_precedence(
+        cands, rules, host_col="hostname", path_col="path"
+    )
+
+
 def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 Sitemap-directive extraction over synthesized robots
     bodies (mis-cased keys, trailing comments, a relative URL that
@@ -1843,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedupe": q_paragraph_dedupe,
         "robots_parse": q_robots_parse,
         "robots_sitemaps": q_robots_sitemaps,
+        "robots_allow_precedence": q_robots_allow_precedence,
         "gopher_filter": q_gopher_filter,
         # round-3 additions (new => inside the driver's 50-query window)
         "host_hits": q_host_hits,
@@ -1887,7 +1925,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_seen_anti_join": q_f8_seen_anti_join,
         "f9_budget_admission": q_f9_budget_admission,
         "a2_index_synthesis": q_a2_index_synthesis,
-        "k1_scope_routing": q_k1_scope_routing,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_clusters": q_dedup_clusters,
         "dedup_components_star": q_dedup_components_star,
@@ -1939,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_host_counts": q_a1_host_counts,
         "f10_suffix_blocklist": q_f10_suffix_blocklist,
         "f12_f13_saved_dedupe": q_f12_f13_saved_dedupe,
+        "k1_scope_routing": q_k1_scope_routing,
     }
 
 
@@ -2888,6 +2926,22 @@ def oracle_sql() -> dict[str, str]:
         when len(kept) > 0 then base || '?' || array_to_string(kept, '&')
         else base end as url_out
  from toks
+""",
+        "robots_allow_precedence": _CLEAN_SQL + """
+ , hosts as (
+   select distinct hostname as host,
+     cast(regexp_extract(hostname, 'host([0-9]+)', 1) as int) as n
+   from clean
+ ),
+ probes as (
+   select host, n, unnest(['/d/ok/page', '/d/other', '/free',
+                           '/d/ok/sub/x']) as path
+   from hosts
+ )
+ select host as hostname, path from probes
+ where path = '/d/ok/page'
+    or path = '/free'
+    or (path = '/d/ok/sub/x' and n % 2 = 1)
 """,
         "robots_sitemaps": _CLEAN_SQL + """
  , hosts as (

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "audio_near_dups",
     "robots_parse",
     "robots_sitemaps",
+    "robots_allow_precedence",
     "sitemap_parse",
     "normalize_text",
     "dsir_weights",

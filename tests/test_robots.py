@@ -139,6 +139,41 @@ def test_parse_sitemap_formats(spark):
     }
 
 
+def test_robots_allow_precedence(spark):
+    """RFC 9309 §2.2.2: longest matching prefix wins, Allow beats
+    Disallow at equal length, no match = allowed, host without rules
+    = allowed."""
+    from tspider_spark.operators.robots import (
+        parse_robots_rules,
+        robots_filter_precedence,
+    )
+
+    body = ("User-agent: *\nDisallow: /d\nAllow: /d/ok\n"
+            "Disallow: /d/ok/sub\n"
+            "Allow: /tie\nDisallow: /tie\n"  # equal length -> allow
+            "User-agent: otherbot\nDisallow: /\n")
+    bodies = spark.createDataFrame([("a.com", body)], "host string, body string")
+    rules = parse_robots_rules(bodies)
+    got = {(r["prefix"], r["allow"]) for r in rules.collect()}
+    assert got == {("/d", False), ("/d/ok", True), ("/d/ok/sub", False),
+                   ("/tie", True), ("/tie", False)}
+
+    cands = spark.createDataFrame(
+        [("a.com", "/d/ok/page"), ("a.com", "/d/other"), ("a.com", "/free"),
+         ("a.com", "/d/ok/sub/x"), ("a.com", "/tiebreak"),
+         ("b.com", "/d/other")],
+        "hostname string, path string",
+    )
+    kept = {(r["hostname"], r["path"]) for r in robots_filter_precedence(
+        cands, rules, host_col="hostname", path_col="path").collect()}
+    assert kept == {
+        ("a.com", "/d/ok/page"),   # Allow /d/ok beats Disallow /d
+        ("a.com", "/free"),        # no matching rule
+        ("a.com", "/tiebreak"),    # equal-length tie -> allow
+        ("b.com", "/d/other"),     # no rules for host
+    }
+
+
 def test_robots_sitemap_urls_edges(spark):
     """Sitemap: directives parse independent of groups and key case,
     tolerate trailing comments, drop relative URLs, and dedupe exact

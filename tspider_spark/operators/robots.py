@@ -80,31 +80,7 @@ def parse_robots(
     values; sorted distinct for determinism) and the minimum
     Crawl-delay (seconds -> ms). Hosts with no matching group are
     absent (= unrestricted, reference parity)."""
-    from pyspark.sql.window import Window
-
-    lines = bodies.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(
-            # CRLF-tolerant: \r is not in trim's strip set
-            F.split(F.regexp_replace(F.col(body_col), "\r", ""), "\n")
-        ).alias("pos", "raw"),
-    )
-    cleaned = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
-    lines = (
-        lines.withColumn("line", cleaned)
-        .filter(F.col("line").contains(":"))
-        .withColumn("key", F.lower(F.trim(F.substring_index("line", ":", 1))))
-        .withColumn(
-            "val",
-            F.trim(F.expr("substring(line, instr(line, ':') + 1)")),
-        )
-    )
-    w = Window.partitionBy("host").orderBy("pos")
-    is_ua = (F.col("key") == "user-agent").cast("int")
-    lines = lines.withColumn("_ua", is_ua).withColumn(
-        "_new", ((F.col("_ua") == 1) & (F.lag("_ua", 1, 0).over(w) == 0)).cast("int")
-    )
-    lines = lines.withColumn("grp", F.sum("_new").over(w))
+    lines = _grouped_lines(bodies, host_col, body_col)
     groups = (
         lines.groupBy("host", "grp")
         .agg(
@@ -137,6 +113,130 @@ def parse_robots(
             (F.min("_delay_s") * 1000).cast("int").alias("crawl_delay_ms"),
         )
     )
+
+
+def _grouped_lines(
+    bodies: DataFrame, host_col: str, body_col: str
+) -> DataFrame:
+    """Shared robots.txt line machinery: CRLF-tolerant line explode,
+    comment strip, ``key: value`` split, gaps-and-islands UA grouping
+    (per-host windows — partition-bounded by one body, never global).
+    Returns (host, pos, key, val, grp)."""
+    from pyspark.sql.window import Window
+
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            # CRLF-tolerant: \r is not in trim's strip set
+            F.split(F.regexp_replace(F.col(body_col), "\r", ""), "\n")
+        ).alias("pos", "raw"),
+    )
+    cleaned = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    lines = (
+        lines.withColumn("line", cleaned)
+        .filter(F.col("line").contains(":"))
+        .withColumn("key", F.lower(F.trim(F.substring_index("line", ":", 1))))
+        .withColumn(
+            "val", F.trim(F.expr("substring(line, instr(line, ':') + 1)"))
+        )
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    lines = lines.withColumn("_ua", is_ua).withColumn(
+        "_new",
+        ((F.col("_ua") == 1) & (F.lag("_ua", 1, 0).over(w) == 0)).cast("int"),
+    )
+    return lines.withColumn("grp", F.sum("_new").over(w))
+
+
+def parse_robots_rules(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Full-precedence rule extraction: (host, prefix, allow) rows for
+    every non-empty ``Allow``/``Disallow`` line in ``User-agent: *``
+    groups — the input :func:`robots_filter_precedence` needs for RFC
+    9309 §2.2.2 longest-match evaluation (which :func:`parse_robots`'s
+    disallow-only summary cannot express: an ``Allow: /dir/public``
+    carving a hole in ``Disallow: /dir`` is invisible there).
+
+    Same declarative shape as parse_robots (shared
+    :func:`_grouped_lines` machinery); distinct (host, prefix,
+    allow)."""
+    lines = _grouped_lines(bodies, host_col, body_col)
+    star = (
+        lines.groupBy("host", "grp")
+        .agg(
+            F.max(
+                ((F.col("key") == "user-agent") & (F.col("val") == "*"))
+                .cast("int")
+            ).alias("_star")
+        )
+        .filter(F.col("_star") == 1)
+        .select("host", "grp")
+    )
+    return (
+        lines.join(star, ["host", "grp"], "left_semi")
+        .filter(F.col("key").isin("allow", "disallow") & (F.col("val") != ""))
+        .select(
+            "host",
+            F.col("val").alias("prefix"),
+            (F.col("key") == "allow").alias("allow"),
+        )
+        .distinct()
+    )
+
+
+def robots_filter_precedence(
+    cands: DataFrame,
+    rules: DataFrame,
+    host_col: str = "hostname",
+    path_col: str = "u.path",
+) -> DataFrame:
+    """RFC 9309 §2.2.2 evaluation: among the rules whose prefix
+    matches the path, the LONGEST prefix wins; at equal length an
+    Allow beats a Disallow; no matching rule (or no rules for the
+    host) = allowed. Supersedes :func:`robots_filter` when Allow
+    directives matter.
+
+    Physical: per-host rules aggregate into one array (robots files
+    are KB-scale — the per-host rule count is bounded by the file) and
+    broadcast; the longest-match scan is ONE in-array JVM fold per
+    candidate, shuffle-free on the candidate side."""
+    per_host = rules.groupBy(F.col("host").alias("_rhost")).agg(
+        F.sort_array(F.collect_list(F.struct("prefix", "allow"))).alias(
+            "_rules"
+        )
+    )
+    joined = cands.join(
+        F.broadcast(per_host), F.col(host_col) == F.col("_rhost"), "left"
+    )
+    path = F.col(path_col)
+    matched = F.filter(
+        F.coalesce(
+            F.col("_rules"),
+            F.array().cast("array<struct<prefix:string,allow:boolean>>"),
+        ),
+        lambda r: path.startswith(r["prefix"]),
+    )
+    # fold to max by (prefix length, allow-wins-ties); init = allowed
+    best = F.aggregate(
+        matched,
+        F.struct(F.lit(-1).alias("len"), F.lit(True).alias("allow")),
+        lambda a, r: F.when(
+            F.length(r["prefix"]) > a["len"],
+            F.struct(
+                F.length(r["prefix"]).alias("len"), r["allow"].alias("allow")
+            ),
+        )
+        .when(
+            F.length(r["prefix"]) == a["len"],
+            F.struct(
+                a["len"].alias("len"), (a["allow"] | r["allow"]).alias("allow")
+            ),
+        )
+        .otherwise(a),
+    )
+    return joined.filter(best["allow"]).drop("_rhost", "_rules")
 
 
 def robots_sitemap_urls(
