@@ -554,6 +554,45 @@ def test_engine_strip_tracking(spark, tmp_path):
     ).strip_tracking is True
 
 
+def test_submit_cli_strip_tracking_and_keywords(spark, tmp_path):
+    """CLI flags reach the config: --strip-tracking collapses the
+    decorated link; --url-block-keywords with no values enables the
+    default list."""
+    from tspider_spark.sources.corpus import corpus_to_spark
+    from tspider_spark.submit_crawl import main
+
+    docs = [
+        ("http://ok.com/", [
+            ("link", "http://ok.com/page?utm_source=feed", None, 0),
+            ("link", "http://ok.com/casino/promo", None, 1),
+        ]),
+        ("http://ok.com/page", []),
+        ("http://ok.com/casino/promo", []),
+    ]
+    dpath = str(tmp_path / "docs")
+    corpus_to_spark(spark, docs).write.parquet(dpath)
+    state = str(tmp_path / "state")
+    main(["--documents", dpath, "--state", state, "--tld",
+          "--strip-tracking", "--url-block-keywords",
+          "--seeds", "http://ok.com/"],
+         stop_session=False)
+    from tspider_spark.config import CrawlConfig
+    from tspider_spark.plans.crawl import CrawlEngine
+    from tspider_spark.sources.state import StateStore
+
+    meta_cfg = CrawlConfig.from_meta(
+        StateStore(spark, state).meta()["config"]
+    )
+    assert meta_cfg.strip_tracking is True
+    assert "casino" in meta_cfg.url_block_keywords
+    eng = CrawlEngine(
+        spark, spark.read.parquet(dpath), state, meta_cfg
+    )
+    sched = {r["url"] for r in eng.crawl_order().collect()}
+    assert "http://ok.com/page" in sched      # canonicalized
+    assert not any("utm_" in u or "casino" in u for u in sched)
+
+
 # ---------------------------------------------------------------------------
 # product-quantized ANN
 

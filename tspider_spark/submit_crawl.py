@@ -7,6 +7,9 @@ Usage (see tools/run_crawl_submit.sh for the packaged invocation):
         submit_crawl.py --documents <parquet dir or 'synthetic'> \
         --seeds <url> [<url> ...] --state <dir> \
         [--max-waves N] [--max-per-host N] [--tld] [--resume]
+        [--strip-tracking] [--url-block-keywords [kw ...]]
+        [--robots-bodies DIR] [--sitemap-bodies DIR]
+        [--discover-sitemaps] [--host-priorities DIR]
 
 On a real cluster the same command takes --master yarn/k8s etc.; the
 engine itself is master-agnostic (everything is DataFrame ops against
@@ -42,6 +45,15 @@ def main(argv=None, stop_session=True):
                          "matching ctx column render their authed variants")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the last committed snapshot")
+    ap.add_argument("--strip-tracking", action="store_true",
+                    help="canonicalize candidate URLs by stripping "
+                         "utm_*/fbclid/gclid/... tracking params before "
+                         "derivation (decorated links collapse to one "
+                         "frontier task; off = reference parity)")
+    ap.add_argument("--url-block-keywords", nargs="*", default=None,
+                    help="enable the RefinedWeb-style URL keyword gate "
+                         "with these keywords (pass with no values to "
+                         "use the built-in default list)")
     ap.add_argument("--robots-bodies", default=None,
                     help="parquet dir with (host, body): raw robots.txt "
                          "per host, parsed (parse_robots) and enforced "
@@ -105,11 +117,23 @@ def main(argv=None, stop_session=True):
         eng = CrawlEngine(spark, documents, args.state, cfg, robots=robots,
                           host_priorities=host_priorities)
     else:
+        kw: tuple = ()
+        if args.url_block_keywords is not None:
+            from tspider_spark.operators.filters import (
+                DEFAULT_URL_BLOCK_KEYWORDS,
+            )
+
+            kw = (
+                tuple(args.url_block_keywords)
+                or DEFAULT_URL_BLOCK_KEYWORDS
+            )
         cfg = CrawlConfig(
             tld=args.tld, max_per_host=args.max_per_host,
             max_depth=args.max_depth,
             robots_enabled=robots is not None,
             priority="authority" if host_priorities is not None else "bfs",
+            strip_tracking=args.strip_tracking,
+            url_block_keywords=kw,
         )
         eng = CrawlEngine(spark, documents, args.state, cfg, robots=robots,
                           host_priorities=host_priorities)
