@@ -2639,11 +2639,13 @@ def oracle_sql() -> dict[str, str]:
        rows between unbounded preceding and 1 preceding), 0) as start_tok
    from n
  )
- select doc_id, lang, n_tokens, start_tok,
+ -- DuckDB window sum(int) is HUGEINT -> float64 in pandas; the driver
+ -- hashes raw dtypes (r2 paragraph_dedupe class), so pin BIGINT
+ select doc_id, lang, n_tokens, cast(start_tok as bigint) as start_tok,
    cast(floor(start_tok / 512.0) as bigint) as seq_first,
    cast(floor((start_tok + greatest(n_tokens, 1) - 1) / 512.0) as bigint)
      as seq_last,
-   start_tok % 512 as seq_offset
+   cast(start_tok % 512 as bigint) as seq_offset
  from c
 """,
         "token_quantiles": """
@@ -2681,7 +2683,8 @@ def oracle_sql() -> dict[str, str]:
  ), counts as (
    select doc_id, line, count(*) cnt from ln group by all
  )
- select doc_id, sum(cnt) as n_lines,
+ -- sum(int) is HUGEINT -> float64 in pandas; pin BIGINT (driver hash)
+ select doc_id, cast(sum(cnt) as bigint) as n_lines,
    round(sum(case when cnt > 1 then cnt else 0 end) / sum(cnt), 6)
      as dup_line_frac,
    round(sum(case when cnt > 1 then cnt * length(line) else 0 end)
@@ -3581,8 +3584,10 @@ def oracle_sql() -> dict[str, str]:
  select t.doc_id,
    coalesce(string_agg(case when c.pos is null then t.word end, ' '
                        order by t.pos), '') as clean_text,
-   count(*) as n_tokens,
-   sum(case when c.pos is not null then 1 else 0 end) as n_dup_tokens
+   cast(count(*) as bigint) as n_tokens,
+   -- sum(int) is HUGEINT -> float64 in pandas; pin BIGINT (driver hash)
+   cast(sum(case when c.pos is not null then 1 else 0 end) as bigint)
+     as n_dup_tokens
  from toks t left join cov c on t.doc_id = c.doc_id and t.pos = c.pos
  group by t.doc_id
 """,
