@@ -1730,6 +1730,98 @@ def _interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(d.alias("doc_id"), spans.alias("spans"))
 
 
+def _linked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic link-in-context span table (same idiom and span
+    density as _interleaved_docs; kinds text/link, the link span's
+    ``text`` carries the target URL exactly as the extraction layer
+    models it). Link targets hit 9 hosts with 40 distinct paths so
+    per-host anchor profiles aggregate meaningfully; docs whose first
+    span is a link exercise the NULL-anchor path."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+
+    def mk(i):
+        is_link = ((d * 7 + i * 3) % 5) < (d % 4)
+        return F.struct(
+            F.when(is_link, F.lit("link")).otherwise(F.lit("text")).alias("kind"),
+            F.when(
+                is_link,
+                F.concat(
+                    F.lit("http://lhost"),
+                    ((d + i * 2) % 9).cast("string"),
+                    F.lit(".com/p/"),
+                    ((d * 3 + i) % 40).cast("string"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.substring(
+                        F.lit("wwwwwww"),
+                        F.lit(1),
+                        (F.lit(1) + (d + i) % 7).cast("int"),
+                    ),
+                    F.lit(" t"),
+                    ((d * 3 + i) % 8).cast("string"),
+                )
+            )
+            .alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        )
+
+    spans = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), F.lit(5) + (d % 4)), mk
+    )
+    return docs.select(d.alias("doc_id"), spans.alias("spans"))
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link → nearest-preceding-text anchor assignment, computed
+    inside the spans array (dual of caption_candidates); leading
+    links keep NULL anchor (numeric companions -1 for dtype-stable
+    driver hashing)."""
+    from tspider_spark.operators.interleaved import anchor_candidates
+
+    ac = anchor_candidates(_linked_docs(spark, sf_dir))
+    return ac.select(
+        "doc_id",
+        "target",
+        F.col("link_offset").cast("long").alias("link_offset"),
+        "anchor",
+        F.coalesce(F.col("anchor_offset").cast("long"), F.lit(-1)).alias(
+            "anchor_offset"
+        ),
+        F.coalesce(F.col("anchor_gap").cast("long"), F.lit(-1)).alias(
+            "anchor_gap"
+        ),
+    )
+
+
+def q_anchor_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target-host anchor profile (two map-side-combinable hash
+    aggs, no window): link counts, anchor diversity, deterministic
+    top anchor — the authority/spam signal derived from REFERRER
+    text rather than the host's own pages."""
+    from tspider_spark.operators.interleaved import (
+        anchor_candidates,
+        anchor_profiles,
+    )
+
+    pf = anchor_profiles(anchor_candidates(_linked_docs(spark, sf_dir)))
+    return pf.select(
+        "host",
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in (
+                "n_links", "n_docs", "n_anchored",
+                "n_distinct_anchors", "top_anchor_n",
+            )
+        ],
+        "top_anchor",
+        "anchored_frac",
+    )
+
+
 def q_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OBELICS-style per-doc span-composition profile (shuffle-free
     in-array JVM fold; operators/interleaved.py)."""
@@ -1917,14 +2009,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_df_filter": q_media_df_filter,
         "boilerplate_spans": q_boilerplate_spans,
         "interleave_gate": q_interleave_gate,
+        "anchor_texts": q_anchor_texts,
+        "anchor_profiles": q_anchor_profiles,
         # rows-only (non-SQL-expressible: sequential stateful crawl
         # loop / binary payload decode)
         "crawl_full_run": q_crawl_full_run,
         "media_decode": q_media_decode,
-        # the rest of the contract surface
-        "f8_seen_anti_join": q_f8_seen_anti_join,
+        # the rest of the contract surface (f8_seen_anti_join /
+        # a2_index_synthesis demoted past 50 for the anchor pair:
+        # twice driver-green, bodies unchanged)
         "f9_budget_admission": q_f9_budget_admission,
-        "a2_index_synthesis": q_a2_index_synthesis,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_clusters": q_dedup_clusters,
         "dedup_components_star": q_dedup_components_star,
@@ -1950,6 +2044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ann_ivf_topk / dedup_exact / dedup_exact_groups /
         # minhash_signatures demoted r3 for the interleaved queries:
         # twice-green and their function bodies unchanged since r1)
+        "f8_seen_anti_join": q_f8_seen_anti_join,
+        "a2_index_synthesis": q_a2_index_synthesis,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -2037,6 +2133,38 @@ _INTERLEAVED_SQL = """
        then 'img://h' || (d % 5) || '/' || ((d + i*2) % 9)
        end as media_ref
    from pos)
+"""
+
+
+_LINKED_SQL = """
+ with d0 as (select doc_id::bigint d from documents),
+ pos as (select d, unnest(range(0, 6 + (d % 4)::int)) i from d0),
+ sp as (
+   select d as doc_id, i,
+     case when (d*7 + i*3) % 5 < (d % 4) then 'link' else 'text'
+       end as kind,
+     case when (d*7 + i*3) % 5 < (d % 4)
+       then 'http://lhost' || ((d + i*2) % 9) || '.com/p/'
+            || ((d*3 + i) % 40)
+       else substring('wwwwwww', 1, (1 + (d + i) % 7)::int)
+            || ' t' || ((d*3 + i) % 8) end as text
+   from pos),
+ anch as (
+   select doc_id, i, kind, text,
+     last_value(case when kind = 'text' then text end ignore nulls)
+       over (partition by doc_id order by i
+             rows between unbounded preceding and 1 preceding)
+       as anchor,
+     last_value(case when kind = 'text' then i end ignore nulls)
+       over (partition by doc_id order by i
+             rows between unbounded preceding and 1 preceding)
+       as anchor_offset
+   from sp),
+ links as (
+   select doc_id, text as target,
+     regexp_extract(text, '^[a-z]+://([^/]+)', 1) as host,
+     i as link_offset, anchor, anchor_offset
+   from anch where kind = 'link')
 """
 
 
@@ -3556,6 +3684,35 @@ def oracle_sql() -> dict[str, str]:
  select doc_id, n_media, media_share, max_media_run, text_chars,
         (fail_reasons = '') as keep, fail_reasons
  from reasons
+""",
+        "anchor_texts": _LINKED_SQL + """
+ select doc_id, target, link_offset::bigint as link_offset, anchor,
+   coalesce(anchor_offset, -1)::bigint as anchor_offset,
+   coalesce(link_offset - anchor_offset, -1)::bigint as anchor_gap
+ from links
+""",
+        "anchor_profiles": _LINKED_SQL + """
+ , stats as (
+   select host, count(*)::bigint as n_links,
+     count(distinct doc_id)::bigint as n_docs,
+     count(anchor)::bigint as n_anchored,
+     count(distinct anchor)::bigint as n_distinct_anchors
+   from links group by host
+ ), ac as (
+   select host, anchor, count(*)::bigint as cnt from links
+   where anchor is not null group by host, anchor
+ ), top as (
+   select host, anchor as top_anchor, cnt as top_anchor_n,
+     row_number() over (partition by host
+                        order by cnt desc, anchor) as rn
+   from ac
+ )
+ select s.host, s.n_links, s.n_docs, s.n_anchored,
+   s.n_distinct_anchors,
+   coalesce(t.top_anchor_n, -1)::bigint as top_anchor_n, t.top_anchor,
+   round(s.n_anchored / s.n_links::double, 6) as anchored_frac
+ from stats s left join (select * from top where rn = 1) t
+   using (host)
 """,
         # windows over the UNFILTERED split array (positions count ''
         # tokens, matching Spark's gram_array), tokens filtered after

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "caption_candidates",
     "media_seq_dedupe",
     "interleave_gate",
+    "anchor_texts",
+    "anchor_profiles",
 ]
 
 

@@ -118,6 +118,87 @@ def test_interleave_gate_reasons(docs):
     assert rows["a"]["fail_reasons"] == "too_little_text"
 
 
+def lnk(url):
+    return ("link", url, None)
+
+
+def test_anchor_candidates(spark):
+    from tspider_spark.operators.interleaved import anchor_candidates
+
+    docs = spark.createDataFrame(
+        [
+            # leading link (no preceding text) -> NULL anchor;
+            # two links after the same text share its anchor; the
+            # second text span wins for the last link (NEAREST wins)
+            _doc(
+                "a",
+                lnk("http://h1.com/p/0"),
+                t("intro"),
+                lnk("http://h1.com/p/1"),
+                lnk("http://h2.com/p/2"),
+                t("later"),
+                lnk("http://h2.com/p/3"),
+            ),
+            # no links at all -> contributes no rows
+            _doc("b", t("just text")),
+        ],
+        SPAN_SCHEMA,
+    )
+    got = {
+        (r["doc_id"], r["target"]): r
+        for r in anchor_candidates(docs).collect()
+    }
+    assert len(got) == 4
+    assert got[("a", "http://h1.com/p/0")]["anchor"] is None
+    assert got[("a", "http://h1.com/p/0")]["anchor_gap"] is None
+    assert got[("a", "http://h1.com/p/1")]["anchor"] == "intro"
+    assert got[("a", "http://h1.com/p/1")]["anchor_gap"] == 1
+    assert got[("a", "http://h2.com/p/2")]["anchor"] == "intro"
+    assert got[("a", "http://h2.com/p/2")]["anchor_gap"] == 2
+    # nearest PRECEDING text, not the first one in the doc
+    assert got[("a", "http://h2.com/p/3")]["anchor"] == "later"
+    assert not any(k[0] == "b" for k in got)
+
+
+def test_anchor_profiles(spark):
+    from tspider_spark.operators.interleaved import (
+        anchor_candidates,
+        anchor_profiles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            _doc(
+                "a",
+                lnk("http://h1.com/p/0"),  # unanchored
+                t("buy"),
+                lnk("http://h1.com/p/1"),
+                lnk("http://h1.com/p/2"),
+                t("ads"),
+                lnk("http://h1.com/p/3"),
+            ),
+            _doc("b", t("ads"), lnk("http://h1.com/p/9"),
+                 t("zz"), lnk("http://h2.com/p/0")),
+        ],
+        SPAN_SCHEMA,
+    )
+    rows = {
+        r["host"]: r
+        for r in anchor_profiles(anchor_candidates(docs)).collect()
+    }
+    h1 = rows["h1.com"]
+    assert h1["n_links"] == 5
+    assert h1["n_docs"] == 2
+    assert h1["n_anchored"] == 4  # the leading link is unanchored
+    assert h1["n_distinct_anchors"] == 2
+    # 'ads' (2) vs 'buy' (2): tie broken by anchor text ascending
+    assert h1["top_anchor"] == "ads"
+    assert h1["top_anchor_n"] == 2
+    assert h1["anchored_frac"] == 0.8
+    h2 = rows["h2.com"]
+    assert h2["n_links"] == 1 and h2["top_anchor"] == "zz"
+
+
 def test_media_frequency_filter(docs):
     """i1 appears in 3 docs (site furniture at cap 2) and is cut
     everywhere; i2/i3 (2 docs) and i9 (1 doc) survive; text spans and

@@ -165,6 +165,125 @@ def caption_candidates(
     )
 
 
+def anchor_candidates(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Link → preceding-text ANCHOR assignment — the dual of
+    ``caption_candidates``: each link span pairs with the nearest text
+    span at a SMALLER offset (the sentence that introduces the link).
+    Anchor text is the classic crawl-prioritization / target-page
+    ranking signal that describes a URL from its REFERRERS rather than
+    its own content (reference analog: the crawler walks ``<a>``
+    elements whose text node sits beside the resolved href,
+    core/spider/core.js:96-425 — the span array preserves exactly that
+    adjacency). Leading links (no preceding text span) keep a NULL
+    anchor so downstream profiles can count undescribed links.
+
+    Output: ``doc_id, target, link_offset, anchor, anchor_offset,
+    anchor_gap`` (gap in span positions; NULL when unanchored).
+
+    Physical shape: pairing runs INSIDE the spans array (nested
+    higher-order filter + reverse, whole-stage codegen, no Python) and
+    only link spans explode — output rows ∝ link count, not span
+    count. Shuffle-free.
+    """
+    paired = F.transform(
+        F.filter(_spans(spans_col), lambda s: s["kind"] == F.lit("link")),
+        lambda lk: F.struct(
+            lk["text"].alias("target"),
+            lk["offset"].alias("link_offset"),
+            F.get(  # null-safe head of the reversed preceding-text list
+                F.reverse(
+                    F.filter(
+                        _spans(spans_col),
+                        lambda t: (t["kind"] == F.lit("text"))
+                        & (t["offset"] < lk["offset"]),
+                    )
+                ),
+                0,
+            ).alias("anc"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(paired).alias("p"))
+        .select(
+            id_col,
+            F.col("p.target").alias("target"),
+            F.col("p.link_offset").alias("link_offset"),
+            F.col("p.anc.text").alias("anchor"),
+            F.col("p.anc.offset").alias("anchor_offset"),
+            (F.col("p.link_offset") - F.col("p.anc.offset")).alias(
+                "anchor_gap"
+            ),
+        )
+    )
+
+
+def anchor_profiles(
+    links: DataFrame,
+    target_col: str = "target",
+    id_col: str = "doc_id",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target-HOST anchor profile over ``anchor_candidates``
+    output: how the web describes each host. Feeds the authority /
+    recrawl schedulers (a host whose inbound anchors are diverse and
+    text-rich outranks one reached only by bare unanchored links) and
+    spam triage (thousands of links sharing ONE anchor string is
+    link-farm shape).
+
+    Columns: ``host, n_links, n_docs, n_anchored, n_distinct_anchors,
+    top_anchor, top_anchor_n, anchored_frac``. ``top_anchor`` ties
+    break by anchor text ascending (deterministic); hosts with zero
+    anchored links keep NULL top_anchor / top_anchor_n = -1.
+
+    Physical shape, sized for 10^10 links: two map-side-combinable
+    hash aggregations — (host, anchor) counts then an argmin-struct
+    rollup per host — plus one host-keyed stats agg; NO window over
+    the link table and nothing driver-side. Host cardinality is small
+    relative to links, and the hot-host skew lands on hash aggs (which
+    partial-combine), not on joins.
+    """
+    host = F.regexp_extract(F.col(target_col), r"^[a-z]+://([^/]+)", 1)
+    per = links.select(
+        host.alias("host"), F.col(id_col).alias("_doc"),
+        F.col(anchor_col).alias("_anchor"),
+    )
+    stats = per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("_doc").alias("n_docs"),
+        F.count("_anchor").alias("n_anchored"),
+        F.countDistinct("_anchor").alias("n_distinct_anchors"),
+    )
+    top = (
+        per.filter(F.col("_anchor").isNotNull())
+        .groupBy("host", "_anchor")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("host")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"),
+                    F.col("_anchor").alias("anchor"),
+                )
+            ).alias("t")
+        )
+        .select(
+            "host",
+            F.col("t.anchor").alias("top_anchor"),
+            (-F.col("t.neg")).alias("top_anchor_n"),
+        )
+    )
+    return stats.join(top, "host", "left").select(
+        "host", "n_links", "n_docs", "n_anchored", "n_distinct_anchors",
+        "top_anchor",
+        F.coalesce("top_anchor_n", F.lit(-1)).alias("top_anchor_n"),
+        F.round(
+            F.col("n_anchored").cast("double") / F.col("n_links"), 6
+        ).alias("anchored_frac"),
+    )
+
+
 def media_sequence_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
 ) -> DataFrame:
