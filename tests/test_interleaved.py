@@ -295,6 +295,25 @@ def test_interleaved_over_generated_corpus(spark):
     )
     assert disagree.count() == 0
 
+    # anchor plumbing over the REAL corpus: one row per link span, and
+    # every link is anchored (each generated page opens with a text
+    # span, so no link lacks a preceding text)
+    from tspider_spark.operators.interleaved import (
+        anchor_candidates,
+        anchor_profiles,
+    )
+
+    anchors = anchor_candidates(docs)
+    n_links_total = docs.select(
+        F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "link").count()
+    assert anchors.count() == n_links_total
+    assert anchors.filter(F.col("anchor").isNull()).count() == 0
+    prof = anchor_profiles(anchors)
+    assert prof.filter(
+        (F.col("host") == "") | (F.col("n_anchored") != F.col("n_links"))
+    ).count() == 0
+
 
 def test_pack_sequences_string_ids(spark):
     """The crawl corpus keys docs by URL (string ids): the cumsum

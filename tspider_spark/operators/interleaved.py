@@ -248,6 +248,11 @@ def anchor_profiles(
     per = links.select(
         host.alias("host"), F.col(id_col).alias("_doc"),
         F.col(anchor_col).alias("_anchor"),
+    ).filter(
+        # relative / scheme-relative / javascript: targets carry no
+        # authority of their own — the URL layer resolves them before
+        # scheduling; profiling keys on absolute targets only
+        F.col("host") != ""
     )
     stats = per.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_links"),
