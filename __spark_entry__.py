@@ -818,6 +818,29 @@ def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs, ns=(2, 3))
 
 
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate n-gram character coverage (Rae et al. 2021
+    §A1.1 rows 5-10; companion of repetition_ratios' top-gram rows):
+    single-scan flattened grams, within-doc agg keys only."""
+    from tspider_spark.operators.quality import dup_ngram_stats
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dup_ngram_stats(docs, ns=(5, 6, 7))
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout assignment: split is a pure hash function
+    of the GROUP key (source plays the site role), so near-dup pages
+    within a site can never straddle train/eval. 14/16-1/16-1/16
+    weights (exact binary thresholds, engine-portable)."""
+    from tspider_spark.operators.curate import split_assign
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    return split_assign(
+        docs, {"train": 14, "valid": 1, "test": 1}, group_col="source"
+    )
+
+
 # deterministic re-lining of the (newline-free) documents corpus so the
 # C4 line filter has real per-line variety: words chunked 5 per line,
 # terminal '.' added except every third line per (doc_id + line_no) % 3
@@ -1985,6 +2008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # repetition_stats was rewritten this round (single-scan) —
         # keep it inside the driver's evaluation window
         "repetition_ratios": q_repetition_ratios,
+        "dup_ngram_stats": q_dup_ngram_stats,
+        "split_assign": q_split_assign,
         "pack_sequences": q_pack_sequences,
         "containment_dups": q_containment_dups,
         "hashed_doc_vectors": q_hashed_doc_vectors,
@@ -2016,11 +2041,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_full_run": q_crawl_full_run,
         "media_decode": q_media_decode,
         # the rest of the contract surface (f8_seen_anti_join /
-        # a2_index_synthesis demoted past 50 for the anchor pair:
-        # twice driver-green, bodies unchanged)
-        "f9_budget_admission": q_f9_budget_admission,
+        # a2_index_synthesis / f9_budget_admission / dedup_clusters
+        # demoted past 50 for the r3-new query pairs: driver-green
+        # before, bodies unchanged, still locally oracle-checked)
         "winnow_fingerprints": q_winnow_fingerprints,
-        "dedup_clusters": q_dedup_clusters,
         "dedup_components_star": q_dedup_components_star,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
@@ -2046,6 +2070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twice-green and their function bodies unchanged since r1)
         "f8_seen_anti_join": q_f8_seen_anti_join,
         "a2_index_synthesis": q_a2_index_synthesis,
+        "f9_budget_admission": q_f9_budget_admission,
+        "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -2667,6 +2693,46 @@ def oracle_sql() -> dict[str, str]:
         round(least(1.0, b.cnt * length(b.gram) / b.doc_chars), 6) as top3_frac
  from (select * from top where n = 2 and rn = 1) a
  left join (select * from top where n = 3 and rn = 1) b using (doc_id)
+""",
+        "dup_ngram_stats": """
+ with words as (
+   select doc_id, length(trim(text)) as doc_chars,
+          string_split_regex(trim(lower(text)), '\\s+') w
+   from documents
+ ), grams as (
+   select doc_id, doc_chars, 5 as n, array_to_string(w[i:i+4], ' ') gram
+   from (select *, unnest(range(1, greatest(len(w)-4, 0)+1)) i from words)
+   union all
+   select doc_id, doc_chars, 6 as n, array_to_string(w[i:i+5], ' ') gram
+   from (select *, unnest(range(1, greatest(len(w)-5, 0)+1)) i from words)
+   union all
+   select doc_id, doc_chars, 7 as n, array_to_string(w[i:i+6], ' ') gram
+   from (select *, unnest(range(1, greatest(len(w)-6, 0)+1)) i from words)
+ ), counts as (
+   select doc_id, doc_chars, n, gram, count(*) cnt from grams group by all
+ ), pern as (
+   select doc_id, n,
+     round(least(1.0,
+       sum(case when cnt > 1 then cnt * length(gram) else 0 end)
+       / any_value(doc_chars)), 6) as frac
+   from counts group by doc_id, n
+ )
+ select a.doc_id, a.frac as dup5_frac, b.frac as dup6_frac,
+        c.frac as dup7_frac
+ from (select * from pern where n = 5) a
+ left join (select * from pern where n = 6) b using (doc_id)
+ left join (select * from pern where n = 7) c using (doc_id)
+""",
+        "split_assign": """
+ select doc_id, source,
+   case
+     when ('0x' || substring(md5('split:' || source), 1, 15))::BIGINT
+          / 1152921504606846976.0 < 0.875 then 'train'
+     when ('0x' || substring(md5('split:' || source), 1, 15))::BIGINT
+          / 1152921504606846976.0 < 0.9375 then 'valid'
+     else 'test'
+   end as split
+ from documents
 """,
         "c4_line_filter": """
  with words as (

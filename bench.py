@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "interleave_gate",
     "anchor_texts",
     "anchor_profiles",
+    "dup_ngram_stats",
+    "split_assign",
 ]
 
 

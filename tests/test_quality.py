@@ -242,6 +242,65 @@ def test_dup_line_stats_values(spark):
     assert abs(rows[4]["dup_line_char_frac"] - round(28 / 33, 6)) < 1e-9
 
 
+def test_dup_ngram_stats_values(spark):
+    from tspider_spark.operators.quality import dup_ngram_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e"),  # "a b c d e" 5-gram occurs 2x
+            (2, "x x x x x x"),          # self-overlap caps at 1.0
+            (3, "a b c"),                # too short for any n -> no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dup_ngram_stats(df, ns=(5, 6, 7)).collect()}
+    assert set(rows) == {1, 2}
+    # doc 1: dup 5-gram chars 2 x 9 = 18 of 19; 6-/7-grams all unique
+    assert abs(rows[1]["dup5_frac"] - round(18 / 19, 6)) < 1e-9
+    assert rows[1]["dup6_frac"] == 0.0
+    assert rows[1]["dup7_frac"] == 0.0
+    # doc 2: "x x x x x" occurs 2x, 2 x 9 = 18 > 11 chars -> capped
+    assert rows[2]["dup5_frac"] == 1.0
+    # single 6-gram occurrence is not a duplicate
+    assert rows[2]["dup6_frac"] == 0.0
+    # no 7-grams at all -> NULL column, row still present via n=5/6
+    assert rows[2]["dup7_frac"] is None
+
+
+def test_split_assign_group_coherent_and_deterministic(spark):
+    from tspider_spark.operators.curate import split_assign
+
+    df = spark.createDataFrame(
+        [(i, f"site{i % 40}") for i in range(400)],
+        "doc_id long, source string",
+    )
+    w = {"train": 14, "valid": 1, "test": 1}
+    a = split_assign(df, w, group_col="source")
+    b = split_assign(df, w, group_col="source")
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))  # deterministic
+    # every group lands in exactly ONE split (leakage-safety)
+    from pyspark.sql import functions as F
+
+    per_group = a.groupBy("source").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_group.filter(F.col("k") != 1).count() == 0
+    # all three splits are populated at 40 groups and the majority
+    # lands in train (14/16 weight)
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("train", 0) > counts.get("valid", 0)
+    assert counts.get("train", 0) > counts.get("test", 0)
+    # adding docs to a site never moves the site's split
+    extra = spark.createDataFrame(
+        [(9999, "site3")], "doc_id long, source string"
+    )
+    s_new = split_assign(extra, w, group_col="source").collect()[0]["split"]
+    s_old = a.filter(F.col("source") == "site3").select("split").first()["split"]
+    assert s_new == s_old
+
+
 def test_pack_shards_matches_sequential_walk(spark):
     from pyspark.sql import functions as F
 

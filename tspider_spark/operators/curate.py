@@ -55,6 +55,48 @@ def sample_by_hash(
     return df.withColumn("_u", u).filter(F.col("_u") < rate).drop("_u")
 
 
+def split_assign(
+    df: DataFrame,
+    weights: dict,
+    group_col: str = "source",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: the split is a pure
+    function of the GROUP key (host / source / site), so every document
+    of a group lands in the SAME split — near-duplicate pages within a
+    site can never straddle the train/eval boundary, the contamination
+    mode that doc-level random splits create (``decontaminate`` guards
+    against EXTERNAL eval sets; this guards the pipeline's own
+    holdout). ``weights``: ordered {split_name: weight}, normalized
+    internally; assignment is a cumulative-threshold lookup on the
+    group's hash-uniform (first threshold the uniform falls under
+    wins, in dict order).
+
+    Physical shape: pure projection — no shuffle, no RNG state, no
+    dimension table; the split column is a deterministic function of
+    the key, re-derivable at read time at 10^10 rows and stable across
+    reruns/backfills (adding documents to a site never moves the
+    site's split).
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {name: weight} dict")
+    total = float(sum(weights.values()))
+    u = hash_uniform(F.col(group_col), salt)
+    items = list(weights.items())
+    chain = None
+    acc = 0.0
+    for name, wt in items[:-1]:
+        acc += wt / total
+        chain = (
+            F.when(u < acc, name) if chain is None else chain.when(u < acc, name)
+        )
+    split = (
+        chain.otherwise(items[-1][0]) if chain is not None else F.lit(items[-1][0])
+    )
+    return df.withColumn(out_col, split)
+
+
 def recipe_rates(
     df: DataFrame,
     targets: dict,

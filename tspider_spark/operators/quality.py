@@ -234,6 +234,73 @@ def dup_line_stats(
     )
 
 
+def dup_ngram_stats(
+    df: DataFrame,
+    ns: tuple = (5, 6, 7, 8, 9, 10),
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Gopher's duplicate n-gram character coverage (Rae et al. 2021
+    §A1.1 rows 5-10, the companion of ``repetition_stats``' top-gram
+    rows 2-4): for each n, the fraction of the doc's characters covered
+    by n-grams whose value occurs >= 2 times in the SAME document
+    (sum of count x len(gram) / len(doc), capped at 1.0 — overlapping
+    occurrences double-count characters, the repetition_stats
+    convention).
+
+    Single corpus scan (the flattened per-n gram-array idiom), ONE
+    (doc, n, gram) hash agg, ONE per-(doc, n) rollup, then the per-doc
+    pivot via max(when) — all map-side combinable; keys carry the doc
+    id, so no corpus-wide hot keys.
+
+    Output: (id_col, dup{n}_frac per n), one row per doc that yields
+    at least one gram for ANY n (i.e. >= min(ns) words).
+    """
+    w = _words(text)
+    per_n = ", ".join(
+        f"case when size(_w) >= {n} then "
+        f"transform(sequence(1, size(_w) - {n} + 1), "
+        f"i -> named_struct('n', {n}, 'gram', concat_ws(' ', slice(_w, i, {n})))) "
+        f"else array() end"
+        for n in ns
+    )
+    pairs = (
+        df.select(
+            F.col(id_col),
+            F.length(F.expr(f"trim({text})")).alias("doc_chars"),
+            F.expr(w).alias("_w"),
+        )
+        .select(
+            id_col,
+            "doc_chars",
+            F.explode(F.expr(f"flatten(array({per_n}))")).alias("g"),
+        )
+        .select(
+            id_col, "doc_chars",
+            F.col("g.n").alias("n"), F.col("g.gram").alias("gram"),
+        )
+    )
+    counts = pairs.groupBy(id_col, "n", "doc_chars", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    per = counts.groupBy(id_col, "n", "doc_chars").agg(
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(0)
+        ).alias("dup_chars")
+    ).withColumn(
+        "frac",
+        F.round(
+            F.least(F.lit(1.0), F.col("dup_chars") / F.col("doc_chars")), 6
+        ),
+    )
+    return per.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"dup{n}_frac")
+            for n in ns
+        ]
+    )
+
+
 def substring_dedupe(
     df: DataFrame, length: int = 8, id_col: str = "doc_id", text: str = "text"
 ) -> DataFrame:
