@@ -68,6 +68,20 @@ def test_pipeline_without_model_gate(spark, corpus):
     assert {r.doc_id for r in stages["deduped"].collect()} == {1, 3}
 
 
+def test_pipeline_with_holdout_split(spark, corpus):
+    stages = curate_corpus(
+        corpus, weights=None, dedupe_tau=0.8, seq_tokens=32,
+        split_weights={"train": 14, "valid": 1, "test": 1},
+    )
+    split_rows = stages["split"].collect()
+    # the split stage covers exactly the deduped survivors
+    assert {r.doc_id for r in split_rows} == {1, 3}
+    assert all(r.split in ("train", "valid", "test") for r in split_rows)
+    train_ids = {r.doc_id for r in split_rows if r.split == "train"}
+    # only the training split is packed; eval docs stay documents
+    assert {r.doc_id for r in stages["packed"].collect()} == train_ids
+
+
 # ---------------------------------------------------------------------------
 # interleaved front-end (OBELICS shape): span gate -> media-seq dedupe
 # -> captions -> flatten -> text pipeline

@@ -171,3 +171,17 @@ def test_run_curate_tool(spark, tmp_path):
         s["kind"] != "media" for r in mf for s in r["spans"]
     )
     assert counts2["packed"] == 2
+
+    # holdout split flag: split stage covers the deduped survivors,
+    # packed covers only the training split
+    out3 = str(tmp_path / "out3")
+    counts3 = run_curate.main(
+        [corpus, out3, "--min-words", "10",
+         "--split", "train=14,valid=1,test=1",
+         "--stages", "split,packed"],
+        spark=spark, stop_session=False,
+    )
+    assert counts3["split"] == 2
+    sp = spark.read.parquet(str(Path(out3) / "split")).collect()
+    n_train = sum(1 for r in sp if r["split"] == "train")
+    assert counts3["packed"] == n_train

@@ -15,6 +15,7 @@ Usage:
       [--stages packed,deduped,...] [--media-max-doc-freq N]
       [--boilerplate-group-col COL] [--min-words N]
       [--dedupe-tau F] [--seq-tokens N]
+      [--split train=14,valid=1,test=1] [--split-group-col COL]
 """
 
 from __future__ import annotations
@@ -50,7 +51,21 @@ def main(argv=None, spark=None, stop_session=True):
     ap.add_argument("--min-words", type=int, default=50)
     ap.add_argument("--dedupe-tau", type=float, default=0.9)
     ap.add_argument("--seq-tokens", type=int, default=2048)
+    ap.add_argument("--split", default=None,
+                    help="leakage-safe holdout weights, e.g. "
+                         "'train=14,valid=1,test=1' (first name is "
+                         "the packed training split)")
+    ap.add_argument("--split-group-col", default=None,
+                    help="group key for split assignment (site/"
+                         "source); defaults to the doc id")
     args = ap.parse_args(argv)
+
+    split_weights = None
+    if args.split:
+        split_weights = {}
+        for part in args.split.split(","):
+            name, _, w = part.partition("=")
+            split_weights[name.strip()] = float(w)
 
     from tspider_spark.plans.curate import (
         curate_corpus,
@@ -69,6 +84,8 @@ def main(argv=None, spark=None, stop_session=True):
         min_words=args.min_words,
         dedupe_tau=args.dedupe_tau,
         seq_tokens=args.seq_tokens,
+        split_weights=split_weights,
+        split_group_col=args.split_group_col,
     )
     if args.interleaved:
         stages = curate_interleaved_corpus(

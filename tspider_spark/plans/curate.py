@@ -40,16 +40,27 @@ def curate_corpus(
     dedupe_tau: float = 0.9,
     seq_tokens: int = 2048,
     hash_fn: str = "xxhash64",
+    split_weights: dict | None = None,
+    split_group_col: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full curation pipeline; returns the per-stage frames
     under stable keys: normalized, rule_pass, quality, kept_quality,
-    exact_kept, near_pairs, deduped, packed.
+    exact_kept, near_pairs, deduped, [split,] packed.
 
     ``weights`` is the trained (bucket, weight) classifier table; pass
     None to skip the model gate (rule gates only). ``stratum_col``
     defaults to a single stratum when the corpus has no language
     column. ``hash_fn`` picks the cheap JVM hash for classifier +
     MinHash (the oracle-checked md5 twins cover correctness).
+
+    ``split_weights`` (ordered {split: weight}) turns on leakage-safe
+    holdout assignment AFTER dedupe, keyed on ``split_group_col``
+    (site/source; defaults to the doc id when the corpus carries no
+    group column — doc-keyed splits are only leakage-safe BECAUSE they
+    run post-dedupe here). The FIRST dict key is the training split:
+    only it is packed; eval splits stay documents in the ``split``
+    stage frame (the published pipelines hold out documents, not
+    packed sequences).
     """
     from tspider_spark.operators.classify import linear_quality_scores
     from tspider_spark.operators.curate import pack_sequences
@@ -97,6 +108,17 @@ def curate_corpus(
     drop = near_pairs.select(F.col("ib").alias(id_col)).distinct()
     deduped = exact_kept.join(drop, id_col, "left_anti")
     stages["deduped"] = deduped
+
+    if split_weights:
+        from tspider_spark.operators.curate import split_assign
+
+        assigned = split_assign(
+            deduped, split_weights,
+            group_col=split_group_col or id_col,
+        )
+        stages["split"] = assigned
+        train_name = next(iter(split_weights))
+        deduped = assigned.filter(F.col("split") == train_name).drop("split")
 
     sized = deduped.withColumn(
         "n_tokens", F.size(F.split(F.trim(F.col(text)), r"\s+"))
