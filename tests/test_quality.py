@@ -364,6 +364,51 @@ def test_new_ops_plan_shapes_no_global_window(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_r3_ops_plan_shapes(spark):
+    """Round-3 additions stay JVM-side and shuffle-lean: split_assign
+    is a pure projection (zero exchanges); dup_ngram_stats and the
+    anchor operators use hash aggs only — no Window, no Python."""
+    from pyspark.sql import functions as F
+
+    from tspider_spark.operators.curate import split_assign
+    from tspider_spark.operators.interleaved import (
+        anchor_candidates,
+        anchor_profiles,
+    )
+    from tspider_spark.operators.quality import dup_ngram_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "alpha beta gamma delta epsilon zeta eta theta")
+         for i in range(8)],
+        "doc_id long, source string, text string",
+    )
+    sp = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(F.lit("text").alias("kind"), F.lit("hi").alias("text"),
+                     F.lit(None).cast("string").alias("media_ref"),
+                     F.lit(0).alias("offset")),
+            F.struct(F.lit("link").alias("kind"),
+                     F.lit("http://a.com/x").alias("text"),
+                     F.lit(None).cast("string").alias("media_ref"),
+                     F.lit(1).alias("offset")),
+        ).alias("spans"),
+    )
+
+    plan = split_assign(
+        docs, {"train": 14, "valid": 1, "test": 1}, group_col="source"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+
+    for df in (
+        dup_ngram_stats(docs.select("doc_id", "text"), ns=(3, 4)),
+        anchor_profiles(anchor_candidates(sp)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_pii_redact_semantics(spark):
     """Dolma-style PII: placeholder tokens, disjoint sequential counts
     (a redacted email's digits never recount as a phone), boundary
