@@ -199,6 +199,49 @@ def test_anchor_profiles(spark):
     assert h2["n_links"] == 1 and h2["top_anchor"] == "zz"
 
 
+def test_anchor_authority_scores_rank_diverse_over_farmed(spark):
+    """The anchor→authority bridge: a host with diverse referrer text
+    outranks a link farm (one anchor repeated) and a bare-link host,
+    end-to-end through schedule.rank_hosts_by_score."""
+    from tspider_spark.operators.interleaved import (
+        anchor_authority_scores,
+        anchor_candidates,
+        anchor_profiles,
+    )
+    from tspider_spark.operators.schedule import rank_hosts_by_score
+
+    def doc(i, host, anchors):
+        spans = []
+        for j, a in enumerate(anchors):
+            if a is not None:
+                spans.append(t(a))
+            spans.append(lnk(f"http://{host}/p/{i}-{j}"))
+        return _doc(f"d{host}{i}", *spans)
+
+    docs = spark.createDataFrame(
+        [
+            # diverse.com: 3 links, 3 distinct anchors
+            doc(0, "diverse.com", ["alpha", "beta", "gamma"]),
+            # farm.com: 3 links, one repeated anchor
+            doc(0, "farm.com", ["spam", "spam", "spam"]),
+            # bare.com: 3 links, never anchored (leading links only)
+            doc(0, "bare.com", [None, None, None]),
+        ],
+        SPAN_SCHEMA,
+    )
+    scores = anchor_authority_scores(
+        anchor_profiles(anchor_candidates(docs))
+    )
+    by_host = {r["hostname"]: r["score"] for r in scores.collect()}
+    assert by_host["diverse.com"] > by_host["farm.com"] > by_host["bare.com"]
+    assert by_host["bare.com"] == 0.0
+    pr = {
+        r["hostname"]: r["priority"]
+        for r in rank_hosts_by_score(scores).collect()
+    }
+    assert pr["diverse.com"] < pr["farm.com"] < pr["bare.com"]
+
+
 def test_media_frequency_filter(docs):
     """i1 appears in 3 docs (site furniture at cap 2) and is cut
     everywhere; i2/i3 (2 docs) and i9 (1 doc) survive; text spans and

@@ -289,6 +289,28 @@ def anchor_profiles(
     )
 
 
+def anchor_authority_scores(profiles: DataFrame) -> DataFrame:
+    """Bridge from ``anchor_profiles`` to the authority frontier mode:
+    ``(hostname, score)`` for ``schedule.rank_hosts_by_score``, with
+    score = anchored_frac × anchor diversity
+    (n_distinct_anchors / n_anchored) in [0, 1]. A host described by
+    many DIFFERENT referrer texts outranks one reached only by bare
+    links (anchored_frac → 0) or by a single farmed anchor string
+    repeated across the web (diversity → 0). Pure projection."""
+    return profiles.select(
+        F.col("host").alias("hostname"),
+        F.round(
+            F.when(
+                F.col("n_anchored") > 0,
+                F.col("anchored_frac")
+                * F.col("n_distinct_anchors")
+                / F.col("n_anchored"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("score"),
+    )
+
+
 def media_sequence_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
 ) -> DataFrame:
