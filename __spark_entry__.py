@@ -605,6 +605,59 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedupe (FastCDC-style): rolling-hash
+    cut points align shared byte runs to identical chunks regardless
+    of position; per-doc duplicated-byte coverage over the chunk-hash
+    groupBy. Workload: docs < 300 plus exact copies of the first half
+    (+100000 ids), so half the corpus has known full-dup coverage."""
+    from tspider_spark.operators.textdedup import cdc_chunk_stats
+
+    d = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    half = d.filter(F.col("doc_id") < 150).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return cdc_chunk_stats(d.unionByName(half), k=8, mask_bits=6).select(
+        "doc_id", "n_chunks", "dup_chunks", "total_bytes", "dup_bytes", "dup_ratio"
+    )
+
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-style reweighting: keep every near-duplicate but
+    weight it 1/commonness (near-dup component size), so duplicated
+    passages contribute ~once in expectation. Same pair graph and
+    clustering as ``dedup_clusters``; one extra size agg + join."""
+    from tspider_spark.operators.textdedup import (
+        ngram_jaccard_dups,
+        soft_dedup_weights,
+    )
+
+    docs = _dup_docs(spark, sf_dir, 300)
+    pairs = ngram_jaccard_dups(docs, n=3, tau=0.9)
+    return soft_dedup_weights(docs.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id", "commonness", "weight"
+    )
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global curriculum (shortest-first) training order: exact
+    row_number over (token count, doc id) via the three-level
+    distributed rank — no single-partition window at any scale."""
+    from tspider_spark.operators.curate import curriculum_order
+    from tspider_spark.operators.textstats import token_count
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", token_count().alias("n_tokens")
+    )
+    return curriculum_order(d, "n_tokens").select(
+        "doc_id", "n_tokens", "curriculum_rank"
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling by predicted language —
     hash-based (md5-derived uniform), so the sample is reproducible
@@ -2044,8 +2097,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a2_index_synthesis / f9_budget_admission / dedup_clusters
         # demoted past 50 for the r3-new query pairs: driver-green
         # before, bodies unchanged, still locally oracle-checked)
-        "winnow_fingerprints": q_winnow_fingerprints,
+        "cdc_chunk_stats": q_cdc_chunk_stats,
         "dedup_components_star": q_dedup_components_star,
+        # below the driver's 50-query window: next round's rotation
+        # candidates first (new this round, locally oracle-checked)
+        "soft_dedup_weights": q_soft_dedup_weights,
+        "curriculum_order": q_curriculum_order,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
         "bm25_scores": q_bm25_scores,
@@ -2525,6 +2583,20 @@ def oracle_sql() -> dict[str, str]:
  from reach group by v
 """
         ),
+        # SoftDeDup reweighting: same reachability graph as
+        # dedup_clusters; weight = 1 / component size
+        "soft_dedup_weights": (
+            cluster_reach_sql
+            + """
+ , clusters as (select v as doc_id, min(r) as cluster_id
+                from reach group by v),
+ sizes as (select cluster_id, count(*) as commonness
+           from clusters group by 1)
+ select c.doc_id, c.cluster_id, s.commonness,
+        round(1.0::DOUBLE / s.commonness, 6) as weight
+ from clusters c join sizes s using (cluster_id)
+"""
+        ),
         # quality-aware keeper: highest score (here: text length, with
         # the +100000 copies nudged +1 so argmax differs from min-id),
         # ties by min doc_id
@@ -2593,6 +2665,67 @@ def oracle_sql() -> dict[str, str]:
  )
  select distinct doc_id, wm as fp
  from wmin where i <= greatest(p - 4 + 1, 1)
+""",
+        # content-defined chunking: same rolling hash as winnowing;
+        # boundaries where h & 63 == 0, chunks between cut points,
+        # dup = chunk hash present in >= 2 distinct docs
+        "cdc_chunk_stats": """
+ with d as (
+   select doc_id,
+          regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') as norm
+   from documents where doc_id < 300
+   union all
+   select doc_id + 100000 as doc_id,
+          regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') as norm
+   from documents where doc_id < 150
+ ), pos as (
+   select doc_id, norm,
+          unnest(generate_series(1, greatest(length(norm) - 8 + 1, 1))) as i
+   from d
+ ), hashed as (
+   select doc_id, norm, i,
+          ('0x' || substring(md5(substring(norm, i, 8)), 1, 15))::BIGINT as h
+   from pos
+ ), cuts as (
+   select doc_id, norm, 1 as cut from d
+   union
+   select doc_id, norm, i as cut from hashed where (h & 63) = 0 and i > 1
+ ), spans as (
+   select doc_id, cut,
+          substring(norm, cut,
+                    coalesce(lead(cut) over (partition by doc_id order by cut),
+                             length(norm) + 1) - cut) as chunk
+   from cuts
+ ), owners as (
+   select md5(chunk) as ch, count(distinct doc_id) as nd
+   from spans group by 1
+ )
+ select s.doc_id,
+        count(*) as n_chunks,
+        sum(case when o.nd >= 2 then 1 else 0 end)::BIGINT as dup_chunks,
+        sum(length(s.chunk))::BIGINT as total_bytes,
+        sum(case when o.nd >= 2 then length(s.chunk) else 0 end)::BIGINT
+          as dup_bytes,
+        case when sum(length(s.chunk)) = 0 then 0.0::DOUBLE
+             else round(sum(case when o.nd >= 2 then length(s.chunk)
+                                 else 0 end)
+                        * 1.0 / sum(length(s.chunk)), 6) end as dup_ratio
+ from spans s join owners o on md5(s.chunk) = o.ch
+ group by s.doc_id
+""",
+        # exact global curriculum rank (shortest-first): trivially a
+        # single window in SQL; the Spark side proves the same order
+        # WITHOUT a single-partition window (three-level rank)
+        "curriculum_order": """
+ with t as (
+   select doc_id,
+          len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT
+            as n_tokens
+   from documents
+ )
+ select doc_id, n_tokens,
+        row_number() over (order by n_tokens, doc_id) as curriculum_rank
+ from t
 """,
         "bm25_scores": """
  with words as (

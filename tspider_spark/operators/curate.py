@@ -299,3 +299,32 @@ def pack_shards(
             .alias("shard_id"),
         )
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    out: str = "curriculum_rank",
+    super_shift: int = 20,
+) -> DataFrame:
+    """Global curriculum ordering: an exact training order
+    ``row_number() over (order by key_col, id_col)`` — e.g. shortest-
+    first length curricula (Bengio et al. 2009 "Curriculum Learning";
+    sequence-length warmup in modern pretraining) — WITHOUT the
+    single-partition window a naive global sort-rank plans (the
+    10^10-doc killer). Delegates to ``schedule.distributed_rank``:
+    rank within key buckets, prefix-sum bucket counts within super
+    buckets, broadcast super offsets — the whole rank costs one hash
+    exchange on the key. ``key_col`` must be a non-negative integer
+    difficulty key (token count, perplexity bucket, quality decile);
+    (key, id) must be a total order, which id uniqueness guarantees.
+
+    Returns the input columns plus ``out`` (1-based global rank).
+    """
+    from tspider_spark.operators.schedule import distributed_rank
+
+    ranked = distributed_rank(
+        df, (key_col, id_col), out=out, start=0, super_shift=super_shift
+    )
+    return ranked

@@ -590,3 +590,130 @@ def winnow_fingerprints(
 
 def _norm_sql(text: str) -> str:
     return f"regexp_replace(trim(lower({text})), '\\\\s+', ' ')"
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) dedupe
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    k: int = 8,
+    mask_bits: int = 6,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Content-defined chunking dedupe (the storage-dedup technique
+    LSDC/FastCDC popularized, applied to corpus curation): cut each
+    document at content-defined boundaries — positions whose rolling
+    k-gram hash is 0 mod 2^mask_bits — so shared byte runs align to
+    the SAME chunks regardless of where they sit in the document
+    (insertion-robust, unlike fixed-size blocks). A chunk present in
+    >= 2 distinct documents is duplicated content; the per-doc output
+    is the duplicated-byte coverage, the signal RefinedWeb-style
+    pipelines threshold to drop template-heavy pages.
+
+    All JVM: posexplode positions -> k-gram md5 60-bit hash (the
+    winnowing hash, reused) -> boundary filter -> per-doc lead()
+    window over cut positions (one exchange on the doc id) ->
+    substring chunks -> chunk-hash groupBy (map-side combinable)
+    -> broadcast-or-shuffle join back -> per-doc aggregation. At
+    10^10 docs the chunk table is O(corpus bytes / 2^mask_bits)
+    rows keyed by uniform md5 hashes — no hot keys by construction.
+
+    Returns (id, n_chunks, dup_chunks, total_bytes, dup_bytes,
+    dup_ratio) with BIGINT counts and a float ratio.
+    """
+    norm = _norm_sql(text)
+    grams = df.select(
+        F.col(id_col),
+        F.expr(f"{norm}").alias("_norm"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({norm}) - {k} + 1, 1)), "
+                f"i -> substring({norm}, i, {k}))"
+            )
+        ).alias("pos", "gram"),
+    ).withColumn("pos", F.col("pos") + 1)  # 1-based positions
+    h = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
+    mask = (1 << mask_bits) - 1
+    cuts = (
+        grams.select(id_col, "_norm", "pos", h.alias("_h"))
+        .filter((F.col("_h").bitwiseAND(F.lit(mask)) == 0) & (F.col("pos") > 1))
+        .select(id_col, "_norm", "pos")
+        .unionByName(
+            df.select(
+                F.col(id_col), F.expr(norm).alias("_norm"), F.lit(1).alias("pos")
+            )
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    chunks = cuts.withColumn("_next", F.lead("pos").over(w)).select(
+        id_col,
+        F.expr(
+            "substring(_norm, pos, "
+            "coalesce(_next, length(_norm) + 1) - pos)"
+        ).alias("chunk"),
+    )
+    owners = chunks.groupBy(F.md5("chunk").alias("_ch")).agg(
+        F.countDistinct(id_col).alias("_nd")
+    )
+    return (
+        chunks.withColumn("_ch", F.md5("chunk"))
+        .join(owners, "_ch")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("_nd") >= 2).cast("long")).alias("dup_chunks"),
+            F.sum(F.length("chunk")).cast("long").alias("total_bytes"),
+            F.sum(
+                F.when(F.col("_nd") >= 2, F.length("chunk")).otherwise(0)
+            )
+            .cast("long")
+            .alias("dup_bytes"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.when(F.col("total_bytes") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("dup_bytes") / F.col("total_bytes"), 6)
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# soft dedupe: reweight duplicates instead of dropping them
+
+
+def soft_dedup_weights(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """SoftDeDup-style reweighting (ACL 2024 "SoftDedup: an Efficient
+    Data Reweighting Method for Speeding Up Language Model
+    Pre-training"): instead of DROPPING near-duplicates, keep every
+    document but downweight it by its "commonness" — here the size of
+    its near-dup connected component — so an n-times-duplicated
+    passage contributes ~once in expectation while rare text keeps
+    full weight. Composes :func:`dedup_clusters` (hash-min label
+    propagation, per-round lineage cuts) with one map-side-combinable
+    size aggregation and a cluster-keyed join; nothing new shuffles
+    beyond the clustering itself, so the 10^10-doc story is the
+    clustering's.
+
+    Returns (id, cluster_id, commonness, weight) with
+    weight = round(1/commonness, 6).
+    """
+    clusters = dedup_clusters(ids, pairs, id_col=id_col, max_iter=max_iter)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("commonness")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col("commonness"),
+        F.round(F.lit(1.0) / F.col("commonness"), 6).alias("weight"),
+    )
