@@ -658,6 +658,54 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): epoch-capped
+    water-filling token budgets per language — exact closed form via
+    a prefix-monotone capped set; all windows over the language table
+    (metadata scale)."""
+    from tspider_spark.operators.curate import unimax_budgets
+    from tspider_spark.operators.textstats import with_text_stats
+
+    d = (
+        with_text_stats(_load(spark, sf_dir, "documents"))
+        .groupBy(F.col("lang_pred").alias("lang"))
+        .agg(F.sum("n_tokens").alias("n_tokens"))
+    )
+    return unimax_budgets(d, budget_frac=0.4, epoch_cap=2).select(
+        "lang", "n_tokens", "capacity", "alloc_tokens", "epochs"
+    )
+
+
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic uniform sample: k smallest salted md5
+    values, planned as TakeOrderedAndProject (bounded per-partition
+    heap, no global sort)."""
+    from tspider_spark.operators.curate import sample_exact_k
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    return sample_exact_k(d, k=100).select("doc_id", "sample_hash")
+
+
+def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sequence packing: per-doc cost = text tokens + 576
+    ViT patch tokens per media span (in-array JVM fold), then the
+    two-level-cumsum GPT-style packer over (stratum, id) order."""
+    from tspider_spark.operators.curate import pack_sequences
+    from tspider_spark.operators.interleaved import multimodal_token_costs
+
+    costs = multimodal_token_costs(
+        _interleaved_docs(spark, sf_dir), media_tokens=576
+    ).withColumn(
+        "g", F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"))
+    )
+    return pack_sequences(
+        costs, seq_tokens=2048, stratum_col="g", token_col="mm_tokens"
+    ).select(
+        "doc_id", "g", "mm_tokens", "start_tok",
+        "seq_first", "seq_last", "seq_offset",
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling by predicted language —
     hash-based (md5-derived uniform), so the sample is reproducible
@@ -2103,6 +2151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidates first (new this round, locally oracle-checked)
         "soft_dedup_weights": q_soft_dedup_weights,
         "curriculum_order": q_curriculum_order,
+        "unimax_budgets": q_unimax_budgets,
+        "sample_exact_k": q_sample_exact_k,
+        "pack_interleaved": q_pack_interleaved,
         "winnow_fingerprints": q_winnow_fingerprints,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
@@ -2726,6 +2777,63 @@ def oracle_sql() -> dict[str, str]:
  select doc_id, n_tokens,
         row_number() over (order by n_tokens, doc_id) as curriculum_rank
  from t
+""",
+        # UniMax water-filling: same closed form (capped set is a
+        # prefix of the capacity-ascending order)
+        "unimax_budgets": """
+ with v as (
+   select doc_id, text,
+          len(string_split_regex(trim(lower(text)), '\\s+')) as n_tokens,
+          {lang_votes}
+   from documents
+ ), langs as (
+   select doc_id, n_tokens,
+     (case when greatest(l_en, l_es, l_de, l_fr) = 0 then 'und'
+           when l_en = greatest(l_en, l_es, l_de, l_fr) then 'en'
+           when l_es = greatest(l_en, l_es, l_de, l_fr) then 'es'
+           when l_de = greatest(l_en, l_es, l_de, l_fr) then 'de'
+           else 'fr' end) as lang_pred
+   from v
+ ), lt as (
+   select lang_pred as lang, sum(n_tokens)::BIGINT as n_tokens
+   from langs group by 1
+ ), lt2 as (
+   select lang, n_tokens, (2 * n_tokens)::BIGINT as capacity from lt
+ ), tot as (
+   select count(*)::BIGINT as n,
+          floor(0.4::DOUBLE * sum(n_tokens))::BIGINT as b
+   from lt2
+ ), o as (
+   select lang, n_tokens, capacity,
+          sum(capacity) over (order by capacity, lang
+            rows between unbounded preceding and current row)::BIGINT
+            as cum,
+          row_number() over (order by capacity, lang) as i
+   from lt2
+ ), flagged as (
+   select o.*, t.n, t.b,
+          (o.capacity * (t.n - o.i) <= t.b - o.cum) as capped
+   from o cross join tot t
+ ), agg as (
+   select sum(case when capped then capacity else 0 end)::BIGINT as ck,
+          sum(case when capped then 1 else 0 end)::BIGINT as k
+   from flagged
+ ), alloc as (
+   select f.lang, f.n_tokens, f.capacity,
+          (case when f.capped then f.capacity
+                else coalesce((f.b - a.ck) // nullif(f.n - a.k, 0), 0)
+           end)::BIGINT as alloc_tokens
+   from flagged f cross join agg a
+ )
+ select lang, n_tokens, capacity, alloc_tokens,
+        round(alloc_tokens / n_tokens, 4) as epochs
+ from alloc
+""".format(lang_votes=_lang_votes_sql()),
+        "sample_exact_k": """
+ select doc_id, md5('exactk:' || doc_id) as sample_hash
+ from documents
+ order by md5('exactk:' || doc_id), doc_id
+ limit 100
 """,
         "bm25_scores": """
  with words as (
@@ -3823,6 +3931,30 @@ def oracle_sql() -> dict[str, str]:
         b.text_chars, b.media_share,
         coalesce(mr.mmr, 0)::bigint as max_media_run, b.media_leading
  from base b left join mr using (doc_id)
+""",
+        # multimodal packing: per-doc text tokens + 576/image, then
+        # the exclusive per-stratum cumsum packer
+        "pack_interleaved": _INTERLEAVED_SQL + """
+ , cost as (
+   select doc_id, 'h' || (doc_id % 5) as g,
+          (coalesce(sum(case when kind = 'text'
+               then len(string_split_regex(trim(text), '\\s+')) end), 0)
+           + 576 * sum(case when kind = 'media' then 1 else 0 end)
+          )::BIGINT as mm_tokens
+   from sp group by 1, 2
+ ), cum as (
+   select doc_id, g, mm_tokens,
+          coalesce(sum(mm_tokens) over (partition by g order by doc_id
+            rows between unbounded preceding and 1 preceding),
+            0)::BIGINT as start_tok
+   from cost
+ )
+ select doc_id, g, mm_tokens, start_tok,
+        (start_tok // 2048)::BIGINT as seq_first,
+        ((start_tok + greatest(mm_tokens, 1) - 1) // 2048)::BIGINT
+          as seq_last,
+        (start_tok % 2048)::BIGINT as seq_offset
+ from cum
 """,
         "caption_candidates": _INTERLEAVED_SQL + """
  , med as (select doc_id, i, media_ref from sp where kind = 'media'),

@@ -120,6 +120,13 @@ BENCH_QUERIES = [
     "anchor_profiles",
     "dup_ngram_stats",
     "split_assign",
+    # round-3 late additions
+    "cdc_chunk_stats",
+    "soft_dedup_weights",
+    "curriculum_order",
+    "unimax_budgets",
+    "sample_exact_k",
+    "pack_interleaved",
 ]
 
 

@@ -123,3 +123,104 @@ def test_curriculum_order_plan_has_no_global_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
             assert "n_tokens" in line  # partition spec present
+
+
+# ---------------------------------------------------------------------------
+# UniMax water-filling
+
+
+def _unimax(spark, counts, frac, cap=2):
+    from tspider_spark.operators.curate import unimax_budgets
+
+    df = spark.createDataFrame(counts, "lang string, n_tokens long")
+    return {
+        r["lang"]: r
+        for r in unimax_budgets(df, budget_frac=frac, epoch_cap=cap).collect()
+    }
+
+
+def test_unimax_small_lang_capped_rest_even(spark):
+    # tokens: a=10, b=100, c=100; B = 0.5*210 = 105
+    # capacities (cap=2): a=20, b=200, c=200. a capped? 20*(3-1)=40 <=
+    # 105-20=85 -> yes. remaining (105-20)=85 over 2 langs -> 42 each.
+    out = _unimax(spark, [("a", 10), ("b", 100), ("c", 100)], 0.5)
+    assert out["a"]["alloc_tokens"] == 20 and out["a"]["epochs"] == 2.0
+    assert out["b"]["alloc_tokens"] == 42 and out["c"]["alloc_tokens"] == 42
+    assert out["b"]["epochs"] == 0.42
+
+
+def test_unimax_budget_exceeds_all_caps(spark):
+    # B = 1.0 * 300 = 300 >= total capacity 2*300=600? No: B=300,
+    # caps a=200,b=400. a: 200*(2-1)=200 <= 300-200=100? no ->
+    # nothing capped -> even split floor(300/2)=150 each.
+    out = _unimax(spark, [("a", 100), ("b", 200)], 1.0)
+    assert out["a"]["alloc_tokens"] == 150 and out["b"]["alloc_tokens"] == 150
+    # and with a huge budget every lang hits its epoch cap
+    out = _unimax(spark, [("a", 100), ("b", 200)], 10.0)
+    assert out["a"]["alloc_tokens"] == 200 and out["b"]["alloc_tokens"] == 400
+    assert out["a"]["epochs"] == 2.0 and out["b"]["epochs"] == 2.0
+
+
+def test_unimax_total_alloc_within_budget(spark):
+    counts = [(f"l{i}", 50 * (i + 1)) for i in range(7)]
+    out = _unimax(spark, counts, 0.4)
+    total = sum(50 * (i + 1) for i in range(7))
+    budget = int(0.4 * total)
+    assert sum(r["alloc_tokens"] for r in out.values()) <= budget
+    for r in out.values():
+        assert r["alloc_tokens"] <= 2 * r["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# exact-k sampling
+
+
+def test_sample_exact_k_deterministic_and_sized(spark):
+    from tspider_spark.operators.curate import sample_exact_k
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    a = sorted(r["doc_id"] for r in sample_exact_k(df, 50).collect())
+    b = sorted(r["doc_id"] for r in sample_exact_k(df, 50).collect())
+    assert len(a) == 50 and a == b
+    # growing the corpus never evicts non-hash-order members: the
+    # sample of a superset is the k smallest hashes of the superset
+    big = spark.range(2000).select(F.col("id").alias("doc_id"))
+    c = set(r["doc_id"] for r in sample_exact_k(big, 50).collect())
+    assert len(c) == 50
+
+
+def test_sample_exact_k_plan_is_take_ordered(spark):
+    from tspider_spark.operators.curate import sample_exact_k
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    plan = (
+        sample_exact_k(df, 10)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort
+
+
+# ---------------------------------------------------------------------------
+# multimodal token costs
+
+
+def test_multimodal_token_costs(spark):
+    from tspider_spark.operators.interleaved import multimodal_token_costs
+
+    rows = [
+        (1, [("text", "three word span", None), ("media", None, "img://a")]),
+        (2, [("media", None, "img://a"), ("media", None, "img://b")]),
+        (3, [("text", "one", None)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id int, spans array<struct<kind string, text string, "
+        "media_ref string>>",
+    )
+    out = {
+        r["doc_id"]: r for r in multimodal_token_costs(df, 576).collect()
+    }
+    assert out[1]["n_text_tokens"] == 3 and out[1]["n_media"] == 1
+    assert out[1]["mm_tokens"] == 3 + 576
+    assert out[2]["mm_tokens"] == 2 * 576
+    assert out[3]["mm_tokens"] == 1

@@ -328,3 +328,105 @@ def curriculum_order(
         df, (key_col, id_col), out=out, start=0, super_shift=super_shift
     )
     return ranked
+
+
+def unimax_budgets(
+    lang_tokens: DataFrame,
+    budget_frac: float = 0.4,
+    epoch_cap: int = 2,
+    lang_col: str = "lang",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): split a total
+    training-token budget ``B = floor(budget_frac * total_tokens)``
+    across languages so no language repeats more than ``epoch_cap``
+    epochs and the remainder is shared EVENLY — the fairness fix over
+    temperature sampling, which over-weights head languages. Exact
+    water-filling closed form: sort languages by capacity
+    ``C_i = epoch_cap * tokens_i`` ascending; language i is capped
+    iff ``C_i * (n - i) <= B - cum_C_i`` (the condition is monotone in
+    i, so the capped set is a prefix — proof: the LHS+cum delta is
+    ``(n-i)(C_{i+1}-C_i) >= 0``); uncapped languages each get
+    ``floor((B - sum_capped_C) / n_uncapped)``.
+
+    Input: one row per language with its total token count. All
+    windows here run over the LANGUAGE table — cardinality = number
+    of languages, metadata scale even at 10^10 docs, so the
+    unpartitioned window is bounded by construction (the per-doc
+    token aggregation upstream is the only corpus-scale shuffle).
+
+    Returns (lang, n_tokens, capacity, alloc_tokens, epochs) with
+    BIGINT token columns and epochs = round(alloc/tokens, 4).
+    """
+    d = lang_tokens.select(
+        F.col(lang_col), F.col(token_col).cast("long").alias(token_col)
+    ).withColumn(
+        "capacity", (F.lit(int(epoch_cap)) * F.col(token_col)).cast("long")
+    )
+    w = Window.orderBy("capacity", lang_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn("_cum", F.sum("capacity").over(w)).withColumn(
+        "_i", F.count(F.lit(1)).over(w)
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.floor(F.lit(float(budget_frac)) * F.sum(token_col))
+        .cast("long")
+        .alias("_b"),
+    )
+    d = d.crossJoin(F.broadcast(tot)).withColumn(
+        "_capped",
+        F.col("capacity") * (F.col("_n") - F.col("_i"))
+        <= F.col("_b") - F.col("_cum"),
+    )
+    caps = d.agg(
+        F.sum(F.when(F.col("_capped"), F.col("capacity")).otherwise(0))
+        .cast("long")
+        .alias("_ck"),
+        F.sum(F.col("_capped").cast("long")).alias("_k"),
+    )
+    return (
+        d.crossJoin(F.broadcast(caps))
+        .withColumn(
+            "alloc_tokens",
+            F.when(F.col("_capped"), F.col("capacity")).otherwise(
+                F.coalesce(
+                    F.floor(
+                        (F.col("_b") - F.col("_ck"))
+                        / F.nullif(F.col("_n") - F.col("_k"), F.lit(0))
+                    ),
+                    F.lit(0),
+                )
+            ).cast("long"),
+        )
+        .select(
+            lang_col,
+            token_col,
+            "capacity",
+            "alloc_tokens",
+            F.round(F.col("alloc_tokens") / F.col(token_col), 4).alias("epochs"),
+        )
+    )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "exactk",
+) -> DataFrame:
+    """Exactly-k uniform sample: the k smallest salted-hash values —
+    deterministic (reproducible across engines/runs), uniform (md5),
+    and scale-safe: Catalyst plans orderBy+limit as
+    TakeOrderedAndProject (a bounded per-partition heap + driver
+    merge of k rows), NOT a global sort — the exact-size counterpart
+    of rate-based :func:`sample_by_hash`. Ties impossible while md5
+    is collision-free on distinct ids; id is the formal tiebreak.
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("sample_hash", h)
+        .orderBy(F.col("sample_hash").asc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

@@ -530,3 +530,38 @@ def interleave_gate(
         (reasons == "").alias("keep"),
         reasons.alias("fail_reasons"),
     )
+
+
+def multimodal_token_costs(
+    df: DataFrame,
+    media_tokens: int = 576,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Training-token cost of an interleaved document: whitespace
+    tokens across its text spans plus a FIXED ``media_tokens`` per
+    media span — the ViT patch budget a vision encoder contributes per
+    image in LLaVA/OBELICS-style interleaved training (576 = 24x24
+    patches at 336px). The cost column is what multimodal sequence
+    packing must budget by; token-only packing under-fills sequences
+    by the image share.
+
+    Shuffle-free JVM in-array fold (aggregate + filter over the span
+    array); returns (id, n_text_tokens, n_media, mm_tokens) with
+    BIGINT columns.
+    """
+    n_text_tokens = F.expr(
+        f"aggregate(filter({spans_col}, s -> s.kind = 'text'), 0L, "
+        "(acc, s) -> acc + size(split(trim(s.text), '\\\\s+')))"
+    ).cast("long")
+    n_media = F.expr(
+        f"size(filter({spans_col}, s -> s.kind = 'media'))"
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_text_tokens.alias("n_text_tokens"),
+        n_media.alias("n_media"),
+        (n_text_tokens + F.lit(int(media_tokens)) * n_media)
+        .cast("long")
+        .alias("mm_tokens"),
+    )
