@@ -2137,20 +2137,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_gate": q_interleave_gate,
         "anchor_texts": q_anchor_texts,
         "anchor_profiles": q_anchor_profiles,
-        # rows-only (non-SQL-expressible: sequential stateful crawl
-        # loop / binary payload decode)
-        "crawl_full_run": q_crawl_full_run,
-        "media_decode": q_media_decode,
         # the rest of the contract surface (f8_seen_anti_join /
         # a2_index_synthesis / f9_budget_admission / dedup_clusters
         # demoted past 50 for the r3-new query pairs: driver-green
         # before, bodies unchanged, still locally oracle-checked)
         "cdc_chunk_stats": q_cdc_chunk_stats,
         "dedup_components_star": q_dedup_components_star,
-        # below the driver's 50-query window: next round's rotation
-        # candidates first (new this round, locally oracle-checked)
+        # new this round, oracle-backed, never driver-checked —
+        # promoted over the rows-only pair (crawl_full_run /
+        # media_decode got their no-oracle driver rows in r1; an
+        # oracle-backed verdict is strictly more signal per slot)
         "soft_dedup_weights": q_soft_dedup_weights,
         "curriculum_order": q_curriculum_order,
+        # --- position 51+ (past the driver's 50-query window) ---
+        # rows-only (non-SQL-expressible: sequential stateful crawl
+        # loop / binary payload decode); driver-checked rows-only in r1
+        "crawl_full_run": q_crawl_full_run,
+        "media_decode": q_media_decode,
+        # next round's rotation candidates (new this round, locally
+        # oracle-checked)
         "unimax_budgets": q_unimax_budgets,
         "sample_exact_k": q_sample_exact_k,
         "pack_interleaved": q_pack_interleaved,
