@@ -706,6 +706,50 @@ def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RedPajama-v2-style character-level quality signals: Shannon
+    entropy of the char unigram distribution, top-char fraction,
+    distinct-char count per document."""
+    from tspider_spark.operators.textstats import char_entropy_stats
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_entropy_stats(docs)
+
+
+def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style provenance-level gating: quality heuristics rolled
+    up per (source, lang) with a size+quality keep flag."""
+    from tspider_spark.operators.quality import source_quality_rollup
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    return source_quality_rollup(docs, min_docs=20, min_mean_quality=0.5)
+
+
+def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train-test decontamination over the doubled-docs corpus:
+    eval = copies of every 5th doc, so each eval doc near-duplicates
+    its original at Jaccard 1.0 (plus any natural near-dups)."""
+    from tspider_spark.operators.quality import fuzzy_decontam
+
+    d = _dup_docs(spark, sf_dir, 300)
+    corpus = d.filter(F.col("doc_id") < 100000)
+    ev = d.filter(
+        (F.col("doc_id") >= 100000) & ((F.col("doc_id") - 100000) % 5 == 0)
+    )
+    return fuzzy_decontam(corpus, ev, n=3, tau=0.8)
+
+
+def q_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLM-R-style temperature sampling rates (alpha=0.3) per language
+    with the implied up/down-sampling factor."""
+    from tspider_spark.operators.curate import temperature_rates
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_rates(docs, alpha=0.3, group_col="lang")
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling by predicted language —
     hash-based (md5-derived uniform), so the sample is reproducible
@@ -2156,6 +2200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         # next round's rotation candidates (new this round, locally
         # oracle-checked)
+        "char_entropy": q_char_entropy,
+        "source_quality_rollup": q_source_quality_rollup,
+        "fuzzy_decontam": q_fuzzy_decontam,
+        "temperature_rates": q_temperature_rates,
         "unimax_budgets": q_unimax_budgets,
         "sample_exact_k": q_sample_exact_k,
         "pack_interleaved": q_pack_interleaved,
@@ -2768,6 +2816,96 @@ def oracle_sql() -> dict[str, str]:
                         * 1.0 / sum(length(s.chunk)), 6) end as dup_ratio
  from spans s join owners o on md5(s.chunk) = o.ch
  group by s.doc_id
+""",
+        # char-unigram Shannon entropy via the same closed form the
+        # Spark agg uses: H = log2(n) - sum(c*log2(c))/n
+        "char_entropy": """
+ with ch as (
+   select doc_id, unnest(string_split(text, '')) as ch from documents
+ ), f as (select doc_id, ch from ch where ch <> ''),
+ hist as (select doc_id, ch, count(*) as c from f group by 1, 2)
+ select doc_id,
+        sum(c)::BIGINT as n_chars,
+        count(*)::BIGINT as n_unique_chars,
+        round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) as entropy_bits,
+        round(max(c) * 1.0 / sum(c), 6) as top_char_frac
+ from hist group by doc_id
+""",
+        # provenance rollup over the exact per-doc quality formula the
+        # text_stats oracle uses; keep compares the ROUNDED mean like
+        # the Spark side (keep is derived from the output column)
+        "source_quality_rollup": f"""
+ with v as (
+   select source, lang,
+          len(string_split_regex(trim(lower(text)), '\\s+')) as n_tokens,
+          length(text) as n_chars,
+          length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+            as n_punct,
+          {_lang_votes_sql()}
+   from documents
+ ), q as (
+   select source, lang, n_tokens,
+     round(
+       (case when n_tokens >= 10 and n_tokens <= 10000 then 0.25 else 0 end) +
+       (case when n_chars * 1.0 / greatest(n_tokens, 1) between 3 and 12
+             then 0.25 else 0 end) +
+       (case when l_en * 1.0 / greatest(n_tokens, 1) >= 0.01
+             then 0.25 else 0 end) +
+       (case when n_punct * 1.0 / greatest(n_chars, 1) <= 0.2
+             then 0.25 else 0 end), 2) as q
+   from v
+ )
+ select source, lang, count(*)::BIGINT as n_docs,
+        round(avg(q), 6) as mean_quality,
+        round(avg(n_tokens), 6) as mean_tokens,
+        round(avg(case when q < 0.5 then 1.0 else 0.0 end), 6)
+          as low_quality_frac,
+        (count(*) >= 20 and round(avg(q), 6) >= 0.5) as keep
+ from q group by 1, 2
+""",
+        # exact cross-corpus Jaccard >= tau (the LSH path must find
+        # every such pair; verify step removes false positives)
+        "fuzzy_decontam": """
+ with corpus as (select doc_id, text from documents where doc_id < 300),
+ ev as (
+   select doc_id + 100000 as doc_id, text from documents
+   where doc_id < 300 and doc_id % 5 = 0
+ ),
+ wc as (
+   select doc_id, string_split_regex(trim(lower(text)), '\\s+') w from corpus
+ ), ic as (
+   select doc_id, w, unnest(range(1, greatest(len(w) - 2, 0) + 1)) i from wc
+ ), shc as (
+   select distinct doc_id, array_to_string(w[i:i+2], ' ') as shingle from ic
+ ),
+ we as (
+   select doc_id, string_split_regex(trim(lower(text)), '\\s+') w from ev
+ ), ie as (
+   select doc_id, w, unnest(range(1, greatest(len(w) - 2, 0) + 1)) i from we
+ ), she as (
+   select distinct doc_id, array_to_string(w[i:i+2], ' ') as shingle from ie
+ ),
+ inter as (
+   select c.doc_id as doc_id, e.doc_id as eval_id, count(*) as i_n
+   from shc c join she e using (shingle) group by 1, 2
+ ),
+ nc as (select doc_id, count(*) as n_c from shc group by 1),
+ ne as (select doc_id as eval_id, count(*) as n_e from she group by 1)
+ select doc_id, eval_id,
+        round(i_n * 1.0 / (n_c + n_e - i_n), 6) as jaccard
+ from inter join nc using (doc_id) join ne using (eval_id)
+ where i_n * 1.0 / (n_c + n_e - i_n) >= 0.8
+""",
+        # temperature sampling: p_i ∝ n_i^alpha, alpha = 0.3
+        "temperature_rates": """
+ with c as (select lang, count(*)::BIGINT as n_docs from documents group by 1),
+ z as (select sum(n_docs) as total, sum(power(n_docs, 0.3)) as z from c)
+ select lang, n_docs,
+        round(n_docs * 1.0 / total, 6) as p_raw,
+        round(power(n_docs, 0.3) / z, 6) as p_temp,
+        round((power(n_docs, 0.3) / z) / (n_docs * 1.0 / total), 6)
+          as upsample_factor
+ from c cross join z
 """,
         # exact global curriculum rank (shortest-first): trivially a
         # single window in SQL; the Spark side proves the same order

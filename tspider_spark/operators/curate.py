@@ -430,3 +430,40 @@ def sample_exact_k(
         .orderBy(F.col("sample_hash").asc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Temperature-scaled multilingual sampling rates: p_i ∝ n_i^α
+    (Devlin et al. 2019 mBERT exponent-smoothing; Conneau et al. 2020
+    XLM-R use α=0.3) — the classic fix for head-language dominance,
+    complementary to the cap-based :func:`unimax_budgets`: temperature
+    reshapes the whole distribution smoothly, UniMax clips epochs.
+
+    Output per stratum: document count, the natural rate n_i/N, the
+    temperature rate n_i^α/Σn_j^α, and the implied up/down-sampling
+    factor p_temp/p_raw (>1 ⇒ low-resource stratum is upsampled).
+
+    Scale: one partial-aggregated groupBy to stratum cardinality
+    (thousands at most), then a broadcast of the two scalar
+    normalizers — nothing driver-side, no second pass over the corpus.
+    """
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    z = counts.agg(
+        F.sum("n_docs").alias("_total"),
+        F.sum(F.pow("n_docs", F.lit(alpha))).alias("_z"),
+    )
+    p_raw = F.col("n_docs") / F.col("_total")
+    p_temp = F.pow("n_docs", F.lit(alpha)) / F.col("_z")
+    return counts.crossJoin(F.broadcast(z)).select(
+        group_col,
+        "n_docs",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / p_raw, 6).alias("upsample_factor"),
+    )

@@ -870,3 +870,124 @@ def gopher_filter(
         (F.size(reasons) == 0).alias("passes"),
         reasons.alias("fail_reasons"),
     )
+
+
+def source_quality_rollup(
+    df: DataFrame,
+    group_cols: tuple = ("source", "lang"),
+    min_docs: int = 20,
+    min_mean_quality: float = 0.5,
+    text: str = "text",
+) -> DataFrame:
+    """Provenance-level quality gating (the FineWeb / RefinedWeb move
+    of filtering whole domains, not just documents): aggregate the
+    per-document quality heuristic over a provenance key (source,
+    language) and flag strata that are too small or too low-quality to
+    keep. Document filters miss systematically-bad providers whose
+    every page scrapes as mediocre; rolling quality up to the
+    provenance key catches them in one pass.
+
+    Scale: the per-doc scores are codegen'd projections; the rollup is
+    ONE groupBy over a low-cardinality provenance key with map-side
+    partial aggregation, so each task emits at most (#strata) rows
+    into the exchange — hot sources cost nothing extra. Output:
+    (group_cols..., n_docs, mean_quality, mean_tokens,
+    low_quality_frac, keep) with floats rounded to 6.
+    """
+    from tspider_spark.operators.textstats import quality_score, token_count
+
+    scored = df.withColumn("_q", quality_score(text)).withColumn(
+        "_t", token_count(text)
+    )
+    return (
+        scored.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("_q"), 6).alias("mean_quality"),
+            F.round(F.avg("_t"), 6).alias("mean_tokens"),
+            F.round(
+                F.avg((F.col("_q") < F.lit(min_mean_quality)).cast("double")), 6
+            ).alias("low_quality_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("n_docs") >= F.lit(min_docs))
+            & (F.col("mean_quality") >= F.lit(min_mean_quality)),
+        )
+    )
+
+
+def fuzzy_decontam(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    tau: float = 0.8,
+    k: int = 32,
+    bands: int = 16,
+    rows: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: corpus documents NEAR-duplicating
+    a held-out eval document (word-shingle Jaccard >= tau), per the
+    fuzzy train-test overlap checks in Llama / PaLM model reports —
+    the paraphrase-robust complement to the exact n-gram
+    :func:`decontam_flags`.
+
+    Scale shape is the cross-corpus variant of the LSH scale path in
+    ``textdedup``: MinHash both sides, band-bucket JOIN corpus x eval
+    (never corpus x corpus), then exact-Jaccard verify restricted to
+    candidate docs only via semi-joins. The eval side is benchmark-
+    sized; the corpus side is touched by one shingle pass + one banded
+    join keyed on (band, bucket). With bands=16, rows=2 a tau=0.8 pair
+    is missed with probability (1 - 0.8^2)^16 ≈ 5e-8; the verify step
+    guarantees zero false positives.
+
+    Output: (doc_id, eval_id, jaccard) rounded to 6.
+    """
+    from tspider_spark.operators.textdedup import (
+        band_buckets,
+        minhash_signatures,
+        shingles,
+    )
+
+    sh_c = shingles(corpus, n, id_col, text).cache()
+    sh_e = shingles(eval_df, n, id_col, text).cache()
+    b_c = band_buckets(minhash_signatures(sh_c, k, id_col), bands, rows, id_col)
+    b_e = band_buckets(minhash_signatures(sh_e, k, id_col), bands, rows, id_col)
+    cand = (
+        b_c.select(F.col(id_col).alias("_cid"), "band", "bucket")
+        .join(
+            b_e.select(F.col(id_col).alias("_eid"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("_cid", "_eid")
+        .distinct()
+    )
+    # verify only candidate docs: semi-join each side's FULL shingle
+    # set so per-doc sizes (hence Jaccard) stay exact
+    shc = sh_c.join(
+        cand.select(F.col("_cid").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("_cid"), "shingle")
+    she = sh_e.join(
+        cand.select(F.col("_eid").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("_eid"), "shingle")
+    inter = (
+        shc.join(she, "shingle")
+        .groupBy("_cid", "_eid")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+        .join(cand, ["_cid", "_eid"], "left_semi")
+    )
+    size_c = shc.groupBy("_cid").agg(F.count(F.lit(1)).alias("_nc"))
+    size_e = she.groupBy("_eid").agg(F.count(F.lit(1)).alias("_ne"))
+    jac = F.col("_inter") / (F.col("_nc") + F.col("_ne") - F.col("_inter"))
+    return (
+        inter.join(size_c, "_cid")
+        .join(size_e, "_eid")
+        .filter(jac >= tau)
+        .select(
+            F.col("_cid").alias(id_col),
+            F.col("_eid").alias("eval_id"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

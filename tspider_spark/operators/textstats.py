@@ -397,3 +397,39 @@ def token_quantiles(
         .groupBy(stratum_col)
         .agg(*aggs)
     )
+
+
+def char_entropy_stats(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Per-document character-level statistics — the encoding-noise /
+    degenerate-text quality signals of RedPajama-v2 and Dolma
+    (``rps_doc_*`` family): Shannon entropy of the character unigram
+    distribution in bits (low = repeated-character spam, high for its
+    length = binary-garbage mojibake), the most-common-character
+    fraction, and the distinct-character count.
+
+    Scale shape: one explode to (doc, char) rows, then a two-level
+    aggregation where the first groupBy(doc, char) partial-aggregates
+    map-side — each task emits at most (docs-in-partition × alphabet)
+    rows into the single (id) exchange, so shuffled bytes are bounded
+    by the alphabet, not document length. Entropy uses the
+    streaming-friendly identity H = log2(n) - Σ c·log2(c) / n over
+    the per-char counts c. All JVM; floats rounded to 6 places.
+
+    Output: (id_col, n_chars, n_unique_chars, entropy_bits,
+    top_char_frac) for docs with >= 1 character.
+    """
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), "")).alias("_ch")
+    ).filter(F.col("_ch") != "")
+    hist = chars.groupBy(id_col, "_ch").agg(F.count(F.lit(1)).alias("_c"))
+    n = F.sum("_c")
+    return hist.groupBy(id_col).agg(
+        n.cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_chars"),
+        F.round(
+            F.log2(n) - F.sum(F.col("_c") * F.log2("_c")) / n, 6
+        ).alias("entropy_bits"),
+        F.round(F.max("_c") / n, 6).alias("top_char_frac"),
+    )
