@@ -127,6 +127,10 @@ BENCH_QUERIES = [
     "unimax_budgets",
     "sample_exact_k",
     "pack_interleaved",
+    "char_entropy",
+    "source_quality_rollup",
+    "fuzzy_decontam",
+    "temperature_rates",
 ]
 
 

@@ -146,3 +146,26 @@ def test_temperature_alpha_one_is_identity(spark, lang_docs):
             out[lang]["p_raw"], abs=1e-6
         )
         assert out[lang]["upsample_factor"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_fuzzy_decontam_plan_bounds_shingle_join(spark):
+    """The verify shingle-shingle join must be candidate-bounded: both
+    shingle inputs pruned by a LeftSemi against the LSH candidates —
+    same contract as minhash_lsh_dups' plan pin."""
+    corpus = spark.createDataFrame(
+        [(i, f"word{i} alpha beta gamma delta epsilon zeta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(900, "word1 alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    plan = (
+        fuzzy_decontam(corpus, ev)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    inner = plan.find("Join Inner")
+    assert inner >= 0
+    assert "LeftSemi" in plan[inner:], plan
