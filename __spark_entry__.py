@@ -750,6 +750,61 @@ def q_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_rates(docs, alpha=0.3, group_col="lang")
 
 
+def q_d4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (Tirumala et al. 2023) over the doubled embeddings:
+    SemDeDup (every copy comes back sem_kept=0) then SSL-prototype
+    pruning — the 25% of survivors closest to their cluster centroid
+    are dropped (kept=0). Same hash-sampled centroid seeding as
+    q_semdedup; the oracle replays assignment, dedup, and the
+    per-cluster prototype rank in DuckDB."""
+    from tspider_spark.operators.similarity import d4_prune
+
+    e = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1200)
+    dup = e.select("vec_id", "embedding").unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    dup = dup.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return d4_prune(
+        dup, tau=0.95, prune_frac=0.25, n_clusters=16, centroid_mode="hash"
+    )
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection over a corpus with injected mirrors:
+    src0/src1 get full clones (overlap 1.0), src2 a half clone of its
+    even doc_ids (still overlap 1.0 on the min side — the clone's
+    fingerprints are a subset). Host pairs sharing >= 3 rare
+    fingerprints are scored by the overlap coefficient."""
+    from tspider_spark.operators.textdedup import mirror_host_pairs
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select(
+        "doc_id", "text", "source"
+    )
+    full = d.filter(F.col("source").isin("src0", "src1")).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        F.concat(F.lit("mirror-"), F.col("source")).alias("source"),
+    )
+    half = d.filter(
+        (F.col("source") == "src2") & (F.col("doc_id") % 2 == 0)
+    ).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        "text",
+        F.lit("mirror-src2").alias("source"),
+    )
+    corpus = d.unionByName(full).unionByName(half)
+    return mirror_host_pairs(
+        corpus,
+        k=8,
+        window=4,
+        min_shared=3,
+        overlap_threshold=0.5,
+        max_fp_hosts=16,
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling by predicted language —
     hash-based (md5-derived uniform), so the sample is reproducible
@@ -2207,6 +2262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_budgets": q_unimax_budgets,
         "sample_exact_k": q_sample_exact_k,
         "pack_interleaved": q_pack_interleaved,
+        "d4_prune": q_d4_prune,
+        "mirror_hosts": q_mirror_hosts,
         "winnow_fingerprints": q_winnow_fingerprints,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
@@ -2897,6 +2954,112 @@ def oracle_sql() -> dict[str, str]:
  where i_n * 1.0 / (n_c + n_e - i_n) >= 0.8
 """,
         # temperature sampling: p_i ∝ n_i^alpha, alpha = 0.3
+        # D4: semdedup (assignment + within-cluster exact-cosine drop,
+        # same machinery as the semdedup oracle, refine_iters=0) then
+        # SSL-prototype pruning — per-cluster rank of survivors by
+        # cosine-to-centroid desc, drop the top ceil(n * 0.25)
+        "d4_prune": """
+ with base as (select vec_id, embedding::DOUBLE[] v from embeddings
+               where vec_id < 1200),
+ dup as (
+   select vec_id, v from base
+   union all select vec_id + 100000, v from base
+ ), cent as (
+   select vec_id cid, v cv from dup
+   order by md5(cast(vec_id as varchar)), vec_id limit 16
+ ), scored as (
+   select d.vec_id, cid, list_cosine_similarity(d.v, cv) s
+   from dup d cross join cent
+ ), asg as (
+   select vec_id, cluster_id from (
+     select vec_id, cid as cluster_id,
+            row_number() over (partition by vec_id
+                               order by s desc, cid asc) rn
+     from scored
+   ) where rn = 1
+ ), ev as (
+   select a.vec_id, a.cluster_id, d.v from asg a join dup d using (vec_id)
+ ), dropped as (
+   select distinct b.vec_id from ev a join ev b
+   on a.cluster_id = b.cluster_id and a.vec_id < b.vec_id
+   where list_cosine_similarity(a.v, b.v) >= 0.95
+ ), flagged as (
+   select e.vec_id, e.cluster_id, e.v,
+          case when d.vec_id is null then 1 else 0 end as sem_kept
+   from ev e left join dropped d using (vec_id)
+ ), proto as (
+   select f.vec_id,
+          row_number() over (
+            partition by f.cluster_id
+            order by list_cosine_similarity(f.v, c.cv) desc, f.vec_id asc
+          ) rn,
+          count(*) over (partition by f.cluster_id) n
+   from flagged f join cent c on f.cluster_id = c.cid
+   where f.sem_kept = 1
+ )
+ select f.vec_id, f.cluster_id, f.sem_kept,
+        case when f.sem_kept = 0 then 0
+             when p.rn > cast(ceil(p.n * 0.25) as bigint) then 1
+             else 0 end as kept
+ from flagged f left join proto p using (vec_id)
+""",
+        # mirror hosts: winnow fingerprints (same rolling-hash SQL as
+        # winnow_fingerprints) lifted to (host, fp), hot-fp guard,
+        # fp-keyed pair join, overlap coefficient over the rare-fp
+        # universe
+        "mirror_hosts": """
+ with raw as (
+   select doc_id, text, source from documents where doc_id < 400
+ ), corpus as (
+   select doc_id, text, source from raw
+   union all
+   select doc_id + 100000, text, 'mirror-' || source
+   from raw where source in ('src0', 'src1')
+   union all
+   select doc_id + 200000, text, 'mirror-src2'
+   from raw where source = 'src2' and doc_id % 2 = 0
+ ), d as (
+   select doc_id, source,
+          regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') as norm
+   from corpus
+ ), pos as (
+   select doc_id, source, norm,
+          unnest(generate_series(1, greatest(length(norm) - 8 + 1, 1))) as i
+   from d
+ ), hashed as (
+   select doc_id, source, i,
+          ('0x' || substring(md5(substring(norm, i, 8)), 1, 15))::BIGINT as h,
+          count(*) over (partition by doc_id) as p
+   from pos
+ ), wmin as (
+   select doc_id, source, i, p,
+          min(h) over (partition by doc_id order by i
+                       rows between current row and 3 following) as wm
+   from hashed
+ ), host_fps as (
+   select distinct source as host, wm as fp
+   from wmin where i <= greatest(p - 4 + 1, 1)
+ ), rare as (
+   select host, fp from host_fps
+   where fp in (select fp from host_fps group by fp having count(*) <= 16)
+ ), totals as (
+   select host, count(*) as n_fps from rare group by host
+ ), pairs as (
+   select a.host as host_a, b.host as host_b, count(*) as shared_fps
+   from rare a join rare b on a.fp = b.fp and a.host < b.host
+   group by 1, 2
+   having count(*) >= 3
+ )
+ select p.host_a, p.host_b, p.shared_fps,
+        ta.n_fps as fps_a, tb.n_fps as fps_b,
+        round(p.shared_fps::DOUBLE / least(ta.n_fps, tb.n_fps), 6)
+          as overlap,
+        case when p.shared_fps::DOUBLE / least(ta.n_fps, tb.n_fps) >= 0.5
+             then 1 else 0 end as is_mirror
+ from pairs p
+ join totals ta on p.host_a = ta.host
+ join totals tb on p.host_b = tb.host
+""",
         "temperature_rates": """
  with c as (select lang, count(*)::BIGINT as n_docs from documents group by 1),
  z as (select sum(n_docs) as total, sum(power(n_docs, 0.3)) as z from c)

@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "source_quality_rollup",
     "fuzzy_decontam",
     "temperature_rates",
+    "d4_prune",
+    "mirror_hosts",
 ]
 
 

@@ -428,6 +428,120 @@ def semdedup(
     )
 
 
+def d4_prune(
+    df: DataFrame,
+    tau: float = 0.95,
+    prune_frac: float = 0.25,
+    n_clusters: int = 16,
+    centroid_mode: str = "hash",
+    assign: str = "fold",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """D4 data selection (Tirumala et al. 2023, "D4: Improving LLM
+    Pretraining via Document De-Duplication and Diversification"):
+    SemDeDup followed by SSL-prototype pruning — first drop semantic
+    near-duplicates (cosine >= ``tau`` to a lower-id same-cluster
+    item, exactly :func:`semdedup`'s rule), then within each cluster
+    drop the ``ceil(prune_frac * n_survivors)`` MOST PROTOTYPICAL
+    survivors: the ones with the highest cosine to their own cluster
+    centroid (Sorscher et al. 2022 rank easy/redundant examples by
+    closeness to the cluster prototype; D4 removes that head so the
+    retained set is both dedup'd and diverse).
+
+    Determinism: centroid seeding and assignment are exactly
+    :func:`semdedup`'s (hash-sampled seeds, argmax-cosine ties to the
+    smallest centroid id); the prototype rank breaks cosine ties by
+    ascending id, so the kept set is engine-portable and
+    oracle-checkable.
+
+    Scale shape: one centroid seeding (global sort of md5(id) capped
+    at ``n_clusters`` rows — a top-k, not a full sort), one broadcast
+    assignment, the cluster-bounded dedup self-join (same candidate
+    bound as semdedup — pair work is quadratic in cluster size, never
+    in N), one broadcast join back to the centroid frame for the
+    prototype cosine (cheap: one fold dot per surviving row), and ONE
+    exchange on cluster_id for the per-cluster rank window. No
+    driver collect, no Python beyond the optional ``assign="numpy"``
+    matmul.
+
+    Output: (id, cluster_id, sem_kept:int, kept:int) for every input
+    row — ``sem_kept=0`` rows are semantic dups (kept=0 too);
+    ``sem_kept=1, kept=0`` rows are the pruned prototypes.
+    """
+    if centroid_mode == "hash":
+        seed_order = F.md5(F.col(id_col).cast("string").cast("binary"))
+    else:
+        seed_order = F.col(id_col).cast("string")
+    cent = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(seed_order.alias("_so"), "cid")
+        .limit(n_clusters)
+        .select("cid", "cv")
+    )
+    assigned = _assign_to_centroids(df, cent, id_col, vec_col, assign)
+    a = assigned.select(
+        F.col(id_col).alias("ia"), "cluster_id", F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("ib"), "cluster_id", F.col(vec_col).alias("vb")
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(dot_expr("va", "vb") / (norm_expr("va") * norm_expr("vb")) >= tau)
+        .select(F.col("ib").alias(id_col))
+        .distinct()
+        .withColumn("_semdrop", F.lit(1))
+    )
+    flagged = assigned.join(dropped, id_col, "left").select(
+        id_col,
+        "cluster_id",
+        F.col(vec_col),
+        F.when(F.col("_semdrop").isNull(), 1).otherwise(0).alias("sem_kept"),
+    )
+    # prototype cosine: survivor x its OWN centroid (broadcast join on
+    # cluster_id — k rows), ranked most-prototypical-first per cluster
+    proto = (
+        flagged.filter(F.col("sem_kept") == 1)
+        .join(
+            F.broadcast(cent.select(F.col("cid").alias("cluster_id"), "cv")),
+            "cluster_id",
+        )
+        .withColumn(
+            "_pc",
+            dot_expr(vec_col, "cv") / (norm_expr(vec_col) * norm_expr("cv")),
+        )
+    )
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_pc"), F.asc(id_col)
+    )
+    w_all = Window.partitionBy("cluster_id")
+    pruned = (
+        proto.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "_cut", F.ceil(F.col("_n") * F.lit(float(prune_frac))).cast("long")
+        )
+        .select(
+            id_col,
+            (F.col("_rn") > F.col("_cut")).cast("int").alias("_proto_kept"),
+        )
+    )
+    return (
+        flagged.join(pruned, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            "sem_kept",
+            F.when(F.col("sem_kept") == 0, 0)
+            .otherwise(F.col("_proto_kept"))
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
 def _unit(df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
     nrm = norm_expr(vec_col)
     return df.select(

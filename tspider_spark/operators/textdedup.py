@@ -592,6 +592,101 @@ def _norm_sql(text: str) -> str:
     return f"regexp_replace(trim(lower({text})), '\\\\s+', ' ')"
 
 
+def mirror_host_pairs(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 3,
+    overlap_threshold: float = 0.5,
+    max_fp_hosts: int = 16,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Mirror-host detection: pairs of hosts serving largely the same
+    content (mirrors, CDNs under multiple names, scraped clones). A
+    crawl frontier that knows host B mirrors host A can skip B's
+    entire URL space — the host-level complement of the reference's
+    per-URL seen-set (TSpider dedups URLs, not sites; at web scale
+    mirrored SITES are the bigger win).
+
+    Method: winnow each document (:func:`winnow_fingerprints` — any
+    shared substring of length >= k+window-1 guarantees a shared
+    fingerprint), lift to the distinct (host, fp) level, DROP
+    fingerprints present on more than ``max_fp_hosts`` hosts
+    (boilerplate/chrome shared by everyone — same doc-frequency guard
+    as the media df filter, and the bound that keeps the pair join
+    linear: each surviving fp emits at most C(max_fp_hosts, 2)
+    host pairs), then equi-join on fp with host_a < host_b and score
+    each pair by the OVERLAP COEFFICIENT |A∩B| / min(|A|, |B|) —
+    robust to one side being a partial mirror, unlike Jaccard.
+
+    Scale shape: the winnow explode is embarrassingly parallel; the
+    (host, fp) distinct and the per-host totals are one exchange on
+    fp/host; the pair join shuffles on fp with per-key fan-out
+    bounded by ``max_fp_hosts``; per-host totals re-enter via a
+    broadcast-sized join (host cardinality << doc cardinality). No
+    cross join anywhere.
+
+    Returns (host_a, host_b, shared_fps, fps_a, fps_b, overlap,
+    is_mirror) for every host pair sharing >= ``min_shared``
+    surviving fingerprints.
+    """
+    fps = winnow_fingerprints(df, k=k, window=window, id_col=id_col, text=text)
+    host_fps = (
+        fps.join(df.select(id_col, F.col(host_col).alias("host")), id_col)
+        .select("host", "fp")
+        .distinct()
+    )
+    rare = host_fps.join(
+        host_fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_fp_hosts)
+        .select("fp"),
+        "fp",
+    )
+    # totals over the SAME rare-fp universe as the shared counts, so a
+    # full clone scores overlap exactly 1.0 regardless of how much
+    # boilerplate the hot-fp guard removed
+    totals = rare.groupBy("host").agg(F.count(F.lit(1)).alias("n_fps"))
+    pairs = (
+        rare.select(F.col("host").alias("host_a"), "fp")
+        .join(rare.select(F.col("host").alias("host_b"), "fp"), "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.select(F.col("host").alias("host_a"),
+                                      F.col("n_fps").alias("fps_a"))),
+            "host_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("host").alias("host_b"),
+                                      F.col("n_fps").alias("fps_b"))),
+            "host_b",
+        )
+        .withColumn(
+            "overlap",
+            F.col("shared_fps").cast("double")
+            / F.least("fps_a", "fps_b").cast("double"),
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "shared_fps",
+            "fps_a",
+            "fps_b",
+            F.round("overlap", 6).alias("overlap"),
+            (F.col("overlap") >= F.lit(float(overlap_threshold)))
+            .cast("int")
+            .alias("is_mirror"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # content-defined chunking (CDC) dedupe
 
