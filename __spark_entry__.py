@@ -805,6 +805,34 @@ def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling over a
+    deterministic functional graph synthesized from doc ids
+    (dst = (7*id+3) mod 500; ids divisible by 3 are terminals — the
+    mix yields chains, terminals, and cycles). The oracle walks the
+    same graph with a hop-capped recursive CTE; the Spark side proves
+    the same answer in O(log hops) joins instead of a sequential
+    walk."""
+    from tspider_spark.operators.graph import resolve_redirects
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    edges = d.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 500).alias("dst"),
+    )
+    return resolve_redirects(edges, rounds=3)
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (subword tokens per whitespace
+    word) and chars-per-token — the multilingual sequence-budget
+    correction factor."""
+    from tspider_spark.operators.textstats import tokenizer_fertility
+
+    d = _load(spark, sf_dir, "documents").select("lang", "text")
+    return tokenizer_fertility(d)
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling by predicted language —
     hash-based (md5-derived uniform), so the sample is reproducible
@@ -2264,6 +2292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_interleaved": q_pack_interleaved,
         "d4_prune": q_d4_prune,
         "mirror_hosts": q_mirror_hosts,
+        "redirect_resolve": q_redirect_resolve,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "winnow_fingerprints": q_winnow_fingerprints,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
@@ -3059,6 +3089,52 @@ def oracle_sql() -> dict[str, str]:
  from pairs p
  join totals ta on p.host_a = ta.host
  join totals tb on p.host_b = tb.host
+""",
+        # redirect resolution: hop-capped recursive walk of the same
+        # deterministic functional graph (the Spark side gets there in
+        # O(log hops) pointer-doubling joins; cap 7 = 2^3 - 1)
+        "redirect_resolve": """
+ with recursive edges as (
+   select doc_id as src, (doc_id * 7 + 3) % 500 as dst
+   from documents where doc_id < 500 and doc_id % 3 <> 0
+ ), nodes as (
+   select src as node from edges
+   union
+   select dst from edges
+ ), walk as (
+   select node, node as cur, 0::BIGINT as hops from nodes
+   union all
+   select w.node, e.dst, w.hops + 1
+   from walk w join edges e on w.cur = e.src
+   where w.hops < 7
+ ), last as (
+   select node, cur as final, hops,
+          row_number() over (partition by node order by hops desc) rn
+   from walk
+ )
+ select l.node, l.final, l.hops,
+        case when s.src is null then 1 else 0 end as resolved
+ from last l
+ left join (select distinct src from edges) s on l.final = s.src
+ where l.rn = 1
+""",
+        # fertility: same whitespace-word and bpe-ish subword counts
+        # as the token-count baselines, rolled up per language
+        "tokenizer_fertility": """
+ with per_doc as (
+   select lang,
+          len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT as w,
+          len(regexp_extract_all(text,
+              '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT as t,
+          length(text)::BIGINT as c
+   from documents
+ )
+ select lang, count(*)::BIGINT as n_docs,
+        sum(w)::BIGINT as n_words,
+        sum(t)::BIGINT as n_subword_tokens,
+        round(sum(t)::DOUBLE / sum(w), 6) as fertility,
+        round(sum(c)::DOUBLE / sum(t), 6) as chars_per_token
+ from per_doc group by lang
 """,
         "temperature_rates": """
  with c as (select lang, count(*)::BIGINT as n_docs from documents group by 1),

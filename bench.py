@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "temperature_rates",
     "d4_prune",
     "mirror_hosts",
+    "redirect_resolve",
+    "tokenizer_fertility",
 ]
 
 

@@ -192,3 +192,80 @@ def test_mirror_pair_join_is_equi_join(mirror_docs):
     plan = mirror_host_pairs(mirror_docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- resolve_redirects -------------------------------------------------------
+
+
+def _resolve(spark, edges, rounds=3):
+    from tspider_spark.operators.graph import resolve_redirects
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: (r["final"], r["hops"], r["resolved"])
+        for r in resolve_redirects(df, rounds=rounds).collect()
+    }
+
+
+def test_redirect_chain_resolves_exact_hops(spark):
+    # 1 -> 2 -> 3 -> 4 (terminal)
+    out = _resolve(spark, [(1, 2), (2, 3), (3, 4)])
+    assert out[1] == (4, 3, 1)
+    assert out[2] == (4, 2, 1)
+    assert out[3] == (4, 1, 1)
+    assert out[4] == (4, 0, 1)
+
+
+def test_redirect_cycle_truncates_at_cap(spark):
+    # 2-cycle: with rounds=3 the cap is 2**3 - 1 = 7 hops
+    out = _resolve(spark, [(1, 2), (2, 1)])
+    final, hops, resolved = out[1]
+    assert hops == 7 and resolved == 0
+    assert final == 2  # 7 hops from 1 around a 2-cycle lands on 2
+    assert out[2] == (1, 7, 0)
+
+
+def test_redirect_long_chain_truncates(spark):
+    # 0 -> 1 -> ... -> 10 (length 10 > cap 7)
+    out = _resolve(spark, [(i, i + 1) for i in range(10)])
+    assert out[0] == (7, 7, 0)   # 7 hops in, final still has an out-edge
+    assert out[3] == (10, 7, 1)  # 7 hops from 3 reaches the terminal
+    assert out[5] == (10, 5, 1)  # shorter distance: exact hop count
+    assert out[10] == (10, 0, 1)
+
+
+def test_redirect_duplicate_src_keeps_min_dst(spark):
+    out = _resolve(spark, [(1, 5), (1, 3), (3, 9)])
+    # functional collapse: 1 -> 3 (min dst), then 3 -> 9
+    assert out[1] == (9, 2, 1)
+
+
+def test_redirect_plan_has_no_cartesian(spark):
+    from tspider_spark.operators.graph import resolve_redirects
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    plan = resolve_redirects(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+# --- tokenizer_fertility -----------------------------------------------------
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from tspider_spark.operators.textstats import tokenizer_fertility
+
+    rows = [
+        (1, "don't stop", "en"),   # words: 2; bpeish: don ' t stop = 4
+        (2, "hello world", "en"),  # words: 2; bpeish: 2
+        (3, "a b-c", "de"),        # words: 2; bpeish: a b - c = 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 2 and en["n_words"] == 4
+    assert en["n_subword_tokens"] == 6
+    assert en["fertility"] == 1.5
+    assert en["chars_per_token"] == round((10 + 11) / 6, 6)
+    de = out["de"]
+    assert de["n_words"] == 2 and de["n_subword_tokens"] == 4
+    assert de["fertility"] == 2.0

@@ -723,3 +723,77 @@ def neighbor_jaccard_pairs(
         .filter((F.col("shared") >= min_shared) & (F.col("jaccard") >= tau))
         .select("ia", "ib", "shared", "jaccard")
     )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling: given a
+    functional redirect graph (at most one out-edge per node — the
+    HTTP 3xx shape; duplicate srcs are collapsed keep-min-dst for
+    determinism), resolve every node to the node reached after
+    ``min(dist_to_terminal, 2**rounds - 1)`` hops. A crawl frontier
+    canonicalizes candidate URLs through this map so mirrored redirect
+    aliases collapse BEFORE the seen-set probe (the reference follows
+    redirects one hop at a time inside the browser; at 10^10 URLs the
+    chain walk must be a batch job, not per-fetch).
+
+    Pointer doubling: jump tables J1=edges, J2=J1∘J1, J4=J2∘J2, ...
+    (``rounds-1`` self-joins, each ONE shuffle on the join key), then
+    every node takes the jumps in DECREASING power order (greedy
+    binary: if J_{2^k} exists at the cursor, following it is always
+    optimal; if absent the chain ends within 2^k hops and lower
+    powers finish it) — so chains of length L resolve in O(log L)
+    joins instead of L sequential waves, and CYCLES are safely
+    truncated at the hop cap instead of looping forever.
+
+    Returns (node, final, hops, resolved) for every distinct node in
+    the graph: ``resolved=1`` iff ``final`` has no out-edge (a true
+    terminal — ``resolved=0`` rows sit on a cycle or a chain longer
+    than the cap).
+    """
+    e1 = (
+        edges.groupBy(F.col(src).alias("s"))
+        .agg(F.min(F.col(dst)).alias("r"))
+    )
+    jumps = [e1]
+    for _ in range(rounds - 1):
+        prev = jumps[-1]
+        a = prev.select(F.col("s"), F.col("r").alias("_m"))
+        b = prev.select(F.col("s").alias("_m"), F.col("r").alias("_r2"))
+        jumps.append(a.join(b, "_m").select("s", F.col("_r2").alias("r")))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    state = nodes.select(
+        "node", F.col("node").alias("cur"), F.lit(0).cast("long").alias("hops")
+    )
+    for i in range(rounds - 1, -1, -1):
+        step = 1 << i
+        j = jumps[i].select(F.col("s").alias("cur"), F.col("r").alias("_nxt"))
+        state = (
+            state.join(j, "cur", "left")
+            .select(
+                "node",
+                F.coalesce("_nxt", "cur").alias("cur"),
+                (
+                    F.col("hops")
+                    + F.when(F.col("_nxt").isNotNull(), step).otherwise(0)
+                ).cast("long").alias("hops"),
+            )
+        )
+    has_out = e1.select(F.col("s").alias("cur"), F.lit(1).alias("_o"))
+    return (
+        state.join(has_out, "cur", "left")
+        .select(
+            "node",
+            F.col("cur").alias("final"),
+            "hops",
+            F.when(F.col("_o").isNull(), 1).otherwise(0).alias("resolved"),
+        )
+    )

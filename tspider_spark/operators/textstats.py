@@ -433,3 +433,54 @@ def char_entropy_stats(
         ).alias("entropy_bits"),
         F.round(F.max("_c") / n, 6).alias("top_char_frac"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens per whitespace
+    word (the multilingual-budget metric — scripts a tokenizer
+    fragments heavily, high fertility, consume proportionally more
+    sequence length per word, so byte/doc budgets must be fertility-
+    corrected; cf. the XLM-R / NLLB tokenizer analyses) plus chars
+    per subword token. Subword proxy is :func:`bpeish_token_count`
+    (alphanumeric runs + punctuation marks — deterministic and
+    oracle-expressible, standing in for a real BPE the way the
+    survey's token-count baseline does).
+
+    One map-side-combinable groupBy on the language key — shuffle
+    rows bounded by language cardinality, never corpus size.
+    """
+    per_doc = df.select(
+        F.col(lang_col).alias("lang"),
+        token_count(text).alias("_w"),
+        bpeish_token_count(text).alias("_t"),
+        F.length(F.col(text)).cast("long").alias("_c"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_t").alias("n_subword_tokens"),
+            F.sum("_c").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subword_tokens",
+            F.round(
+                F.col("n_subword_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("n_subword_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
