@@ -833,6 +833,38 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(d)
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label propagation (community detection) over a
+    synthetic host graph derived from doc ids (dst = (13*id+7) mod
+    400) — the community map that lets budgets/politeness apply per
+    site family instead of per host. Synchronous updates + smallest-
+    label tie-break make the fixpoint engine-independent; the oracle
+    replays the same rounds as a chained CTE."""
+    from tspider_spark.operators.graph import label_propagation
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13 + 7) % 400).alias("dst"),
+    )
+    out = label_propagation(edges, iters=3)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+def q_badwords_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style bad-words document gate: alphanumeric-run tokens,
+    non-distinct hit counts, keep = zero hits. Lexicon chosen so the
+    gate does real work on the synthetic corpus ('slow'/'dup' occur;
+    'spam' never does — exercising both branches)."""
+    from tspider_spark.operators.quality import badwords_filter
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return badwords_filter(d, words=("slow", "dup", "spam"))
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling by predicted language —
     hash-based (md5-derived uniform), so the sample is reproducible
@@ -2294,6 +2326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "redirect_resolve": q_redirect_resolve,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "lpa_communities": q_lpa_communities,
+        "badwords_gate": q_badwords_gate,
         "winnow_fingerprints": q_winnow_fingerprints,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
@@ -2474,7 +2508,9 @@ def oracle_sql() -> dict[str, str]:
         trustrank_oracle_sql,
     )
     from tspider_spark.operators.textstats import script_stats_oracle_sql
+    from tspider_spark.operators.graph import lpa_oracle_sql
     from tspider_spark.operators.quality import (
+        badwords_oracle_sql,
         normalize_text_oracle_sql,
         pii_redact_oracle_sql,
     )
@@ -3136,6 +3172,23 @@ def oracle_sql() -> dict[str, str]:
         round(sum(c)::DOUBLE / sum(t), 6) as chars_per_token
  from per_doc group by lang
 """,
+        # label propagation: the oracle replays the same 3 synchronous
+        # rounds (argmax neighbor label, min-label tie-break) as a
+        # chained CTE over the identical synthetic graph
+        "lpa_communities": (
+            "select node::BIGINT as node, community::BIGINT as community"
+            " from (\n"
+            + lpa_oracle_sql(
+                "edges as (select doc_id as src,"
+                " (doc_id * 13 + 7) % 400 as dst"
+                " from documents where doc_id < 400)",
+                iters=3,
+            )
+            + "\n)"
+        ),
+        "badwords_gate": badwords_oracle_sql(
+            words=("slow", "dup", "spam"), src="documents"
+        ),
         "temperature_rates": """
  with c as (select lang, count(*)::BIGINT as n_docs from documents group by 1),
  z as (select sum(n_docs) as total, sum(power(n_docs, 0.3)) as z from c)

@@ -1,0 +1,94 @@
+"""Round-3e operators: deterministic label propagation (community
+detection over the host graph) and the C4-style bad-words gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tspider_spark.operators.graph import label_propagation
+from tspider_spark.operators.quality import badwords_filter
+
+
+# --- label_propagation -------------------------------------------------------
+
+
+def test_lpa_two_cliques_converge_to_two_communities(spark):
+    # Two 4-cliques joined by a single bridge edge: LPA must settle on
+    # exactly two communities, each labelled by its smallest member.
+    clique_a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique_b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(
+        clique_a + clique_b + [(3, 10)], "src long, dst long"
+    )
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iters=5).collect()
+    }
+    assert len(out) == 8
+    assert all(out[n] == 0 for n in range(4))
+    assert all(out[n] == 10 for n in range(10, 14))
+
+
+def test_lpa_symmetric_and_self_loop_free(spark):
+    # Direction must not matter (undirected semantics) and self-loops
+    # must be ignored rather than letting a node vote for itself.
+    e1 = spark.createDataFrame([(1, 2), (2, 3), (3, 3)], "src long, dst long")
+    e2 = spark.createDataFrame([(2, 1), (3, 2), (3, 3)], "src long, dst long")
+    r1 = sorted(map(tuple, label_propagation(e1, iters=4).collect()))
+    r2 = sorted(map(tuple, label_propagation(e2, iters=4).collect()))
+    assert r1 == r2
+    assert all(n != 3 or c != 3 or True for n, c in r1)  # no crash path
+    # node 3's only real neighbor chain is 2-1, so its label descends
+    assert dict(r1)[3] == 1
+
+
+def test_lpa_deterministic_tie_break_smallest_label(spark):
+    # A node with two equally-frequent neighbor labels adopts the
+    # smaller one (total tie-break -> engine-independent result).
+    edges = spark.createDataFrame([(5, 1), (5, 9)], "src long, dst long")
+    out = dict(
+        map(tuple, label_propagation(edges, iters=1).collect())
+    )
+    assert out[5] == 1
+
+
+def test_lpa_plan_has_no_single_partition_window(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    plan = label_propagation(edges, iters=2)._jdf.queryExecution().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+# --- badwords_filter ----------------------------------------------------------
+
+
+def test_badwords_counts_nondistinct_and_boundaries(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Clean text only here"),
+            (2, "BadWord! badword, BADWORD."),
+            (3, "notbadword embedded does not hit"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in badwords_filter(df, words=("badword",)).collect()}
+    assert out[1]["n_badword_hits"] == 0 and out[1]["keep"]
+    # punctuation-delimited occurrences all hit, case-insensitively
+    assert out[2]["n_badword_hits"] == 3 and not out[2]["keep"]
+    # substring inside a longer alphanumeric run must NOT hit
+    assert out[3]["n_badword_hits"] == 0 and out[3]["keep"]
+    assert out[4]["n_tokens"] == 0 and out[4]["keep"]
+    assert out[2]["badword_frac"] == 1.0
+
+
+def test_badwords_shuffle_free_plan(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        badwords_filter(df, words=("a", "b"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -797,3 +797,134 @@ def resolve_redirects(
             F.when(F.col("_o").isNull(), 1).otherwise(0).alias("resolved"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    UNDIRECTED host graph — community detection for crawl scheduling:
+    hosts in one community are typically one site family / mirror
+    network / link farm, so budgets and politeness can be set per
+    community instead of per host (the coarse-grained analog of the
+    reference's per-host budget, ``producer.py`` same-origin scoping).
+
+    Deterministic variant (plain LPA is order-dependent): labels start
+    as the node id; every round, EVERY node simultaneously adopts the
+    most frequent label among its neighbors, ties broken by the
+    smallest label. Synchronous update + total tie-break makes the
+    result a pure function of the edge set — required for the DuckDB
+    oracle twin (:func:`lpa_oracle_sql`).
+
+    Scale shape: one round = one shuffle keyed on the node id (the
+    neighbor⋈labels join and the (node,label) count are co-keyed, and
+    the count partial-aggregates map-side), plus an argmax that plans
+    as a single-key min(struct) — no windows. Neighbor lists are never
+    materialized per node; hot hosts skew the (node) key and are
+    handled by AQE like the PageRank contribution join. Lineage is cut
+    per round exactly like :func:`pagerank` (the loop is a join chain;
+    uncut plans grow with rounds).
+
+    Returns (node, community) — community is the surviving label.
+    """
+    if iters < 1:
+        raise ValueError("label_propagation needs iters >= 1")
+    e = edges.select(src, dst).filter(F.col(src) != F.col(dst)).distinct()
+    nbrs = (
+        e.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .unionByName(e.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+    )
+    labels = nbrs.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for i in range(iters):
+        counted = (
+            nbrs.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        # argmax(count) with min-label tie-break == min over
+        # struct(-count, label): lexicographic struct ordering gives
+        # the largest count first, then the smallest label
+        labels = (
+            counted.groupBy("node")
+            .agg(F.min(F.struct((-F.col("_c")).alias("_nc"), "label")).alias("_w"))
+            .select("node", F.col("_w.label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def lpa_oracle_sql(edges_cte: str, iters: int = 5) -> str:
+    """Chained-CTE SQL twin of :func:`label_propagation` (same shape
+    as :func:`pagerank_oracle_sql`; ``edges_cte`` must define
+    ``edges(src, dst)``)."""
+    parts = [
+        edges_cte,
+        "e as (select distinct src, dst from edges where src <> dst)",
+        "nb as (select src as node, dst as nbr from e "
+        "union select dst, src from e)",
+        "l0 as materialized (select distinct node, node as label from nb)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"c{t} as (select nb.node, l.label, count(*) as c "
+            f"from nb join l{t} l on nb.nbr = l.node group by 1, 2)"
+        )
+        parts.append(
+            f"l{t + 1} as materialized (select node, label from ("
+            f"select node, label, row_number() over "
+            f"(partition by node order by c desc, label) as rn from c{t}"
+            f") where rn = 1)"
+        )
+    return (
+        "with " + ",\n ".join(parts)
+        + f"\n select node, label as community from l{iters}"
+    )
+
+
+def link_reciprocity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-host link reciprocity over the distinct directed host
+    graph — the classic link-farm / mirror-ring signal (spam hosts
+    exchange links pairwise far more than organic hosts do; cf.
+    Becchetti et al. 2008 link-based web-spam features). Feeds the
+    same frontier demotion path as :func:`detect_pattern_traps`.
+
+    Scale shape: ONE self-join shuffle — the distinct edge set joined
+    to its own reversal on the (src, dst) composite key (both sides
+    hash-partition on the same key, no broadcast needed at any scale),
+    then a map-side-combinable groupBy(host). No windows, no Python.
+
+    Returns (host, out_links, reciprocal_links, reciprocity) where
+    reciprocity = reciprocal / out, rounded to 6 places.
+    """
+    e = edges.select(src, dst).filter(F.col(src) != F.col(dst)).distinct()
+    rev = e.select(F.col(dst).alias(src), F.col(src).alias(dst)).withColumn(
+        "_r", F.lit(1)
+    )
+    marked = e.join(rev, [src, dst], "left")
+    return (
+        marked.groupBy(F.col(src).alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("out_links"),
+            F.coalesce(F.sum("_r"), F.lit(0)).cast("long").alias(
+                "reciprocal_links"
+            ),
+        )
+        .select(
+            "host",
+            "out_links",
+            "reciprocal_links",
+            F.round(F.col("reciprocal_links") / F.col("out_links"), 6).alias(
+                "reciprocity"
+            ),
+        )
+    )

@@ -991,3 +991,72 @@ def fuzzy_decontam(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+def badwords_filter(
+    df: DataFrame,
+    words: tuple[str, ...] = ("badword", "blocked", "banned"),
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """C4-style bad-words document gate (Raffel et al. 2020 §2.2: any
+    page containing a word on the blocklist is dropped; the production
+    list is LDNOOBW — here a configurable placeholder list, since the
+    semantics under test are the gate, not the lexicon).
+
+    Tokenization is alphanumeric-run based (lowercase, split on
+    ``[^a-z0-9]+``) so "BadWord!" and "badword" hit identically —
+    word-boundary semantics without engine-specific regex word
+    classes, which keeps the DuckDB oracle byte-identical.
+
+    Scale shape: shuffle-free single scan. The blocklist is a literal
+    array in the plan (constant-folded, no broadcast variable needed
+    at realistic lexicon sizes ~1e3); the hit count is a JVM
+    higher-order ``filter`` over the token array — no Python, no
+    explode, no join. At 100 TB this is a map-only stage fused into
+    whatever scan precedes it.
+
+    Returns (id_col, n_tokens, n_badword_hits, badword_frac, keep)
+    with keep = (n_badword_hits == 0), occurrences counted
+    non-distinct (a doc repeating one bad word 50 times scores 50).
+    """
+    wl = F.array(*[F.lit(w.lower()) for w in words])
+    toks = F.filter(
+        F.split(F.lower(F.col(text)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    d = df.select(F.col(id_col), toks.alias("_toks"))
+    hits = F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(wl, t)))
+    n = F.size("_toks")
+    return d.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        hits.cast("long").alias("n_badword_hits"),
+        F.round(hits / F.greatest(n, F.lit(1)), 6).alias("badword_frac"),
+        (hits == 0).alias("keep"),
+    )
+
+
+def badwords_oracle_sql(
+    words: tuple[str, ...] = ("badword", "blocked", "banned"),
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> str:
+    """DuckDB twin of :func:`badwords_filter`."""
+    lst = ", ".join(f"'{w.lower()}'" for w in words)
+    return f"""
+ with t as (
+   select {id_col},
+          list_filter(string_split_regex(lower({text}), '[^a-z0-9]+'),
+                      x -> x <> '') as toks
+   from {src}
+ )
+ select {id_col},
+        len(toks)::BIGINT as n_tokens,
+        len(list_filter(toks, x -> list_contains([{lst}], x)))::BIGINT
+          as n_badword_hits,
+        round(len(list_filter(toks, x -> list_contains([{lst}], x)))
+              * 1.0 / greatest(len(toks), 1), 6) as badword_frac,
+        (len(list_filter(toks, x -> list_contains([{lst}], x))) = 0) as keep
+ from t
+"""
