@@ -854,6 +854,49 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared events-derived 37-host link graph (same construction
+    as host_pagerank/host_hits/host_cocitation)."""
+    ev = _load(spark, sf_dir, "events")
+    src = F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string"))
+    dst = F.concat(
+        F.lit("h"), ((F.col("user_id") * 7 + F.col("event_id")) % 37).cast("string")
+    )
+    return ev.select(src.alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+
+
+def q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host link reciprocity (2-cycle fraction of distinct
+    out-links) over the events-derived host graph — the classic
+    link-farm exchange signal; one composite-key self-join, no
+    windows."""
+    from tspider_spark.operators.graph import link_reciprocity
+
+    return link_reciprocity(_events_host_edges(spark, sf_dir))
+
+
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts via degree orientation (out-degree
+    O(sqrt(m)) wedge join — hub-proof) over the same events-derived
+    host graph; 3-cycle density complements reciprocity's 2-cycles."""
+    from tspider_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_events_host_edges(spark, sf_dir))
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index shard build over documents: alphanumeric-run
+    terms, df-pruned BEFORE posting materialization (corpus-relative
+    cap df <= 0.78*N bounds every posting list by construction),
+    sorted posting head as a scalar column."""
+    from tspider_spark.operators.textstats import inverted_index
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return inverted_index(d, min_df=2, head=20, max_df_frac=0.78)
+
+
 def q_badwords_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style bad-words document gate: alphanumeric-run tokens,
     non-distinct hit counts, keep = zero hits. Lexicon chosen so the
@@ -2328,6 +2371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "lpa_communities": q_lpa_communities,
         "badwords_gate": q_badwords_gate,
+        "host_reciprocity": q_host_reciprocity,
+        "host_triangles": q_host_triangles,
+        "inverted_index": q_inverted_index,
         "winnow_fingerprints": q_winnow_fingerprints,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
@@ -2508,7 +2554,8 @@ def oracle_sql() -> dict[str, str]:
         trustrank_oracle_sql,
     )
     from tspider_spark.operators.textstats import script_stats_oracle_sql
-    from tspider_spark.operators.graph import lpa_oracle_sql
+    from tspider_spark.operators.graph import lpa_oracle_sql, triangles_oracle_sql
+    from tspider_spark.operators.textstats import inverted_index_oracle_sql
     from tspider_spark.operators.quality import (
         badwords_oracle_sql,
         normalize_text_oracle_sql,
@@ -3188,6 +3235,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "badwords_gate": badwords_oracle_sql(
             words=("slow", "dup", "spam"), src="documents"
+        ),
+        # reciprocity: one self-join of the distinct directed edge set
+        # against its reversal, per-source rollup
+        "host_reciprocity": """
+ with e as (
+   select distinct 'h' || (user_id % 37) as src,
+          'h' || ((user_id * 7 + event_id) % 37) as dst
+   from events
+   where (user_id % 37) <> ((user_id * 7 + event_id) % 37)
+ )
+ select e.src as host,
+        count(*)::BIGINT as out_links,
+        sum(case when r.src is not null then 1 else 0 end)::BIGINT
+          as reciprocal_links,
+        round(sum(case when r.src is not null then 1 else 0 end) * 1.0
+              / count(*), 6) as reciprocity
+ from e left join e r on e.src = r.dst and e.dst = r.src
+ group by 1
+""",
+        "host_triangles": triangles_oracle_sql(
+            "edges as (select 'h' || (user_id % 37) as src, "
+            "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
+            "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))"
+        ),
+        "inverted_index": inverted_index_oracle_sql(
+            src="documents", min_df=2, head=20, max_df_frac=0.78
         ),
         "temperature_rates": """
  with c as (select lang, count(*)::BIGINT as n_docs from documents group by 1),

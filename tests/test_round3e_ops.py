@@ -92,3 +92,105 @@ def test_badwords_shuffle_free_plan(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- link_reciprocity ---------------------------------------------------------
+
+
+def test_reciprocity_counts_mutual_pairs(spark):
+    from tspider_spark.operators.graph import link_reciprocity
+
+    edges = spark.createDataFrame(
+        # a<->b mutual; a->c one-way; duplicate a->b must not double;
+        # self-loop d->d ignored entirely
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "b"), ("d", "d")],
+        "src string, dst string",
+    )
+    out = {r["host"]: r for r in link_reciprocity(edges).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["out_links"] == 2
+    assert out["a"]["reciprocal_links"] == 1
+    assert out["a"]["reciprocity"] == 0.5
+    assert out["b"]["out_links"] == 1 and out["b"]["reciprocity"] == 1.0
+
+
+# --- triangle_counts ----------------------------------------------------------
+
+
+def test_triangles_k4_and_path(spark):
+    from tspider_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(10, 11), (11, 12)]  # no triangle
+    edges = spark.createDataFrame(k4 + path, "src long, dst long")
+    out = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    # K4 has C(4,3)=4 triangles; each vertex sits in C(3,2)=3 of them
+    assert all(out[n] == 3 for n in range(4))
+    assert out[10] == 0 and out[11] == 0 and out[12] == 0
+
+
+def test_triangles_direction_and_duplicate_invariant(spark):
+    from tspider_spark.operators.graph import triangle_counts
+
+    e1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    e2 = spark.createDataFrame(
+        [(2, 1), (3, 2), (1, 3), (2, 1)], "src long, dst long"
+    )
+    r1 = sorted(map(tuple, triangle_counts(e1).collect()))
+    r2 = sorted(map(tuple, triangle_counts(e2).collect()))
+    assert r1 == r2 == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_triangles_hub_star_has_none(spark):
+    from tspider_spark.operators.graph import triangle_counts
+
+    # star around a hub: many wedges, zero triangles — the degree
+    # orientation must not explode the hub into a wedge pivot
+    star = [(0, i) for i in range(1, 30)]
+    edges = spark.createDataFrame(star, "src long, dst long")
+    out = triangle_counts(edges)
+    assert out.filter(F.col("triangles") > 0).count() == 0
+    assert out.count() == 30
+
+
+# --- inverted_index -----------------------------------------------------------
+
+
+def test_inverted_index_df_bounds_and_posting_head(spark):
+    from tspider_spark.operators.textstats import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (3, "apple banana apple"),
+            (1, "apple cherry"),
+            (2, "apple banana"),
+            (4, "unique-once"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["term"]: r
+        for r in inverted_index(docs, min_df=2, max_df=2, head=2).collect()
+    }
+    # apple df=4 > max_df pruned; 'unique'/'once' df=1 < min_df pruned
+    assert set(out) == {"banana"}
+    assert out["banana"]["df"] == 2
+    # sorted ascending, head-capped, within-doc repeats deduped
+    assert out["banana"]["posting_head"] == "2,3"
+
+
+def test_inverted_index_fractional_cap(spark):
+    from tspider_spark.operators.textstats import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "common " + ("rare" if i < 2 else "filler")) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["term"]: r["df"]
+        for r in inverted_index(docs, min_df=2, max_df_frac=0.5).collect()
+    }
+    # common df=10 > 0.5*10 pruned; rare df=2 kept; filler df=8 pruned
+    assert out == {"rare": 2}

@@ -928,3 +928,122 @@ def link_reciprocity(
             ),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the undirected host graph —
+    host-level clustering signal (tightly triangulated host clusters
+    are link farms / site families; organic inter-site links close
+    far fewer triangles — Becchetti et al. 2008 use exactly this as a
+    spam feature). Complements :func:`link_reciprocity` (2-cycles)
+    with the 3-cycle density.
+
+    Algorithm: degree orientation (Ortmann & Brandes 2014 / the
+    classic compact-forward scheme). Each undirected edge {u, v} is
+    directed from the endpoint with the smaller (degree, id) to the
+    larger. The resulting DAG has out-degree O(sqrt(m)) regardless of
+    how skewed the raw degree distribution is — THE property that
+    makes the wedge self-join survive hub hosts at web scale (a 10^7-
+    degree hub as wedge pivot would otherwise be a 10^14-row key).
+    Every triangle then appears exactly once: its (degree, id)-minimal
+    vertex is the only one with two out-edges inside the triangle.
+
+    Plan shape: degree agg (one shuffle, map-side combinable) →
+    orientation (edge ⋈ degree twice, co-keyed) → wedge self-join on
+    the pivot (out-degree-bounded) → closing-edge semi-ish join on the
+    (dst_a, dst_b) composite key → explode the 3 corners → count
+    (map-side combinable). No windows, no Python, no broadcast
+    required at any scale.
+
+    Returns (node, triangles) for every node of the graph (0 rows for
+    isolated ids absent from the edge set; nodes in no triangle get
+    triangles = 0 so closed-form clustering coefficients can divide by
+    degree without a join back).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower = F.struct("du", "u") < F.struct("dv", "v")
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    w1 = o.select(F.col("s"), F.col("t").alias("t1"))
+    w2 = o.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = w1.join(w2, "s").filter(F.col("t1") != F.col("t2"))
+    closing = o.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = wedges.join(closing, ["t1", "t2"])
+    corners = (
+        tri.select(F.col("s").alias("node"))
+        .unionByName(tri.select(F.col("t1").alias("node")))
+        .unionByName(tri.select(F.col("t2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(corners, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+        )
+    )
+
+
+def triangles_oracle_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` — the same degree
+    orientation (row-value tuple comparison), wedge join, and closing
+    probe; ``edges_cte`` must define ``edges(src, dst)``."""
+    return f"""
+ with {edges_cte},
+ e as (
+   select distinct least(src, dst) as u, greatest(src, dst) as v
+   from edges where src <> dst
+ ),
+ deg as (
+   select node, count(*) as d
+   from (select u as node from e union all select v from e)
+   group by 1
+ ),
+ o as (
+   select case when (du.d, e.u) < (dv.d, e.v) then e.u else e.v end as s,
+          case when (du.d, e.u) < (dv.d, e.v) then e.v else e.u end as t
+   from e join deg du on e.u = du.node join deg dv on e.v = dv.node
+ ),
+ tri as (
+   select w1.s, w1.t as t1, w2.t as t2
+   from o w1
+   join o w2 on w1.s = w2.s and w1.t <> w2.t
+   join o c on c.s = w1.t and c.t = w2.t
+ ),
+ corners as (
+   select node, count(*)::BIGINT as triangles from (
+     select s as node from tri
+     union all select t1 from tri
+     union all select t2 from tri
+   ) group by 1
+ )
+ select deg.node, coalesce(corners.triangles, 0)::BIGINT as triangles
+ from deg left join corners on deg.node = corners.node
+"""

@@ -484,3 +484,122 @@ def tokenizer_fertility(
             ).alias("chars_per_token"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    min_df: int = 2,
+    max_df: int = 10_000,
+    head: int = 20,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Distributed inverted-index shard builder: term → document
+    frequency + the head of the sorted posting list. The retrieval-
+    side complement of :func:`bm25_scores` (which scores a given query
+    against corpus stats; this materializes the index those lookups
+    would serve) and the corpus-survey tool for lexicon pruning.
+
+    ``max_df_frac`` makes the upper cap corpus-relative (df <= frac*N,
+    the cap you'd actually ship at 100 TB — absolute caps don't
+    survive corpus growth); N rides along as a broadcast 1-row cross
+    join (the BM25 pattern), no driver-side collect.
+
+    Scale design — df-prune BEFORE posting materialization: the term
+    key is maximally skewed (stopwords appear in ~every doc), so
+    building posting lists first and filtering second would
+    materialize a corpus-sized list under a handful of hot keys. Here
+    the (term, doc) pairs are distinct-ed, df is computed with
+    map-side partial counts (one shuffle on term), terms outside
+    [min_df, max_df] are dropped, and only surviving terms join back
+    (term-keyed, co-partitioned with the groupBy that follows — one
+    effective exchange) to build postings. ``max_df`` therefore bounds
+    every posting list BY CONSTRUCTION; ``head`` caps the emitted
+    column width on top. No windows, no Python.
+
+    Returns (term, df, posting_head) — posting_head is the first
+    ``head`` doc ids ascending, comma-joined (scalar column, stable
+    across engines).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    pairs = (
+        df.select(F.col(id_col).alias("_doc"), F.explode(toks).alias("term"))
+        .distinct()
+    )
+    dfc = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    if max_df_frac is not None:
+        ncorp = pairs.select("_doc").distinct().agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        dfc = dfc.crossJoin(F.broadcast(ncorp)).filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.lit(max_df_frac) * F.col("_n"))
+        ).drop("_n")
+    else:
+        dfc = dfc.filter(
+            (F.col("df") >= min_df) & (F.col("df") <= max_df)
+        )
+    return (
+        pairs.join(dfc, "term")
+        .groupBy("term", "df")
+        .agg(F.array_sort(F.collect_list("_doc")).alias("_p"))
+        .select(
+            "term",
+            "df",
+            F.array_join(
+                F.slice(
+                    F.transform(F.col("_p"), lambda d: d.cast("string")),
+                    1,
+                    head,
+                ),
+                ",",
+            ).alias("posting_head"),
+        )
+    )
+
+
+def inverted_index_oracle_sql(
+    src: str = "documents",
+    min_df: int = 2,
+    max_df: int = 10_000,
+    head: int = 20,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_df_frac: float | None = None,
+) -> str:
+    """DuckDB twin of :func:`inverted_index` (same alphanumeric-run
+    tokens, distinct pairs, df window, sorted posting head)."""
+    cap = (
+        f"(select {max_df_frac} * count(distinct doc) from pairs)"
+        if max_df_frac is not None
+        else str(max_df)
+    )
+    return f"""
+ with pairs as (
+   select distinct {id_col} as doc, tok as term
+   from (
+     select {id_col},
+            unnest(string_split_regex(lower({text}), '[^a-z0-9]+')) as tok
+     from {src}
+   ) where tok <> ''
+ ),
+ dfc as (
+   select term, count(*)::BIGINT as df
+   from pairs group by 1
+   having count(*) >= {min_df} and count(*) <= {cap}
+ ),
+ posts as (
+   select p.term, list_sort(list(p.doc)) as pl
+   from pairs p join dfc using (term)
+   group by 1
+ )
+ select dfc.term, dfc.df,
+        array_to_string(list_transform(posts.pl[1:{head}], x -> x::VARCHAR),
+                        ',') as posting_head
+ from dfc join posts using (term)
+"""
