@@ -897,6 +897,20 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=2, head=20, max_df_frac=0.78)
 
 
+def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted exactly-k document sample (A-ES exponential
+    race, md5-derived clocks): longer docs win proportionally more
+    slots, no replacement, engine-reproducible; TakeOrderedAndProject
+    top-k — no global sort."""
+    from tspider_spark.operators.curate import weighted_sample_k
+    from tspider_spark.operators.textstats import token_count
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", token_count().alias("n_tokens")
+    )
+    return weighted_sample_k(d, k=100, weight_col="n_tokens")
+
+
 def q_badwords_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style bad-words document gate: alphanumeric-run tokens,
     non-distinct hit counts, keep = zero hits. Lexicon chosen so the
@@ -2374,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reciprocity": q_host_reciprocity,
         "host_triangles": q_host_triangles,
         "inverted_index": q_inverted_index,
+        "weighted_sample_k": q_weighted_sample_k,
         "winnow_fingerprints": q_winnow_fingerprints,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
@@ -3262,6 +3277,24 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": inverted_index_oracle_sql(
             src="documents", min_df=2, head=20, max_df_frac=0.78
         ),
+        # A-ES weighted sample: identical md5-derived clocks + IEEE
+        # double math on both engines -> identical winner set
+        "weighted_sample_k": """
+ with t as (
+   select doc_id,
+          len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT
+            as n_tokens
+   from documents
+ ),
+ r as (
+   select doc_id, n_tokens,
+          -ln((('0x' || substring(md5('wsk:' || doc_id), 1, 15))::BIGINT + 1)
+              / 1152921504606846976.0) / n_tokens as skey
+   from t where n_tokens > 0
+ )
+ select doc_id, n_tokens as weight, round(skey, 6) as sample_key
+ from r order by skey, doc_id limit 100
+""",
         "temperature_rates": """
  with c as (select lang, count(*)::BIGINT as n_docs from documents group by 1),
  z as (select sum(n_docs) as total, sum(power(n_docs, 0.3)) as z from c)

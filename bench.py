@@ -135,6 +135,12 @@ BENCH_QUERIES = [
     "mirror_hosts",
     "redirect_resolve",
     "tokenizer_fertility",
+    # round-3 final additions
+    "lpa_communities",
+    "badwords_gate",
+    "host_reciprocity",
+    "host_triangles",
+    "inverted_index",
 ]
 
 

@@ -194,3 +194,81 @@ def test_inverted_index_fractional_cap(spark):
     }
     # common df=10 > 0.5*10 pruned; rare df=2 kept; filler df=8 pruned
     assert out == {"rare": 2}
+
+
+# --- weighted_sample_k --------------------------------------------------------
+
+
+def test_weighted_sample_k_deterministic_and_bounded(spark):
+    from tspider_spark.operators.curate import weighted_sample_k
+
+    docs = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(200)] + [(999, 0), (998, -3)],
+        "doc_id long, w long",
+    )
+    a = weighted_sample_k(docs, k=25, weight_col="w").collect()
+    b = weighted_sample_k(docs, k=25, weight_col="w").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 25
+    ids = {r["doc_id"] for r in a}
+    assert 999 not in ids and 998 not in ids  # non-positive weights race never
+    # different salt -> different (deterministic) winner set
+    c = weighted_sample_k(docs, k=25, weight_col="w", salt="other").collect()
+    assert {r["doc_id"] for r in c} != ids
+
+
+def test_weighted_sample_k_weight_proportional_inclusion(spark):
+    from tspider_spark.operators.curate import weighted_sample_k
+
+    # 500 light rows (w=1) + 500 heavy rows (w=20): heavy rows must
+    # dominate the sample (expected ~95% of slots; md5 clocks are
+    # uniform enough that >70% is a safe deterministic bound)
+    rows = [(i, 1) for i in range(500)] + [(i + 1000, 20) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample_k(docs, k=100, weight_col="w").collect()
+    heavy = sum(1 for r in out if r["doc_id"] >= 1000)
+    assert heavy > 70
+
+
+def test_weighted_sample_k_plans_as_take_ordered(spark):
+    from tspider_spark.operators.curate import weighted_sample_k
+
+    docs = spark.createDataFrame([(1, 2)], "doc_id long, w long")
+    plan = (
+        weighted_sample_k(docs, k=5, weight_col="w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+# --- plan pins for the round-3e graph/index ops -------------------------------
+
+
+def test_triangles_plan_no_windows_no_python(spark):
+    from tspider_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    qe = triangle_counts(edges)._jdf.queryExecution()
+    plan = qe.toString()
+    assert "Window" not in plan and "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # no unbounded cross product anywhere in the triangle closure
+    assert "CartesianProduct" not in qe.executedPlan().toString()
+
+
+def test_inverted_index_plan_no_windows_no_python(spark):
+    from tspider_spark.operators.textstats import inverted_index
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    qe = inverted_index(docs, max_df_frac=0.5)._jdf.queryExecution()
+    plan = qe.toString()
+    # NOTE: the fractional cap carries corpus size N as a 1-row scalar
+    # aggregate (broadcast cross join) — that final agg IS a
+    # SinglePartition exchange over one row per partition, the
+    # accepted pattern (cf. temperature_rates/bm25); windows and
+    # Python are what must stay out of the corpus-sized path.
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -467,3 +467,52 @@ def temperature_rates(
         F.round(p_temp, 6).alias("p_temp"),
         F.round(p_temp / p_raw, 6).alias("upsample_factor"),
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsk",
+) -> DataFrame:
+    """Exactly-k WEIGHTED sample without replacement (Efraimidis &
+    Spirakis 2006 A-ES): each row races with an exponential clock of
+    rate w — key = -ln(u)/w with u uniform — and the k smallest keys
+    win, giving inclusion probabilities proportional to weight without
+    replacement. The quality-/token-weighted counterpart of the
+    uniform :func:`sample_exact_k` (e.g. sample documents
+    ∝ token count so the SAMPLE's token mass mirrors the corpus).
+
+    u is md5-derived from (salt, id) — fully deterministic, so the
+    selected set is reproducible across engines, runs, and cluster
+    sizes (the DuckDB oracle replays the identical float math; IEEE
+    doubles make the comparison order engine-independent).
+
+    Scale: orderBy+limit plans as TakeOrderedAndProject — a bounded
+    per-partition heap of k rows merged on the driver, NOT a global
+    sort; no shuffle of the corpus. Rows with weight <= 0 are
+    excluded (zero-rate clocks never fire).
+    """
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (hv + F.lit(1)).cast("double") / F.lit(float(2**60))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_skey", key)
+        .orderBy(F.col("_skey").asc(), F.col(id_col).asc())
+        .limit(int(k))
+        .select(
+            id_col,
+            F.col(weight_col).cast("long").alias("weight"),
+            F.round("_skey", 6).alias("sample_key"),
+        )
+    )
