@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "host_reciprocity",
     "host_triangles",
     "inverted_index",
+    "weighted_sample_k",
 ]
 
 
