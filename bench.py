@@ -176,7 +176,9 @@ def cpu_calibration(procs: int, fn=_burn) -> float:
         return sum(p.map(fn, range(procs))) / 2.0
 
 
-def run_worker(cores: int, corpus_path: str, heap: str, pin: bool) -> dict:
+def run_worker(
+    cores: int, corpus_path: str, heap: str, pin: bool, digest: bool = False
+) -> dict:
     cmd = [
         sys.executable, "-m", "tspider_spark.bench_worker",
         "--cores", str(cores), "--corpus-path", corpus_path,
@@ -186,7 +188,8 @@ def run_worker(cores: int, corpus_path: str, heap: str, pin: bool) -> dict:
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=str(REPO), timeout=3600,
         env={**os.environ, "PYTHONPATH": str(REPO),
-             "TSPIDER_DRIVER_MEM": heap},
+             "TSPIDER_DRIVER_MEM": heap,
+             **({"TSPIDER_BENCH_DIGEST": "1"} if digest else {})},
     )
     for line in out.stdout.splitlines():
         if line.startswith("BENCH_RESULT "):
@@ -222,6 +225,29 @@ def main():
 
     speedup = hi["urls_per_sec"] / lo["urls_per_sec"]
     efficiency = speedup / (CPUS / lo_cores)
+
+    # Cross-parallelism PARITY pair (north rule: exact crawl-order +
+    # seen-set match at N and 4N): one digest-mode run per level over
+    # the same corpus — bit_xor checksums of the admitted key set and
+    # of the (key -> priority position) mapping must be identical.
+    par_lo = run_worker(lo_cores, corpus_path, lo_heap, pin=True, digest=True)
+    par_hi = run_worker(CPUS, corpus_path, "8g", pin=False, digest=True)
+    parity = {
+        "admitted_match": par_lo["admitted"] == par_hi["admitted"],
+        "set_digest_match": par_lo["set_digest"] == par_hi["set_digest"],
+        "order_digest_match": par_lo["order_digest"] == par_hi["order_digest"],
+        "set_digest": par_lo["set_digest"],
+        "order_digest": par_lo["order_digest"],
+    }
+    print(f"# parity {lo_cores} vs {CPUS} cores: {parity}", file=sys.stderr)
+    if not all(
+        parity[k]
+        for k in ("admitted_match", "set_digest_match", "order_digest_match")
+    ):
+        raise SystemExit(
+            f"PARITY FAILURE between {lo_cores} and {CPUS} cores: "
+            f"lo={par_lo} hi={par_hi}"
+        )
 
     # Second pair at half scale (4 -> 16 on a 32-core box): the hi
     # level does NOT saturate the socket, so this pair is the closer
@@ -588,6 +614,7 @@ def main():
             "hi_trials": [r["urls_per_sec"] for r in hi_trials],
             "candidates": hi["candidates"],
             "admitted": hi["admitted"],
+            "parity": parity,
             "speedup": round(speedup, 3),
             "efficiency": round(efficiency, 3),
             "hw_ceiling_same_pair": round(hw_ceiling, 3),

@@ -248,8 +248,43 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
             "task_rank", "seq", "synth_rank",
         )
     # ONE action drives the whole wave (extraction cache fills on the
-    # way) — no mid-pipeline count barrier idling the cluster
-    n_admit = admitted.count()
+    # way) — no mid-pipeline count barrier idling the cluster.
+    # TSPIDER_BENCH_DIGEST=1 swaps the count action for a 1-row agg
+    # that ALSO folds the admitted rows into two parallelism-invariant
+    # checksums — the north rule's cross-cluster-size parity evidence:
+    #   set_digest   = bit_xor over md5(hostname|scan_key)      — the
+    #                  admitted URL-seen key set, order-insensitive
+    #   order_digest = bit_xor over md5(key|task_rank|seq)      — the
+    #                  (url -> priority position) mapping; equal
+    #                  digests at N and 4N cores mean the SAME urls in
+    #                  the SAME crawl order, not just equal counts
+    digest = os.environ.get("TSPIDER_BENCH_DIGEST", "0") != "0"
+    if digest:
+        def _h(*cols):
+            return F.conv(
+                F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+            ).cast("long")
+
+        row = (
+            admitted.select(
+                _h("hostname", "scan_key").alias("_sh"),
+                _h(
+                    "hostname",
+                    "scan_key",
+                    F.col("task_rank").cast("string"),
+                    F.col("seq").cast("string"),
+                ).alias("_oh"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(_sh)").alias("sd"),
+                F.expr("bit_xor(_oh)").alias("od"),
+            )
+            .first()
+        )
+        n_admit = row["n"]
+    else:
+        n_admit = admitted.count()
     elapsed = time.time() - t0
     n_cands = cands.count()  # post-hoc, reads the cache
     cands.unpersist()
@@ -261,6 +296,9 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
         "elapsed_sec": round(elapsed, 3),
         "urls_per_sec": round(n_cands / elapsed, 1),
     }
+    if digest:
+        out["set_digest"] = row["sd"]
+        out["order_digest"] = row["od"]
     spark.stop()
     return out
 
