@@ -897,6 +897,27 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=2, head=20, max_df_frac=0.78)
 
 
+def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training of the fastText-style
+    quality classifier: hashed unigram+bigram features (512 buckets,
+    portable md5 hash), labels y = (lang == 'en'), 3 full-batch
+    iterations at lr=0.5. Fixed-point 1e-7 rounding per iteration
+    makes the whole trajectory engine-reproducible — the oracle
+    replays identical weights."""
+    from tspider_spark.operators.classify import (
+        hashed_gram_features,
+        train_quality_classifier,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    feats = hashed_gram_features(d, n_buckets=512)
+    labels = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    return train_quality_classifier(feats, labels, iters=3, lr=0.5)
+
+
 def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-weighted exactly-k document sample (A-ES exponential
     race, md5-derived clocks): longer docs win proportionally more
@@ -2389,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangles": q_host_triangles,
         "inverted_index": q_inverted_index,
         "weighted_sample_k": q_weighted_sample_k,
+        "classifier_train": q_classifier_train,
         "winnow_fingerprints": q_winnow_fingerprints,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
@@ -2569,6 +2591,7 @@ def oracle_sql() -> dict[str, str]:
         trustrank_oracle_sql,
     )
     from tspider_spark.operators.textstats import script_stats_oracle_sql
+    from tspider_spark.operators.classify import train_oracle_sql
     from tspider_spark.operators.graph import lpa_oracle_sql, triangles_oracle_sql
     from tspider_spark.operators.textstats import inverted_index_oracle_sql
     from tspider_spark.operators.quality import (
@@ -3276,6 +3299,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "inverted_index": inverted_index_oracle_sql(
             src="documents", min_df=2, head=20, max_df_frac=0.78
+        ),
+        # classifier training: the oracle replays the same 3 gradient
+        # steps (1e-7 fixed-point per aggregate) over the same hashed
+        # gram features -> identical weight trajectory
+        "classifier_train": train_oracle_sql(
+            "toks0 as (select doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') as t "
+            "from documents),\n"
+            " tl as (select doc_id, list_filter(t, w -> w <> '') as t "
+            "from toks0),\n"
+            " grams as (select doc_id, unnest(list_concat(t, "
+            "list_transform(range(1, len(t)), "
+            "i -> t[i] || '_' || t[i + 1]))) as g from tl),\n"
+            " feats as (select doc_id as doc, "
+            "cast(('0x' || substring(md5(g), 1, 15))::BIGINT % 512 as int) "
+            "as bucket, count(*)::DOUBLE as cnt from grams group by 1, 2)",
+            "labels as (select doc_id as doc, "
+            "case when lang = 'en' then 1.0 else 0.0 end as y "
+            "from documents)",
+            iters=3,
+            lr=0.5,
         ),
         # A-ES weighted sample: identical md5-derived clocks + IEEE
         # double math on both engines -> identical winner set

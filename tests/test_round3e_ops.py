@@ -272,3 +272,61 @@ def test_inverted_index_plan_no_windows_no_python(spark):
     # Python are what must stay out of the corpus-sized path.
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- train_quality_classifier ---------------------------------------------------
+
+
+def test_classifier_train_learns_separating_weights(spark):
+    from tspider_spark.operators.classify import train_quality_classifier
+
+    # bucket 1 appears only in positive docs, bucket 2 only in
+    # negatives, bucket 3 in both: after training w1 > 0 > w2 and
+    # |w3| is comparatively small
+    feats = spark.createDataFrame(
+        [(1, 1, 2.0), (1, 3, 1.0), (2, 1, 1.0), (2, 3, 1.0),
+         (3, 2, 2.0), (3, 3, 1.0), (4, 2, 1.0), (4, 3, 1.0)],
+        "doc_id long, bucket int, cnt double",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 0.0), (4, 0.0)], "doc_id long, y double"
+    )
+    w = {
+        r["bucket"]: r["weight"]
+        for r in train_quality_classifier(feats, labels, iters=5).collect()
+    }
+    assert w[1] > 0 > w[2]
+    assert abs(w[3]) < min(abs(w[1]), abs(w[2]))
+
+
+def test_classifier_train_deterministic_across_runs_and_partitions(spark):
+    from tspider_spark.operators.classify import train_quality_classifier
+
+    feats = spark.createDataFrame(
+        [(i, i % 7, float((i % 3) + 1)) for i in range(60)],
+        "doc_id long, bucket int, cnt double",
+    )
+    labels = spark.createDataFrame(
+        [(i, float(i % 2)) for i in range(60)], "doc_id long, y double"
+    )
+    a = train_quality_classifier(feats, labels, iters=4).collect()
+    b = train_quality_classifier(
+        feats.repartition(13), labels.repartition(7), iters=4
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_classifier_train_plan_no_windows_no_python(spark):
+    from tspider_spark.operators.classify import train_quality_classifier
+
+    feats = spark.createDataFrame(
+        [(1, 1, 1.0)], "doc_id long, bucket int, cnt double"
+    )
+    labels = spark.createDataFrame([(1, 1.0)], "doc_id long, y double")
+    plan = (
+        train_quality_classifier(feats, labels, iters=1)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -158,3 +158,142 @@ def linear_quality_scores(
         prob.alias("prob"),
         (prob >= F.lit(threshold)).alias("keep"),
     )
+
+
+def train_quality_classifier(
+    feats: DataFrame,
+    labels: DataFrame,
+    iters: int = 3,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Distributed full-batch logistic-regression training over hashed
+    n-gram features — the TRAINING stage of the fastText-style quality
+    classifier (CCNet / LLaMA pipelines train exactly this shape:
+    linear model over hashed grams, labels = "looks like the target
+    corpus"); :func:`linear_quality_scores` is its inference twin.
+
+    ``feats`` is (id, bucket, cnt) from :func:`hashed_gram_features`;
+    ``labels`` is (id, y) with y in {0.0, 1.0}.
+
+    Determinism-by-construction (the DuckDB oracle must replay the
+    trajectory bit-for-bit): every cross-row aggregate — the per-doc
+    margin and the per-bucket gradient — is rounded to 1e-7 BEFORE it
+    feeds the next step. Double addition is non-associative, so
+    partition-order-dependent sums drift in the last ulps (~1e-15
+    relative); rounding at 1e-7 absorbs that drift each iteration
+    instead of letting gradient descent amplify it chaotically. lr
+    must be exactly representable (0.5 is); weight updates then add
+    identically on both engines.
+
+    Scale shape per iteration — exactly two shuffles, both
+    map-side-combinable aggs: margins groupBy(id) after the
+    bucket-keyed weight join (weights ≤ n_buckets rows, broadcast),
+    and gradient groupBy(bucket) after the id-keyed residual join
+    (labels co-keyed with feats on id). n_docs rides as a broadcast
+    1-row agg. Lineage is cut per iteration (the weight plan would
+    otherwise grow ~4^k like PageRank's).
+
+    Returns (bucket, weight) for every bucket present in ``feats``;
+    weight is emitted exactly as trained — NOT re-rounded, because the
+    trained values sit on (halves of) the 1e-7 gradient grid and
+    re-rounding them coarser manufactures decimal .5 TIES that HALF_UP
+    BigDecimal (Spark) and multiply-rint (DuckDB) break differently.
+    """
+    if iters < 1:
+        raise ValueError("train_quality_classifier needs iters >= 1")
+    f = feats.select(
+        F.col(id_col).alias("_id"),
+        F.col("bucket"),
+        F.col("cnt").cast("double").alias("_x"),
+    )
+    y = labels.select(F.col(id_col).alias("_id"), F.col("y").cast("double"))
+    nd = y.agg(F.count(F.lit(1)).cast("double").alias("_nd"))
+    w = f.select("bucket").distinct().select(
+        "bucket", F.lit(0.0).alias("_w")
+    )
+    for i in range(iters):
+        margins = (
+            f.join(F.broadcast(w), "bucket")
+            .groupBy("_id")
+            .agg(F.round(F.sum(F.col("_x") * F.col("_w")), 7).alias("_m"))
+        )
+        # resid is rounded to a 1e-9 grid: exp() is NOT guaranteed
+        # correctly rounded, so JVM libm and DuckDB libm can disagree
+        # in the last ulp at the same margin — rounding the sigmoid
+        # output makes every gradient ADDEND bit-identical across
+        # engines, leaving only association-order drift (~1e-15) for
+        # the 1e-7 gradient rounding to absorb
+        resid = margins.join(y, "_id").select(
+            "_id",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_m"))) - F.col("y"),
+                9,
+            ).alias("_r"),
+        )
+        grad = (
+            f.join(resid, "_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("_x") * F.col("_r")).alias("_gs"))
+            .crossJoin(F.broadcast(nd))
+            .select(
+                "bucket", F.round(F.col("_gs") / F.col("_nd"), 7).alias("_g")
+            )
+        )
+        # the update itself is NOT rounded: both engines hold the same
+        # two doubles (w on the previous grid, g on the 1e-7 grid) and
+        # IEEE multiply+subtract is exactly determined — whereas
+        # rounding the update at 1e-7 would land EXACTLY on .5e-7
+        # decimal ties half the time (lr=0.5 halves the grid), and
+        # Spark's BigDecimal HALF_UP and DuckDB's multiply-rint break
+        # those ties differently (observed: 1e-7 weight divergence)
+        w = w.join(grad, "bucket").select(
+            "bucket",
+            (F.col("_w") - F.lit(lr) * F.col("_g")).alias("_w"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            w = w.localCheckpoint(eager=True)
+    return w.select("bucket", F.col("_w").alias("weight"))
+
+
+def train_oracle_sql(
+    feats_cte: str,
+    labels_cte: str,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> str:
+    """Chained-CTE DuckDB twin of :func:`train_quality_classifier`.
+    ``feats_cte`` must define ``feats(doc, bucket, cnt)`` and
+    ``labels_cte`` must define ``labels(doc, y)``; the same 1e-7
+    fixed-point rounding keeps the trajectories identical."""
+    parts = [
+        feats_cte,
+        labels_cte,
+        "nd as (select count(*)::DOUBLE as n from labels)",
+        "w0 as materialized (select distinct bucket, 0.0 as w from feats)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"m{t} as (select f.doc, round(sum(f.cnt * w.w), 7) as m "
+            f"from feats f join w{t} w using (bucket) group by 1)"
+        )
+        parts.append(
+            f"r{t} as (select m.doc, "
+            f"round(1.0 / (1.0 + exp(-m.m)) - l.y, 9) as r "
+            f"from m{t} m join labels l using (doc))"
+        )
+        parts.append(
+            f"g{t} as (select f.bucket, "
+            f"round(sum(f.cnt * r.r) / (select n from nd), 7) as g "
+            f"from feats f join r{t} r using (doc) group by 1)"
+        )
+        parts.append(
+            f"w{t + 1} as materialized (select w.bucket, "
+            f"w.w - {lr} * g.g as w "
+            f"from w{t} w join g{t} g using (bucket))"
+        )
+    return (
+        "with " + ",\n ".join(parts)
+        + f"\n select bucket, w as weight from w{iters}"
+    )
