@@ -35,6 +35,25 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# DuckDB twins of hashed_gram_features(n_buckets=512) and the
+# lang=='en' label rule — shared by classifier_train / classifier_pr_curve
+_CLS_FEATS_CTE = (
+    "toks0 as (select doc_id, "
+    "string_split_regex(trim(lower(text)), '\\s+') as t from documents),\n"
+    " tl as (select doc_id, list_filter(t, w -> w <> '') as t from toks0),\n"
+    " grams as (select doc_id, unnest(list_concat(t, "
+    "list_transform(range(1, len(t)), "
+    "i -> t[i] || '_' || t[i + 1]))) as g from tl),\n"
+    " feats as (select doc_id as doc, "
+    "cast(('0x' || substring(md5(g), 1, 15))::BIGINT % 512 as int) "
+    "as bucket, count(*)::DOUBLE as cnt from grams group by 1, 2)"
+)
+_CLS_LABELS_CTE = (
+    "labels as (select doc_id as doc, "
+    "case when lang = 'en' then 1.0 else 0.0 end as y from documents)"
+)
+
+
 def _events_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events")
     k = F.regexp_extract("props", "[0-9]+", 0)
@@ -916,6 +935,63 @@ def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
     )
     return train_quality_classifier(feats, labels, iters=3, lr=0.5)
+
+
+def q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-core via synchronous peeling over a planted-core graph:
+    md5-random sparse edges on 150 nodes (which k=5 peels away
+    entirely — ER below the core-emergence threshold collapses) plus a
+    planted 12-clique that peeling must recover EXACTLY — the
+    link-farm-in-organic-noise scenario. 20 rounds ≥ the 19-round
+    cascade depth at the contract SF, so the result is the true
+    fixpoint; per-round degree agg + two co-keyed semi-joins, no
+    windows."""
+    from tspider_spark.operators.graph import kcore
+
+    d = _load(spark, sf_dir, "documents")
+
+    def _hv(salt: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    sparse = d.select(
+        (_hv("ks:") % 150).alias("src"), (_hv("kd:") % 150).alias("dst")
+    )
+    clique = d.filter(F.col("doc_id") < 144).select(
+        (F.lit(200) + F.col("doc_id") % 12).cast("long").alias("src"),
+        (F.lit(200) + (F.col("doc_id") / 12).cast("long") % 12)
+        .cast("long")
+        .alias("dst"),
+    )
+    return kcore(sparse.unionByName(clique), k=5, rounds=20)
+
+
+def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-selection sweep over the TRAINED classifier: train 3
+    iterations, score the corpus, and emit the per-threshold confusion
+    table + precision/recall — the full train -> score -> pick-the-
+    operating-point pipeline in one oracle-checked query."""
+    from tspider_spark.operators.classify import (
+        classifier_pr_curve,
+        hashed_gram_features,
+        train_quality_classifier,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    feats = hashed_gram_features(d, n_buckets=512)
+    labels = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    w = train_quality_classifier(feats, labels, iters=3, lr=0.5)
+    return classifier_pr_curve(feats, labels, w)
 
 
 def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2411,6 +2487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "weighted_sample_k": q_weighted_sample_k,
         "classifier_train": q_classifier_train,
+        "classifier_pr_curve": q_classifier_pr_curve,
+        "host_kcore": q_host_kcore,
         "winnow_fingerprints": q_winnow_fingerprints,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
@@ -2591,8 +2669,15 @@ def oracle_sql() -> dict[str, str]:
         trustrank_oracle_sql,
     )
     from tspider_spark.operators.textstats import script_stats_oracle_sql
-    from tspider_spark.operators.classify import train_oracle_sql
-    from tspider_spark.operators.graph import lpa_oracle_sql, triangles_oracle_sql
+    from tspider_spark.operators.classify import (
+        pr_curve_oracle_sql,
+        train_oracle_sql,
+    )
+    from tspider_spark.operators.graph import (
+        kcore_oracle_sql,
+        lpa_oracle_sql,
+        triangles_oracle_sql,
+    )
     from tspider_spark.operators.textstats import inverted_index_oracle_sql
     from tspider_spark.operators.quality import (
         badwords_oracle_sql,
@@ -3297,6 +3382,18 @@ def oracle_sql() -> dict[str, str]:
             "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
             "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))"
         ),
+        "host_kcore": kcore_oracle_sql(
+            "edges as (select "
+            "('0x' || substring(md5('ks:' || doc_id), 1, 15))::BIGINT % 150 "
+            "as src, "
+            "('0x' || substring(md5('kd:' || doc_id), 1, 15))::BIGINT % 150 "
+            "as dst from documents "
+            "union all "
+            "select 200 + (doc_id % 12), 200 + ((doc_id // 12) % 12) "
+            "from documents where doc_id < 144)",
+            k=5,
+            rounds=20,
+        ),
         "inverted_index": inverted_index_oracle_sql(
             src="documents", min_df=2, head=20, max_df_frac=0.78
         ),
@@ -3304,22 +3401,15 @@ def oracle_sql() -> dict[str, str]:
         # steps (1e-7 fixed-point per aggregate) over the same hashed
         # gram features -> identical weight trajectory
         "classifier_train": train_oracle_sql(
-            "toks0 as (select doc_id, "
-            "string_split_regex(trim(lower(text)), '\\s+') as t "
-            "from documents),\n"
-            " tl as (select doc_id, list_filter(t, w -> w <> '') as t "
-            "from toks0),\n"
-            " grams as (select doc_id, unnest(list_concat(t, "
-            "list_transform(range(1, len(t)), "
-            "i -> t[i] || '_' || t[i + 1]))) as g from tl),\n"
-            " feats as (select doc_id as doc, "
-            "cast(('0x' || substring(md5(g), 1, 15))::BIGINT % 512 as int) "
-            "as bucket, count(*)::DOUBLE as cnt from grams group by 1, 2)",
-            "labels as (select doc_id as doc, "
-            "case when lang = 'en' then 1.0 else 0.0 end as y "
-            "from documents)",
-            iters=3,
-            lr=0.5,
+            _CLS_FEATS_CTE, _CLS_LABELS_CTE, iters=3, lr=0.5
+        ),
+        # PR sweep over the trained weights (train SQL nested as a
+        # derived table; its inner feats/labels CTEs shadow the outer
+        # ones legally)
+        "classifier_pr_curve": pr_curve_oracle_sql(
+            train_oracle_sql(_CLS_FEATS_CTE, _CLS_LABELS_CTE, iters=3, lr=0.5),
+            _CLS_FEATS_CTE,
+            _CLS_LABELS_CTE,
         ),
         # A-ES weighted sample: identical md5-derived clocks + IEEE
         # double math on both engines -> identical winner set

@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     "host_triangles",
     "inverted_index",
     "weighted_sample_k",
+    "classifier_train",
+    "classifier_pr_curve",
+    "host_kcore",
 ]
 
 

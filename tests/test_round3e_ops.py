@@ -330,3 +330,91 @@ def test_classifier_train_plan_no_windows_no_python(spark):
     )
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- kcore ---------------------------------------------------------------------
+
+
+def test_kcore_recovers_planted_clique(spark):
+    from tspider_spark.operators.graph import kcore
+
+    # 5-clique (degree 4 inside) + a pendant path hanging off it:
+    # 3-core must peel the path and keep exactly the clique
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    path = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + path, "src long, dst long")
+    out = {r["node"]: r["core_degree"] for r in kcore(edges, k=3, rounds=6).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(d == 4 for d in out.values())
+
+
+def test_kcore_k_too_large_empties_graph(spark):
+    from tspider_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(clique, "src long, dst long")
+    assert kcore(edges, k=4, rounds=4).count() == 0
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    from tspider_spark.operators.graph import kcore
+
+    # chain 0-1-2-3-4: 2-core is empty but peeling proceeds one
+    # endpoint-pair per round — rounds=1 must NOT yet be the fixpoint
+    chain = [(i, i + 1) for i in range(4)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    assert kcore(edges, k=2, rounds=1).count() > 0
+    assert kcore(edges, k=2, rounds=3).count() == 0
+
+
+# --- classifier_pr_curve --------------------------------------------------------
+
+
+def test_pr_curve_confusion_counts(spark):
+    from tspider_spark.operators.classify import classifier_pr_curve
+
+    # weights fixed by hand: bucket 1 weight +2, bucket 2 weight -2
+    feats = spark.createDataFrame(
+        [(1, 1, 1.0), (2, 1, 1.0), (3, 2, 1.0), (4, 2, 1.0)],
+        "doc_id long, bucket int, cnt double",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, 0.0), (4, 1.0)], "doc_id long, y double"
+    )
+    weights = spark.createDataFrame(
+        [(1, 2.0), (2, -2.0)], "bucket int, weight double"
+    )
+    out = {
+        r["threshold"]: r
+        for r in classifier_pr_curve(
+            feats, labels, weights, thresholds=(0.5,)
+        ).collect()
+    }
+    r = out[0.5]
+    # docs 1,2 score sigmoid(2)≈0.88 -> predicted positive; docs 3,4
+    # score sigmoid(-2)≈0.12 -> negative. y: 1,0,0,1.
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 1, 1)
+    assert r["precision"] == 0.5 and r["recall"] == 0.5
+
+
+def test_pr_curve_extreme_thresholds(spark):
+    from tspider_spark.operators.classify import classifier_pr_curve
+
+    feats = spark.createDataFrame(
+        [(1, 1, 1.0), (2, 1, 1.0)], "doc_id long, bucket int, cnt double"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0)], "doc_id long, y double"
+    )
+    weights = spark.createDataFrame([(1, 1.0)], "bucket int, weight double")
+    out = {
+        r["threshold"]: r
+        for r in classifier_pr_curve(
+            feats, labels, weights, thresholds=(0.0, 1.0)
+        ).collect()
+    }
+    # t=0: everything positive -> recall 1; t=1: nothing positive
+    # (sigmoid < 1) -> precision NULL, recall 0
+    assert out[0.0]["recall"] == 1.0 and out[0.0]["fn"] == 0
+    assert out[1.0]["tp"] == 0 and out[1.0]["precision"] is None
+    assert out[1.0]["recall"] == 0.0

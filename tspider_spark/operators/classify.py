@@ -297,3 +297,117 @@ def train_oracle_sql(
         "with " + ",\n ".join(parts)
         + f"\n select bucket, w as weight from w{iters}"
     )
+
+
+def classifier_pr_curve(
+    feats: DataFrame,
+    labels: DataFrame,
+    weights: DataFrame,
+    thresholds: tuple[float, ...] = (0.3, 0.4, 0.5, 0.6, 0.7),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Precision/recall sweep of a (trained) linear quality classifier
+    — the threshold-selection step between :func:`train_quality_classifier`
+    and deploying the keep/drop gate (pipelines pick the operating
+    point from exactly this table, e.g. "keep the top X% most
+    wiki-like"; cf. CCNet's quality buckets).
+
+    One pass: margins (broadcast weight join + id-keyed agg, the same
+    two-shuffle shape as one training iteration), sigmoid rounded to
+    the 1e-9 grid (same cross-libm guard as training), then the
+    threshold list EXPLODES from a literal array (|thresholds| ~ 10 —
+    a constant fan-out, NOT a corpus re-scan per threshold) into one
+    map-side-combinable confusion agg.
+
+    precision/recall are emitted as RAW doubles: both engines divide
+    identical integer counts, and IEEE division is exactly determined
+    — rounding could only manufacture ties.
+
+    Returns (threshold, tp, fp, fn, tn, precision, recall) — one row
+    per threshold; precision is NULL at thresholds where nothing is
+    predicted positive.
+    """
+    margins = (
+        feats.select(
+            F.col(id_col).alias("_id"),
+            "bucket",
+            F.col("cnt").cast("double").alias("_x"),
+        )
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.round(F.sum(F.col("_x") * F.col("weight")), 7).alias("_m")
+        )
+    )
+    scored = margins.join(
+        labels.select(F.col(id_col).alias("_id"), F.col("y").cast("double")),
+        "_id",
+    ).select(
+        "y",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_m"))), 9).alias(
+            "_p"
+        ),
+    )
+    th = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    fanned = scored.select("y", "_p", th)
+    pred = F.col("_p") >= F.col("threshold")
+    pos = F.col("y") == 1.0
+    agg = fanned.groupBy("threshold").agg(
+        F.sum(F.when(pred & pos, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(pred & ~pos, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~pred & pos, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~pred & ~pos, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))).alias(
+            "precision"
+        ),
+        (F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))).alias(
+            "recall"
+        ),
+    )
+
+
+def pr_curve_oracle_sql(
+    train_sql: str,
+    feats_cte: str,
+    labels_cte: str,
+    thresholds: tuple[float, ...] = (0.3, 0.4, 0.5, 0.6, 0.7),
+) -> str:
+    """DuckDB twin of :func:`classifier_pr_curve` over the weights
+    produced by ``train_sql`` (a full SELECT, nested as a subquery —
+    DuckDB allows WITH inside derived tables)."""
+    tl = ", ".join(f"({float(t)})" for t in thresholds)
+    return f"""
+ with {feats_cte},
+ {labels_cte},
+ w as (select * from ({train_sql})),
+ m as (
+   select f.doc, round(sum(f.cnt * w.weight), 7) as m
+   from feats f join w on f.bucket = w.bucket group by 1
+ ),
+ s as (
+   select l.y, round(1.0 / (1.0 + exp(-m.m)), 9) as p
+   from m join labels l using (doc)
+ ),
+ th(threshold) as (values {tl}),
+ c as (
+   select th.threshold,
+          sum(case when s.p >= th.threshold and s.y = 1.0 then 1 else 0 end)::BIGINT as tp,
+          sum(case when s.p >= th.threshold and s.y <> 1.0 then 1 else 0 end)::BIGINT as fp,
+          sum(case when s.p < th.threshold and s.y = 1.0 then 1 else 0 end)::BIGINT as fn,
+          sum(case when s.p < th.threshold and s.y <> 1.0 then 1 else 0 end)::BIGINT as tn
+   from s cross join th group by 1
+ )
+ select threshold, tp, fp, fn, tn,
+        tp / nullif(tp + fp, 0) as precision,
+        tp / nullif(tp + fn, 0) as recall
+ from c
+"""

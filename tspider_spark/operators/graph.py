@@ -1047,3 +1047,97 @@ def triangles_oracle_sql(edges_cte: str) -> str:
  select deg.node, coalesce(corners.triangles, 0)::BIGINT as triangles
  from deg left join corners on deg.node = corners.node
 """
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """k-core of the undirected host graph by iterative peeling
+    (Seidman 1983; the Batagelj-Zaversnik sequential algorithm's
+    synchronous-round form): repeatedly delete every node of degree
+    < k until none remains. Dense cores surviving high k are the
+    link-farm / mirror-cluster signal complementary to
+    :func:`triangle_counts` (cores measure sustained density, not just
+    3-cycles), and the classic web-spam feature set uses both.
+
+    ``rounds`` caps the peeling rounds; the operator returns the
+    FIXPOINT-OR-ROUND-CAPPED residual graph's nodes, and the semantics
+    are "``rounds`` synchronous peels" — deterministic and
+    oracle-replayable whether or not the fixpoint was reached (each
+    synchronous round strictly shrinks the node set, so ``rounds`` ≥
+    the peeling depth gives the exact k-core; depth is ≤ the graph's
+    degeneracy ordering length, in practice single digits for web host
+    graphs).
+
+    Scale shape per round: one map-side-combinable degree agg over the
+    live edge set + two co-keyed semi-joins filtering the edges to
+    live endpoints — all keyed on the node id, no windows, no Python.
+    Lineage is cut per round (the live-edge plan is self-referencing,
+    so uncut plans grow geometrically like PageRank's).
+
+    Returns (node, core_degree) for surviving nodes — core_degree is
+    the node's degree WITHIN the residual core (≥ k at fixpoint).
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("kcore needs k >= 1 and rounds >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    for i in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        live = deg.filter(F.col("d") >= k).select("node")
+        e = e.join(
+            live.withColumnRenamed("node", "u"), "u", "left_semi"
+        ).join(live.withColumnRenamed("node", "v"), "v", "left_semi")
+        if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
+            e = e.localCheckpoint(eager=True)
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+
+
+def kcore_oracle_sql(edges_cte: str, k: int = 3, rounds: int = 8) -> str:
+    """Chained-CTE DuckDB twin of :func:`kcore` — the same synchronous
+    peels; ``edges_cte`` must define ``edges(src, dst)``."""
+    parts = [
+        edges_cte,
+        "e0 as (select distinct least(src, dst) as u, greatest(src, dst) as v"
+        " from edges where src <> dst)",
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"d{t} as (select node, count(*) as d from ("
+            f"select u as node from e{t} union all select v from e{t}"
+            f") group by 1)"
+        )
+        parts.append(
+            f"l{t} as (select node from d{t} where d >= {k})"
+        )
+        parts.append(
+            f"e{t + 1} as materialized (select e.u, e.v from e{t} e "
+            f"join l{t} a on e.u = a.node join l{t} b on e.v = b.node)"
+        )
+    return (
+        "with " + ",\n ".join(parts)
+        + f"\n select node, count(*)::BIGINT as core_degree from ("
+        f"select u as node from e{rounds} union all select v from e{rounds}"
+        f") group by 1"
+    )
