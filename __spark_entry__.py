@@ -973,6 +973,30 @@ def q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(sparse.unionByName(clique), k=5, rounds=20)
 
 
+def q_hll_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-URL cardinality via an explicit md5-register
+    HyperLogLog (b=6, 64 registers) finalized with linear-counting
+    small-range correction, alongside the exact count and relative
+    error — the mergeable sketch that replaces exact per-host counters
+    at 10^10-URL frontier scale. The oracle reproduces every register
+    bit-for-bit (pure integer/string math), not approximately."""
+    from tspider_spark.operators.sketch import hll_cardinality
+
+    ev = _load(spark, sf_dir, "events")
+    urls = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "hostname"
+        ),
+        F.concat(
+            F.lit("http://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit("/p/"),
+            (F.col("event_id") % 500).cast("string"),
+        ).alias("url"),
+    )
+    return hll_cardinality(urls, b=6, with_exact=True)
+
+
 def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-selection sweep over the TRAINED classifier: train 3
     iterations, score the corpus, and emit the per-threshold confusion
@@ -2489,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
+        "hll_host_counts": q_hll_host_counts,
         "winnow_fingerprints": q_winnow_fingerprints,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
@@ -2685,6 +2710,7 @@ def oracle_sql() -> dict[str, str]:
         pii_redact_oracle_sql,
     )
     from tspider_spark.operators.recrawl import recrawl_oracle_sql
+    from tspider_spark.operators.sketch import hll_oracle_sql
     from tspider_spark.operators.textstats import LANG_STOPWORDS
 
     en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
@@ -3402,6 +3428,16 @@ def oracle_sql() -> dict[str, str]:
         # gram features -> identical weight trajectory
         "classifier_train": train_oracle_sql(
             _CLS_FEATS_CTE, _CLS_LABELS_CTE, iters=3, lr=0.5
+        ),
+        # HLL: the oracle rebuilds the identical 64-register sketch
+        # (md5 registers, bin()-length ranks) and finalizes with the
+        # same corrections
+        "hll_host_counts": hll_oracle_sql(
+            "src as (select 'h' || (user_id % 20) as hostname, "
+            "'http://h' || (user_id % 20) || '/p/' || (event_id % 500) "
+            "as url from events)",
+            b=6,
+            with_exact=True,
         ),
         # PR sweep over the trained weights (train SQL nested as a
         # derived table; its inner feats/labels CTEs shadow the outer

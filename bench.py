@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "classifier_train",
     "classifier_pr_curve",
     "host_kcore",
+    "hll_host_counts",
 ]
 
 

@@ -418,3 +418,58 @@ def test_pr_curve_extreme_thresholds(spark):
     assert out[0.0]["recall"] == 1.0 and out[0.0]["fn"] == 0
     assert out[1.0]["tp"] == 0 and out[1.0]["precision"] is None
     assert out[1.0]["recall"] == 0.0
+
+
+# --- HLL sketch ----------------------------------------------------------------
+
+
+def test_hll_estimate_within_expected_error(spark):
+    from tspider_spark.operators.sketch import hll_cardinality
+
+    # 2000 distinct urls in one group, each duplicated 3x: estimate
+    # must ignore duplicates and land within ~4 sigma of 13%/sqrt(1)
+    rows = [("h", f"http://h/p/{i}") for i in range(2000)] * 3
+    df = spark.createDataFrame(rows, "hostname string, url string")
+    out = hll_cardinality(df, b=6, with_exact=True).collect()[0]
+    assert out["n_exact"] == 2000
+    assert abs(out["rel_err"]) < 0.5
+
+
+def test_hll_registers_merge_across_shards(spark):
+    from tspider_spark.operators.sketch import hll_registers, hll_cardinality
+    from pyspark.sql import functions as SF
+
+    rows = [("h", f"u{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "hostname string, url string")
+    half1 = df.filter(SF.length("url") % 2 == 0)
+    half2 = df.filter(SF.length("url") % 2 == 1)
+    merged = (
+        hll_registers(half1)
+        .unionByName(hll_registers(half2))
+        .groupBy("grp", "reg")
+        .agg(SF.max("rho").alias("rho"))
+    )
+    whole = hll_registers(df)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_small_range_linear_counting(spark):
+    from tspider_spark.operators.sketch import hll_cardinality
+
+    # 5 distinct items over 64 registers -> small-range branch; linear
+    # counting is near-exact at this load factor
+    rows = [("h", f"u{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "hostname string, url string")
+    out = hll_cardinality(df, b=6, with_exact=True).collect()[0]
+    assert out["n_exact"] == 5
+    assert abs(out["n_hll"] - 5) < 1.0
+
+
+def test_hll_register_state_bounded(spark):
+    from tspider_spark.operators.sketch import hll_registers
+
+    rows = [("h", f"u{i}") for i in range(10000)]
+    df = spark.createDataFrame(rows, "hostname string, url string")
+    assert hll_registers(df, b=6).count() <= 64

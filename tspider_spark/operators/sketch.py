@@ -1,0 +1,198 @@
+"""Mergeable cardinality sketches for crawl-state accounting.
+
+A 10^10-URL frontier needs per-host distinct-URL counts continuously
+(budget accounting, trap detection, recrawl scheduling), and exact
+distinct is a full shuffle of the key space every time. The standard
+answer is HyperLogLog (Flajolet et al. 2007): a fixed m-register
+sketch per group that (a) partial-aggregates map-side like a sum,
+(b) merges across shards/waves with a register-wise max — the shape
+Spark's own ``approx_count_distinct`` uses internally.
+
+This module implements HLL EXPLICITLY with the repo's portable
+md5-hash idiom instead of calling the built-in, for two reasons:
+
+- **Oracle-checkability**: every register value is deterministic
+  integer/string math (md5 → register index + leading-zero rank via
+  ``bin()`` string length — both engines print binary without leading
+  zeros), so the DuckDB twin reproduces the sketch BIT-FOR-BIT, not
+  approximately. Spark's built-in HLL++ and DuckDB's approx sketch
+  disagree by construction and would force a weak rows-only check.
+- **Merge visibility**: the register table (group, register, max-rho)
+  is a first-class DataFrame that can be stored in the crawl state,
+  merged across waves with ``groupBy(...).agg(max(...))``, and only
+  finalized into an estimate when read — the real production pattern
+  (store sketches, not numbers).
+
+Reference parity: TSpider keeps exact per-host counts in Redis
+(``spider.py`` REQUEST_COUNT inc); this is the sketch that replaces
+that counter at frontier scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+# 15 md5 hex chars -> 60-bit hash: b bits pick the register, the
+# remaining W = 60 - b bits feed the leading-zero rank.
+_HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    """Standard HLL bias constant (Flajolet et al. 2007, Fig. 3)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str = "hostname",
+    item_col: str = "url",
+    b: int = 6,
+) -> DataFrame:
+    """(group, reg, rho) register table: reg = low b bits of the 60-bit
+    md5 hash, rho = 1 + leading zeros of the remaining W bits (computed
+    as W - len(bin(w)) + 1 — pure integer/string math, identical in
+    Spark and DuckDB), max-aggregated per (group, reg).
+
+    One map-side-combinable shuffle keyed on (group, reg) — the
+    aggregation state per group is AT MOST m = 2^b registers however
+    many items the group has; this is the whole point at 10^10 URLs.
+    """
+    m = 1 << b
+    w_bits = _HASH_BITS - b
+    hv = F.conv(F.substring(F.md5(F.col(item_col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+    # hv < 2^60 exceeds double's exact-integer range, so hv/m via
+    # doubles would corrupt low bits — shift in integer space
+    w = F.shiftrightunsigned(hv, b)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(w)) + 1
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.pmod(hv, F.lit(m)).cast("int").alias("reg"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    group_col: str = "hostname",
+    item_col: str = "url",
+    b: int = 6,
+    with_exact: bool = False,
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate, finalized from
+    :func:`hll_registers` with the standard small-range (linear
+    counting) correction. ``with_exact=True`` adds the exact distinct
+    count alongside (a second shuffle — the comparison column for
+    tests/contract, not something you'd run at 10^10).
+
+    Estimate math: E = alpha_m * m^2 / sum(2^-M_j) over all m
+    registers (absent registers count as M=0 -> 2^0 = 1); if E <= 2.5m
+    and V empty registers exist, E = m * ln(m / V). The float parts
+    are rounded to 4 decimals (the sums are 64 powers of two whose
+    addition order can differ across engines in the last ulps).
+
+    Output: (group_col, n_hll [, n_exact, rel_err]).
+    """
+    m = 1 << b
+    regs = hll_registers(df, group_col, item_col, b)
+    agg = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nz"),
+    )
+    # registers never hit contribute 2^0 each; V = m - nz empties
+    s_full = F.col("_s") + (F.lit(m) - F.col("_nz"))
+    v = (F.lit(m) - F.col("_nz")).cast("double")
+    raw = F.lit(_alpha(m) * m * m) / s_full
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    out = agg.select(
+        F.col("grp").alias(group_col),
+        F.round(est, 4).alias("n_hll"),
+    )
+    if with_exact:
+        exact = (
+            df.select(F.col(group_col), F.col(item_col))
+            .distinct()
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        )
+        out = out.join(exact, group_col).select(
+            group_col,
+            "n_exact",
+            "n_hll",
+            F.round(
+                (F.col("n_hll") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+    return out
+
+
+def hll_oracle_sql(
+    src_cte: str,
+    group_col: str = "hostname",
+    item_col: str = "url",
+    b: int = 6,
+    with_exact: bool = False,
+) -> str:
+    """DuckDB twin of :func:`hll_cardinality`; ``src_cte`` must define
+    ``src(<group_col>, <item_col>)``."""
+    m = 1 << b
+    w_bits = _HASH_BITS - b
+    alpha = _alpha(m)
+    est_cols = (
+        f"select grp as {group_col}, round(est, 4) as n_hll from est"
+        if not with_exact
+        else f"""
+ select e.grp as {group_col}, x.n_exact, round(e.est, 4) as n_hll,
+        round((round(e.est, 4) - x.n_exact) / x.n_exact, 4) as rel_err
+ from est e join (
+   select {group_col} as grp, count(*)::BIGINT as n_exact
+   from (select distinct {group_col}, {item_col} from src) group by 1
+ ) x on e.grp = x.grp"""
+    )
+    return f"""
+ with {src_cte},
+ h as (
+   select {group_col} as grp,
+          ('0x' || substring(md5({item_col}), 1, 15))::BIGINT as hv
+   from src
+ ),
+ r0 as (
+   select grp, cast(hv % {m} as int) as reg, hv // {m} as w from h
+ ),
+ r as (
+   select grp, reg,
+          max(case when w = 0 then {w_bits + 1}
+              else {w_bits} - length(bin(w)) + 1 end) as rho
+   from r0 group by 1, 2
+ ),
+ a as (
+   select grp, sum(power(2.0, -rho)) as s, count(*) as nz from r group by 1
+ ),
+ est as (
+   select grp,
+          case when ({alpha} * {m} * {m}) / (s + ({m} - nz)) <= {2.5 * m}
+                    and ({m} - nz) > 0
+               then {float(m)} * ln({float(m)} / ({m} - nz))
+               else ({alpha} * {m} * {m}) / (s + ({m} - nz)) end as est
+   from a
+ )
+ {est_cols}
+"""
