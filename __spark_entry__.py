@@ -997,6 +997,26 @@ def q_hll_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_cardinality(urls, b=6, with_exact=True)
 
 
+def q_cms_top_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hottest URL patterns: exact counts (TakeOrderedAndProject
+    top-k) alongside their count-min estimates (d=4 x w=256 md5
+    sketch, bit-exact oracle) over a quadratically skewed pattern
+    stream — n_cms >= n_exact always; the gap is the collision
+    overestimate at this sketch size."""
+    from tspider_spark.operators.sketch import cms_top_k
+
+    ev = _load(spark, sf_dir, "events")
+    items = ev.select(
+        F.concat(
+            F.lit("u"),
+            F.floor(F.sqrt((F.col("event_id") % 2500).cast("double")))
+            .cast("int")
+            .cast("string"),
+        ).alias("url")
+    )
+    return cms_top_k(items, k=10, d=4, w=256)
+
+
 def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-selection sweep over the TRAINED classifier: train 3
     iterations, score the corpus, and emit the per-threshold confusion
@@ -2514,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
         "hll_host_counts": q_hll_host_counts,
+        "cms_top_urls": q_cms_top_urls,
         "winnow_fingerprints": q_winnow_fingerprints,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
@@ -2710,7 +2731,7 @@ def oracle_sql() -> dict[str, str]:
         pii_redact_oracle_sql,
     )
     from tspider_spark.operators.recrawl import recrawl_oracle_sql
-    from tspider_spark.operators.sketch import hll_oracle_sql
+    from tspider_spark.operators.sketch import cms_oracle_sql, hll_oracle_sql
     from tspider_spark.operators.textstats import LANG_STOPWORDS
 
     en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
@@ -3438,6 +3459,14 @@ def oracle_sql() -> dict[str, str]:
             "as url from events)",
             b=6,
             with_exact=True,
+        ),
+        # CMS: same bit-exact-sketch story as HLL for frequencies
+        "cms_top_urls": cms_oracle_sql(
+            "src as (select 'u' || "
+            "cast(floor(sqrt(event_id % 2500)) as int) as url from events)",
+            k=10,
+            d=4,
+            w=256,
         ),
         # PR sweep over the trained weights (train SQL nested as a
         # derived table; its inner feats/labels CTEs shadow the outer

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "classifier_pr_curve",
     "host_kcore",
     "hll_host_counts",
+    "cms_top_urls",
 ]
 
 

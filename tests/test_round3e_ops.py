@@ -473,3 +473,47 @@ def test_hll_register_state_bounded(spark):
     rows = [("h", f"u{i}") for i in range(10000)]
     df = spark.createDataFrame(rows, "hostname string, url string")
     assert hll_registers(df, b=6).count() <= 64
+
+
+# --- count-min sketch ------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_tight_when_wide(spark):
+    from tspider_spark.operators.sketch import cms_top_k
+
+    rows = [(f"u{i % 20}",) for i in range(400)] + [("hot",)] * 100
+    df = spark.createDataFrame(rows, "url string")
+    out = {r["item"]: r for r in cms_top_k(df, k=5, d=4, w=1024).collect()}
+    assert out["hot"]["n_exact"] == 100
+    for r in out.values():
+        assert r["n_cms"] >= r["n_exact"]
+    # at w=1024 with 21 distinct items collisions are ~impossible
+    assert out["hot"]["n_cms"] == 100
+
+
+def test_cms_tables_merge_by_sum(spark):
+    from tspider_spark.operators.sketch import cms_table
+    from pyspark.sql import functions as SF
+
+    rows = [(i, f"u{i % 13}") for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, url string")
+    a = df.filter(F.col("i") < 150)
+    b = df.filter(F.col("i") >= 150)
+    merged = (
+        cms_table(a)
+        .unionByName(cms_table(b))
+        .groupBy("row", "bucket")
+        .agg(SF.sum("cnt").cast("long").alias("cnt"))
+    )
+    whole = cms_table(df)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_state_bounded_at_d_times_w(spark):
+    from tspider_spark.operators.sketch import cms_table
+
+    rows = [(f"u{i}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "url string")
+    assert cms_table(df, d=3, w=64).count() <= 3 * 64

@@ -30,8 +30,6 @@ that counter at frontier scale.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, functions as F
 
 # 15 md5 hex chars -> 60-bit hash: b bits pick the register, the
@@ -195,4 +193,130 @@ def hll_oracle_sql(
    from a
  )
  {est_cols}
+"""
+
+
+def cms_table(
+    df: DataFrame,
+    item_col: str = "url",
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """(row, bucket, cnt) count-min sketch table (Cormode &
+    Muthukrishnan 2005): d independent md5-salted hash rows of w
+    counters each. The frequency-tracking companion of the HLL
+    cardinality sketch — per-host URL-pattern frequencies, hot-path
+    detection, trap scoring — with TOTAL state d*w counters however
+    many items stream through.
+
+    Same explicit-portable-hash rationale as :func:`hll_registers`:
+    the oracle rebuilds every counter bit-for-bit, and the table
+    merges across shards/waves by element-wise SUM (pinned by test) —
+    store the sketch, not the counts.
+
+    One map-side-combinable shuffle keyed on (row, bucket); the d-way
+    fan-out is a constant-width explode, not d scans.
+    """
+    rows = F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("_j")
+    fanned = df.select(F.col(item_col).alias("_it"), rows)
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("_j").cast("string"), F.lit(":"), F.col("_it"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        fanned.select(
+            F.col("_j").alias("row"),
+            F.pmod(hv, F.lit(w)).cast("int").alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_top_k(
+    df: DataFrame,
+    item_col: str = "url",
+    k: int = 10,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Exact top-k items by frequency alongside their count-min
+    estimates — the validation face of :func:`cms_table` (n_cms >=
+    n_exact ALWAYS; the gap is the sketch's collision overestimate at
+    this d x w). The exact side is a TakeOrderedAndProject top-k (no
+    global sort); the estimate side probes the d sketch rows for just
+    the k winners (broadcast of k rows) and takes the row-wise min.
+
+    Returns (item, n_exact, n_cms) for the k most frequent items,
+    ties broken by item ascending.
+    """
+    sketch = cms_table(df, item_col, d, w)
+    exact = (
+        df.groupBy(F.col(item_col).alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("item").asc())
+        .limit(int(k))
+    )
+    rows = F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("row")
+    probes = exact.select("item", "n_exact", rows)
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("row").cast("string"), F.lit(":"), F.col("item"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    probes = probes.withColumn("bucket", F.pmod(hv, F.lit(w)).cast("int"))
+    return (
+        sketch.join(F.broadcast(probes), ["row", "bucket"])
+        .groupBy("item", "n_exact")
+        .agg(F.min("cnt").cast("long").alias("n_cms"))
+    )
+
+
+def cms_oracle_sql(
+    src_cte: str,
+    item_col: str = "url",
+    k: int = 10,
+    d: int = 4,
+    w: int = 256,
+) -> str:
+    """DuckDB twin of :func:`cms_top_k`; ``src_cte`` must define
+    ``src(<item_col>)`` (extra columns ignored)."""
+    return f"""
+ with {src_cte},
+ fan as (
+   select {item_col} as it, j
+   from src cross join (select unnest(range(0, {d})) as j)
+ ),
+ sk as (
+   select j as row,
+          cast(('0x' || substring(md5(j || ':' || it), 1, 15))::BIGINT
+               % {w} as int) as bucket,
+          count(*)::BIGINT as cnt
+   from fan group by 1, 2
+ ),
+ exact as (
+   select {item_col} as item, count(*)::BIGINT as n_exact
+   from src group by 1
+   order by n_exact desc, item asc limit {k}
+ ),
+ probes as (
+   select e.item, e.n_exact, j as row,
+          cast(('0x' || substring(md5(j || ':' || e.item), 1, 15))::BIGINT
+               % {w} as int) as bucket
+   from exact e cross join (select unnest(range(0, {d})) as j)
+ )
+ select p.item, p.n_exact, min(sk.cnt)::BIGINT as n_cms
+ from probes p join sk using (row, bucket)
+ group by 1, 2
 """
