@@ -185,3 +185,49 @@ def test_run_curate_tool(spark, tmp_path):
     sp = spark.read.parquet(str(Path(out3) / "split")).collect()
     n_train = sum(1 for r in sp if r["split"] == "train")
     assert counts3["packed"] == n_train
+
+
+def test_frontier_stats_tool(spark, tmp_path, capsys):
+    """Sketch dashboard over the seen-set: HLL per-host cardinality and
+    count-min hot digit-folded patterns, read through the StateStore
+    (so snapshots/time-travel apply)."""
+    import json
+
+    import frontier_stats
+
+    store = StateStore(spark, str(tmp_path / "s"))
+    rows = (
+        [("big.com", f"http://big.com/item/{i}?id") for i in range(40)]
+        + [("small.com", "http://small.com/a")]
+        + [("small.com", "http://small.com/b")]
+    )
+    store.commit(
+        appends={
+            "seen_scanned": spark.createDataFrame(
+                rows, SCHEMAS["seen_scanned"]
+            )
+        }
+    )
+    rc = frontier_stats.main(
+        ["--state", str(tmp_path / "s"), "--top", "3", "--b", "6"],
+        spark=spark,
+    )
+    assert rc == 0
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("FRONTIER_STATS ")
+    ][-1]
+    out = json.loads(line[len("FRONTIER_STATS "):])
+    assert out["table"] == "seen_scanned"
+    hosts = {h["hostname"]: h["n_hll"] for h in out["hosts"]}
+    # HLL at b=6 is approximate but must rank big.com first and land
+    # within its coarse error envelope
+    assert list(out["hosts"])[0]["hostname"] == "big.com"
+    assert 20 <= hosts["big.com"] <= 80
+    assert 1 <= hosts["small.com"] <= 4
+    # the 40 /item/{i} keys fold to one hot pattern; CMS never
+    # undercounts
+    top = out["hot_patterns"][0]
+    assert top["pattern"] == "http://big.com/item/{d}?id"
+    assert top["n_exact"] == 40
+    assert top["n_cms"] >= 40
