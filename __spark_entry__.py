@@ -1052,6 +1052,30 @@ def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_k(d, k=100, weight_col="n_tokens")
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, 8 rounds: one corpus scan
+    to the vocab-sized word-freq table, then one pair-count shuffle +
+    one literal-replace map per round (canonical greedy merge, integer
+    counts, total tie-break — bit-reproducible). Output = the learned
+    merge table, replayed round-for-round by the chained-CTE oracle."""
+    from tspider_spark.operators.bpe import bpe_train, merges_df
+
+    d = _load(spark, sf_dir, "documents").select("text")
+    merges, _ = bpe_train(d, n_merges=8)
+    return merges_df(spark, merges)
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head after the same 8 BPE rounds: corpus-weighted
+    symbol counts over the trained word table (top 40, total
+    tie-break) — the application face of bpe_merges."""
+    from tspider_spark.operators.bpe import bpe_train, bpe_vocab
+
+    d = _load(spark, sf_dir, "documents").select("text")
+    _, wtab = bpe_train(d, n_merges=8)
+    return bpe_vocab(wtab, top_k=40)
+
+
 def q_badwords_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style bad-words document gate: alphanumeric-run tokens,
     non-distinct hit counts, keep = zero hits. Lexicon chosen so the
@@ -2530,6 +2554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangles": q_host_triangles,
         "inverted_index": q_inverted_index,
         "weighted_sample_k": q_weighted_sample_k,
+        "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -2730,6 +2756,7 @@ def oracle_sql() -> dict[str, str]:
         normalize_text_oracle_sql,
         pii_redact_oracle_sql,
     )
+    from tspider_spark.operators.bpe import bpe_oracle_sql
     from tspider_spark.operators.recrawl import recrawl_oracle_sql
     from tspider_spark.operators.sketch import cms_oracle_sql, hll_oracle_sql
     from tspider_spark.operators.textstats import LANG_STOPWORDS
@@ -3478,6 +3505,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         # A-ES weighted sample: identical md5-derived clocks + IEEE
         # double math on both engines -> identical winner set
+        "bpe_merges": bpe_oracle_sql(
+            "docs as (select text from documents)", n_merges=8,
+            output="merges",
+        ),
+        "bpe_vocab": bpe_oracle_sql(
+            "docs as (select text from documents)", n_merges=8,
+            output="vocab", top_k=40,
+        ),
         "weighted_sample_k": """
  with t as (
    select doc_id,

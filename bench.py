@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "host_kcore",
     "hll_host_counts",
     "cms_top_urls",
+    "bpe_merges",
+    "bpe_vocab",
 ]
 
 
