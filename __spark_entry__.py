@@ -1076,6 +1076,18 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_vocab(wtab, top_k=40)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the 8-round trained BPE: the word-freq
+    table IS the encode dictionary (word → final split), so encoding
+    is one (doc, word)-count scan joined to the vocab-sized dictionary
+    — per-doc token counts + fertility, the tokenizer-efficiency gate."""
+    from tspider_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    _, wtab = bpe_train(d, n_merges=8)
+    return bpe_encode(d, wtab)
+
+
 def q_badwords_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style bad-words document gate: alphanumeric-run tokens,
     non-distinct hit counts, keep = zero hits. Lexicon chosen so the
@@ -2556,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_k": q_weighted_sample_k,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
+        "bpe_encode": q_bpe_encode,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -2756,7 +2769,10 @@ def oracle_sql() -> dict[str, str]:
         normalize_text_oracle_sql,
         pii_redact_oracle_sql,
     )
-    from tspider_spark.operators.bpe import bpe_oracle_sql
+    from tspider_spark.operators.bpe import (
+        bpe_encode_oracle_sql,
+        bpe_oracle_sql,
+    )
     from tspider_spark.operators.recrawl import recrawl_oracle_sql
     from tspider_spark.operators.sketch import cms_oracle_sql, hll_oracle_sql
     from tspider_spark.operators.textstats import LANG_STOPWORDS
@@ -3512,6 +3528,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": bpe_oracle_sql(
             "docs as (select text from documents)", n_merges=8,
             output="vocab", top_k=40,
+        ),
+        "bpe_encode": bpe_encode_oracle_sql(
+            "docs as (select doc_id, text from documents)", n_merges=8,
         ),
         "weighted_sample_k": """
  with t as (

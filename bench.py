@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "cms_top_urls",
     "bpe_merges",
     "bpe_vocab",
+    "bpe_encode",
 ]
 
 

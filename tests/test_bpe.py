@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import duckdb
 
+from pyspark.sql import functions as F
+
 from tspider_spark.operators.bpe import (
     bpe_oracle_sql,
     bpe_train,
@@ -103,3 +105,39 @@ def test_merge_plan_is_join_free(spark):
     _, wtab = bpe_train(_docs(spark, "abab aabb"), n_merges=2)
     plan = wtab._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_encode_counts_and_fertility(spark):
+    from tspider_spark.operators.bpe import bpe_encode
+
+    docs = _docs(spark, "abab cd abab", "zz zz", "7 42 !")
+    docs = docs.withColumn("doc_id", F.monotonically_increasing_id())
+    _, wtab = bpe_train(docs, n_merges=2)  # learns ab, abab
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["fertility"])
+        for r in bpe_encode(docs, wtab).collect()
+    }
+    ids = sorted(out)
+    # doc0: abab(1 tok) x2 + cd(2 toks) -> 3 words, 4 tokens
+    assert out[ids[0]] == (3, 4, round(4 / 3, 6))
+    # doc1: zz -> 2 symbols each (no merge learned for z z at rank<=2)
+    assert out[ids[1]] == (2, 4, 2.0)
+    # doc2: no [a-z]+ words at all -> no row
+    assert len(out) == 2
+
+
+def test_encode_oracle_parity(spark, tmp_path):
+    from tspider_spark.operators.bpe import bpe_encode, bpe_encode_oracle_sql
+
+    texts = ["banana bandana", "nan ban banana", "a aa aaa aaaa"]
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "d"))
+    docs = spark.read.parquet(str(tmp_path / "d"))
+    _, wtab = bpe_train(docs, n_merges=3)
+    got = sorted(map(tuple, bpe_encode(docs, wtab).collect()))
+    con = duckdb.connect()
+    sql = bpe_encode_oracle_sql(
+        f"docs as (select doc_id, text from '{tmp_path / 'd'}/*.parquet')", 3
+    )
+    assert got == sorted(con.execute(sql).fetchall())

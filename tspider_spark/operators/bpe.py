@@ -218,3 +218,86 @@ def bpe_oracle_sql(
     else:  # pragma: no cover - caller bug
         raise ValueError(f"unknown output {output!r}")
     return "with " + ",\n".join(parts) + "\n" + final
+
+
+def bpe_encode(
+    docs: DataFrame,
+    word_table: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained segmentation to the corpus: per-document word
+    and subword-token counts plus fertility (tokens/word) — the
+    standard tokenizer-efficiency signal curation gates on.
+
+    The trained word table IS the encode dictionary (word → its final
+    symbol split), so encoding is: distinct (doc, word) counts — one
+    corpus scan with map-side combine — joined to the vocab-sized
+    dictionary on the bare word, then one per-doc rollup. No merge
+    replay, no Python; the join's build side is vocabulary-sized and
+    AQE picks broadcast vs shuffle by its actual size.
+
+    Returns (id_col, n_words, n_tokens, fertility[6dp]); documents
+    whose every word fell outside ``WORD_RE`` keep n_words = 0 rows
+    out (no token mass to report).
+    """
+    dic = word_table.select(
+        F.regexp_replace("sym", " ", "").alias("w"),
+        F.size(F.split("sym", " ")).cast("long").alias("n_sym"),
+    )
+    wc = (
+        docs.select(
+            id_col,
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text}), '{WORD_RE}', 0)")
+            ).alias("w"),
+        )
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        wc.join(dic, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.col("n_tokens") / F.col("n_words"), 6),
+        )
+    )
+
+
+def bpe_encode_oracle_sql(docs_cte: str, n_merges: int = 8) -> str:
+    """DuckDB twin of :func:`bpe_encode` over a :func:`bpe_oracle_sql`
+    training replay. ``docs_cte`` must define ``docs(doc_id, text)``."""
+    parts = [
+        docs_cte,
+        r"""w0 as materialized (
+   select trim(regexp_replace(w, '(.)', '\1 ', 'g')) as sym,
+          count(*)::bigint as freq
+   from (select unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+         from docs)
+   group by 1)""",
+    ]
+    parts += [_round_ctes(k) for k in range(n_merges)]
+    parts += [
+        f"""
+ dic as (select replace(sym, ' ', '') as w,
+                len(string_split(sym, ' '))::bigint as n_sym
+         from w{n_merges})""",
+        """
+ wc as (select doc_id, w, count(*)::bigint as cnt
+        from (select doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) as w
+              from docs)
+        group by 1, 2)""",
+    ]
+    final = """
+ select doc_id, sum(cnt)::bigint as n_words,
+        sum(cnt * n_sym)::bigint as n_tokens,
+        round(sum(cnt * n_sym) / (1.0 * sum(cnt)), 6) as fertility
+ from wc join dic using (w)
+ group by 1"""
+    return "with " + ",\n".join(parts) + "\n" + final
