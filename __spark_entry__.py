@@ -1088,6 +1088,16 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(d, wtab)
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (Church & Hanks): top-100 adjacent token
+    pairs by pointwise mutual information, min_count=5 — integer
+    counts, identical double-division order on both engines."""
+    from tspider_spark.operators.textstats import pmi_collocations
+
+    d = _load(spark, sf_dir, "documents").select("text")
+    return pmi_collocations(d, min_count=5, top_k=100)
+
+
 def q_badwords_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style bad-words document gate: alphanumeric-run tokens,
     non-distinct hit counts, keep = zero hits. Lexicon chosen so the
@@ -2569,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
+        "pmi_collocations": q_pmi_collocations,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -2763,7 +2774,10 @@ def oracle_sql() -> dict[str, str]:
         lpa_oracle_sql,
         triangles_oracle_sql,
     )
-    from tspider_spark.operators.textstats import inverted_index_oracle_sql
+    from tspider_spark.operators.textstats import (
+        inverted_index_oracle_sql,
+        pmi_oracle_sql,
+    )
     from tspider_spark.operators.quality import (
         badwords_oracle_sql,
         normalize_text_oracle_sql,
@@ -3532,6 +3546,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": bpe_encode_oracle_sql(
             "docs as (select doc_id, text from documents)", n_merges=8,
         ),
+        "pmi_collocations": pmi_oracle_sql(min_count=5, top_k=100),
         "weighted_sample_k": """
  with t as (
    select doc_id,

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "bpe_vocab",
     "bpe_encode",
+    "pmi_collocations",
 ]
 
 

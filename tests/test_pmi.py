@@ -1,0 +1,61 @@
+"""PMI collocation mining: hand-checked math, pruning, tie-breaks,
+and DuckDB oracle parity."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from tspider_spark.operators.textstats import pmi_collocations, pmi_oracle_sql
+
+
+def _docs(spark, *texts):
+    return spark.createDataFrame([(t,) for t in texts], "text string")
+
+
+def test_pmi_hand_checked(spark):
+    # tokens: a b a b c -> pairs (a,b)x2 (b,a)x1 (b,c)x1; unigrams
+    # a:2 b:2 c:1 (n_tok=5). min_count=2 keeps only (a,b), so the
+    # surviving-pair denominator is 2.
+    out = pmi_collocations(_docs(spark, "a b a b c"), min_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["w1"], r["w2"], r["n_pair"]) == ("a", "b", 2)
+    expect = math.log((2 / 2) / ((2 / 5) * (2 / 5)))
+    assert r["pmi"] == round(expect, 6)
+
+
+def test_pmi_prunes_before_join_and_breaks_ties(spark):
+    # (x,y) and (u,v) occur once each with identical unigram counts ->
+    # identical pmi; tie-break must order (u,v) first
+    out = pmi_collocations(
+        _docs(spark, "x y", "u v"), min_count=1, top_k=10
+    ).collect()
+    assert [(r["w1"], r["w2"]) for r in out] == [("u", "v"), ("x", "y")]
+    assert out[0]["pmi"] == out[1]["pmi"]
+    # min_count above all counts -> empty result, no crash
+    assert pmi_collocations(_docs(spark, "x y"), min_count=2).count() == 0
+
+
+def test_pmi_pairs_stay_within_docs(spark):
+    # no cross-document adjacency: "a" | "b" yields no (a,b) pair
+    out = pmi_collocations(_docs(spark, "a", "b"), min_count=1).collect()
+    assert out == []
+
+
+def test_pmi_oracle_parity(spark, tmp_path):
+    texts = [
+        "the fast data spark merge merge sort",
+        "spark data the the fast merge",
+        "sort merge join join spark",
+    ]
+    _docs(spark, *texts).write.parquet(str(tmp_path / "d"))
+    docs = spark.read.parquet(str(tmp_path / "d"))
+    got = sorted(map(tuple, pmi_collocations(docs, min_count=2).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{tmp_path / 'd'}/*.parquet'"
+    )
+    exp = sorted(con.execute(pmi_oracle_sql(min_count=2)).fetchall())
+    assert got == exp

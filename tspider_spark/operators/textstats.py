@@ -603,3 +603,116 @@ def inverted_index_oracle_sql(
                         ',') as posting_head
  from dfc join posts using (term)
 """
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church & Hanks
+    1990) over adjacent lowercase ``[a-z]+`` tokens — the phrase-
+    induction signal tokenizer/vocab builds and n-gram feature
+    selection run over a corpus.
+
+    pmi(w1, w2) = ln( p(w1 w2) / (p(w1) p(w2)) ) with p(pair) over the
+    corpus pair total and p(w) over the token total. All counts are
+    integer sums (bit-reproducible); the two probability totals ride
+    along as a broadcast 1-row cross join, never a driver scalar.
+
+    Shape at 100 TB: ONE corpus scan feeds both the pair and the
+    unigram aggregation (vocab- and bigram-vocab-sized tables); the
+    two enrichment joins are on single-word keys against vocab-sized
+    build sides (AQE picks broadcast when they fit); ``min_count``
+    prunes the bigram tail BEFORE the joins; top-k is a bounded heap
+    (TakeOrderedAndProject), no global sort.
+
+    Returns (w1, w2, n_pair, pmi[6dp]) for the top_k pairs by pmi
+    (ties: w1, w2 ascending).
+    """
+    arr = F.expr(f"regexp_extract_all(lower({text}), '[a-z]+', 0)")
+    toks = docs.select(arr.alias("arr"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(arr, 1, size(arr) - 1),"
+                    "         slice(arr, 2, size(arr) - 1),"
+                    "         (l, r) -> struct(l as w1, r as w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_count))
+    )
+    uni = (
+        toks.select(F.explode("arr").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    totals = uni.agg(F.sum("n_w").cast("long").alias("n_tok"))
+    # pair denominator = the min_count-surviving pair mass (same pruned
+    # table the output rows come from; convention pinned by the oracle)
+    n_pairs_total = pairs.agg(F.sum("n_pair").cast("long").alias("n_pr"))
+    return (
+        pairs.join(uni.withColumnRenamed("w", "w1")
+                   .withColumnRenamed("n_w", "n_w1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2")
+              .withColumnRenamed("n_w", "n_w2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_pairs_total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") * 1.0 / F.col("n_pr"))
+                    / (
+                        (F.col("n_w1") * 1.0 / F.col("n_tok"))
+                        * (F.col("n_w2") * 1.0 / F.col("n_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(int(top_k))
+    )
+
+
+def pmi_oracle_sql(
+    src: str = "documents",
+    text: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> str:
+    """DuckDB twin of :func:`pmi_collocations` — identical token
+    regex, integer counts, and double-division order before round(6).
+
+    NOTE (denominator convention): the pair total is the sum of
+    min_count-SURVIVING pair counts on both sides, so the constant is
+    derived from the same pruned table the output rows come from.
+    """
+    return f"""
+ with t as (select regexp_extract_all(lower({text}), '[a-z]+') as arr
+            from {src}),
+ pr as (select arr[i] as w1, arr[i + 1] as w2, count(*)::bigint as n_pair
+        from (select arr, unnest(range(1, len(arr))) as i from t)
+        group by 1, 2
+        having count(*) >= {int(min_count)}),
+ uni as (select w, count(*)::bigint as n_w
+         from (select unnest(arr) as w from t) group by 1),
+ tot as (select sum(n_w)::bigint as n_tok from uni),
+ ptot as (select sum(n_pair)::bigint as n_pr from pr)
+ select pr.w1, pr.w2, pr.n_pair,
+        round(ln((pr.n_pair * 1.0 / ptot.n_pr)
+                 / ((u1.n_w * 1.0 / tot.n_tok)
+                    * (u2.n_w * 1.0 / tot.n_tok))), 6) as pmi
+ from pr
+ join uni u1 on pr.w1 = u1.w
+ join uni u2 on pr.w2 = u2.w
+ cross join tot cross join ptot
+ order by pmi desc, pr.w1, pr.w2 limit {int(top_k)}"""
