@@ -1432,6 +1432,25 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=10)
 
 
+def q_host_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi & Vigna) over the events-derived host graph:
+    HLL-sketched neighborhood function + harmonic centrality, radius 4
+    at b=4 — per-node state is 16 registers however big the ball, one
+    co-keyed max-merge shuffle per round, registers and estimates
+    replayed bit-for-bit by the chained-CTE oracle."""
+    from tspider_spark.operators.graph import hyperball
+
+    ev = _load(spark, sf_dir, "events")
+    src = F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string"))
+    dst = F.concat(
+        F.lit("h"), ((F.col("user_id") * 7 + F.col("event_id")) % 37).cast("string")
+    )
+    edges = ev.select(src.alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    return hyperball(edges, radius=4, b=4)
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing a 4-gram with the
     held-out 'eval' slice (doc_id % 97 == 0). 4-grams because the
@@ -2580,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "pmi_collocations": q_pmi_collocations,
+        "host_hyperball": q_host_hyperball,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -2760,6 +2780,7 @@ def _shingle_sql(src: str = "documents", n: int = 3) -> str:
 def oracle_sql() -> dict[str, str]:
     from tspider_spark.operators.graph import (
         hits_oracle_sql,
+        hyperball_oracle_sql,
         opic_oracle_sql,
         pagerank_oracle_sql,
         trustrank_oracle_sql,
@@ -4266,6 +4287,12 @@ def oracle_sql() -> dict[str, str]:
                    c.event_id) - 1 as wave_rank
  from clean c left join pr p using (hostname)
 """,
+        "host_hyperball": hyperball_oracle_sql(
+            "edges as (select 'h' || (user_id % 37) as src, "
+            "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
+            "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",
+            radius=4, b=4,
+        ),
         "host_pagerank": pagerank_oracle_sql(
             "edges as (select 'h' || (user_id % 37) as src, "
             "'h' || ((user_id * 7 + event_id) % 37) as dst from events "

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "bpe_vocab",
     "bpe_encode",
     "pmi_collocations",
+    "host_hyperball",
 ]
 
 

@@ -1141,3 +1141,195 @@ def kcore_oracle_sql(edges_cte: str, k: int = 3, rounds: int = 8) -> str:
         f"select u as node from e{rounds} union all select v from e{rounds}"
         f") group by 1"
     )
+
+
+# --- HyperBall ---------------------------------------------------------------
+
+_HB_HASH_BITS = 60
+
+
+def _hb_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hb_est(m: int, s_col, nz_col):
+    """The HLL estimate (with linear-counting small-range correction)
+    over a partial register table — same math as sketch.hll_cardinality,
+    inlined so graph.py carries no cross-module expression coupling."""
+    s_full = s_col + (F.lit(m) - nz_col)
+    v = (F.lit(m) - nz_col).cast("double")
+    raw = F.lit(_hb_alpha(m) * m * m) / s_full
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+
+
+def hyperball(
+    edges: DataFrame,
+    radius: int = 4,
+    b: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the neighborhood function and
+    harmonic centrality of every node, estimated with per-node
+    HyperLogLog sketches — THE algorithm for distance-based
+    centralities on web-scale graphs, where exact BFS-per-node is
+    O(n·m) and materializing B(v, t) exactly is memory-impossible at
+    10^10 edges.
+
+    State per node is m = 2^b registers REGARDLESS of ball size, and
+    each round is ONE co-keyed shuffle: ball_t(v) = ball_{t-1}(v) ∪
+    (⋃ over v→w of ball_{t-1}(w)) becomes a register-table union +
+    ``groupBy(node, reg).max(rho)`` — HLL union is register-wise max,
+    which partial-aggregates map-side exactly like a sum. Lineage is
+    cut per round (the PageRank loop's measured 308 s → 10 s lesson).
+
+    Registers use the repo's portable md5/60-bit idiom (same as
+    ``operators/sketch.py``), so every register — and therefore every
+    estimate — is replayed BIT-FOR-BIT by :func:`hyperball_oracle_sql`.
+
+    Returns (node, ball, harmonic): ``ball`` = |B(v, radius)| estimate
+    (4dp), ``harmonic`` = Σ_t (|B_t| − |B_{t−1}|)/t (6dp), assembled
+    from the per-round estimates with a FIXED-ORDER arithmetic
+    expression (a pivot, not a float groupBy-sum, so summation order
+    can't wiggle the last bits between engines).
+    """
+    if radius < 1:
+        raise ValueError("hyperball needs radius >= 1")
+    m = 1 << b
+    w_bits = _HB_HASH_BITS - b
+    e = edges.select(src, dst).distinct()
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    hv = F.conv(F.substring(F.md5(F.col("node")), 1, 15), 16, 10).cast("long")
+    w = F.shiftrightunsigned(hv, b)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(w)) + 1
+    )
+    sk = nodes.select(
+        "node",
+        F.pmod(hv, F.lit(m)).cast("int").alias("reg"),
+        rho.cast("int").alias("rho"),
+    )
+
+    def _est(regs: DataFrame, t: int) -> DataFrame:
+        agg = regs.groupBy("node").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+            F.count(F.lit(1)).alias("_nz"),
+        )
+        return agg.select(
+            "node", F.lit(t).alias("t"), _hb_est(m, F.col("_s"), F.col("_nz")).alias("est")
+        )
+
+    ests = [_est(sk, 0)]
+    for t in range(1, radius + 1):
+        succ = (
+            e.join(sk, F.col(dst) == F.col("node"))
+            .select(F.col(src).alias("node"), "reg", "rho")
+        )
+        sk = (
+            sk.unionByName(succ)
+            .groupBy("node", "reg")
+            .agg(F.max("rho").alias("rho"))
+        )
+        if t % checkpoint_every == 0 and t < radius:
+            sk = sk.localCheckpoint(eager=True)
+        ests.append(_est(sk, t))
+    allest = ests[0]
+    for d in ests[1:]:
+        allest = allest.unionByName(d)
+    # pivot to fixed columns, then a fixed-order harmonic expression
+    piv = allest.groupBy("node").agg(
+        *[
+            F.max(F.when(F.col("t") == t, F.col("est"))).alias(f"e{t}")
+            for t in range(radius + 1)
+        ]
+    )
+    harm = F.lit(0.0)
+    for t in range(1, radius + 1):
+        harm = harm + (F.col(f"e{t}") - F.col(f"e{t-1}")) * F.lit(1.0 / t)
+    return piv.select(
+        "node",
+        F.round(F.col(f"e{radius}"), 4).alias("ball"),
+        F.round(harm, 6).alias("harmonic"),
+    )
+
+
+def hyperball_oracle_sql(edges_cte: str, radius: int = 4, b: int = 4) -> str:
+    """Chained-CTE DuckDB twin of :func:`hyperball`: identical md5
+    registers, union-as-max rounds, estimate formula, and fixed-order
+    harmonic assembly. ``edges_cte`` must define ``edges(src, dst)``."""
+    m = 1 << b
+    w_bits = _HB_HASH_BITS - b
+    alpha = _hb_alpha(m)
+    est_expr = (
+        f"case when ({alpha} * {m} * {m}) / (s + ({m} - nz)) <= {2.5 * m}"
+        f"          and ({m} - nz) > 0"
+        f"     then {float(m)} * ln({float(m)} / ({m} - nz))"
+        f"     else ({alpha} * {m} * {m}) / (s + ({m} - nz)) end"
+    )
+    parts = [
+        edges_cte,
+        "e as (select distinct src, dst from edges)",
+        "nodes as (select src as node from e union select dst from e)",
+        f"""sk0 as materialized (
+   select node,
+          cast(hv % {m} as int) as reg,
+          max(case when hv // {m} = 0 then {w_bits + 1}
+              else {w_bits} - length(bin(hv // {m})) + 1 end) as rho
+   from (select node,
+                ('0x' || substring(md5(node), 1, 15))::BIGINT as hv
+         from nodes)
+   group by 1, 2)""",
+        f"""est0 as (
+   select node, 0 as t, {est_expr} as est
+   from (select node, sum(power(2.0, -rho)) as s, count(*) as nz
+         from sk0 group by 1))""",
+    ]
+    for t in range(1, radius + 1):
+        parts.append(
+            f"""sk{t} as materialized (
+   select node, reg, max(rho) as rho from (
+     select node, reg, rho from sk{t - 1}
+     union all
+     select e.src as node, s.reg, s.rho
+     from e join sk{t - 1} s on s.node = e.dst
+   ) group by 1, 2)"""
+        )
+        parts.append(
+            f"""est{t} as (
+   select node, {t} as t, {est_expr} as est
+   from (select node, sum(power(2.0, -rho)) as s, count(*) as nz
+         from sk{t} group by 1))"""
+        )
+    union = " union all ".join(
+        f"select * from est{t}" for t in range(radius + 1)
+    )
+    pivots = ", ".join(
+        f"max(case when t = {t} then est end) as e{t}"
+        for t in range(radius + 1)
+    )
+    harm = " + ".join(
+        f"(e{t} - e{t - 1}) * {1.0 / t!r}" for t in range(1, radius + 1)
+    )
+    return (
+        "with " + ",\n ".join(parts)
+        + f""",
+ allest as ({union}),
+ piv as (select node, {pivots} from allest group by 1)
+ select node, round(e{radius}, 4) as ball,
+        round({harm}, 6) as harmonic
+ from piv"""
+    )
