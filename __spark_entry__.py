@@ -1432,6 +1432,23 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=10)
 
 
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH configuration eval against exact ground truth on the known-
+    dup corpus: recall (missed pairs) and candidate precision (wasted
+    verify work) for the shipped (16 bands × 2 rows) config vs the
+    cheaper (4 × 8) — measured, not guessed from the analytic bound."""
+    from tspider_spark.operators.textdedup import lsh_recall_eval
+
+    docs = _dup_docs(spark, sf_dir, 300)
+    out = None
+    for bands, rows in ((16, 2), (4, 8)):
+        r = lsh_recall_eval(
+            docs, n=3, tau=0.9, k=32, bands=bands, rows=rows
+        ).select(F.lit(f"b{bands}r{rows}").alias("config"), "*")
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def q_host_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall (Boldi & Vigna) over the events-derived host graph:
     HLL-sketched neighborhood function + harmonic centrality, radius 4
@@ -2600,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "pmi_collocations": q_pmi_collocations,
         "host_hyperball": q_host_hyperball,
+        "lsh_eval": q_lsh_eval,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -2775,6 +2793,54 @@ def _shingle_sql(src: str = "documents", n: int = 3) -> str:
    select distinct doc_id, array_to_string(w[i:i+{n - 1}], ' ') as shingle
    from idx
  )"""
+
+
+def _lsh_eval_cfg_sql(bands: int, rows: int, k: int = 32, tau: float = 0.9) -> str:
+    """One lsh_recall_eval config as a full statement (same md5
+    minhash family and '_'-joined band buckets as the Spark side)."""
+    mins = ", ".join(
+        f"min(('0x' || substring(md5('{j}:' || shingle), 1, 15))::BIGINT) as s{j}"
+        for j in range(k)
+    )
+    band_selects = " union all ".join(
+        f"select doc_id, {b} as band, "
+        + " || '_' || ".join(
+            f"cast(s{b * rows + r} as varchar)" for r in range(rows)
+        )
+        + " as bucket from sigs"
+        for b in range(bands)
+    )
+    return (
+        _DUP_DOCS_SQL.format(limit=300)
+        + ","
+        + _shingle_sql("dup_docs")
+        + f"""
+ , sigs as (select doc_id, {mins} from sh group by doc_id),
+ bb as ({band_selects}),
+ cand as (
+   select distinct a.doc_id ia, b.doc_id ib
+   from bb a join bb b on a.band = b.band and a.bucket = b.bucket
+                      and a.doc_id < b.doc_id),
+ inter as (
+   select a.doc_id ia, b.doc_id ib, count(*) n
+   from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+   group by 1, 2
+ ), sz as (select doc_id, count(*) c from sh group by 1),
+ truth as (
+   select ia, ib
+   from inter join sz sa on sa.doc_id = ia join sz sb on sb.doc_id = ib
+   where n * 1.0 / (sa.c + sb.c - n) >= {tau}),
+ hit as (select ia, ib from truth intersect select ia, ib from cand),
+ c as (select (select count(*) from truth)::BIGINT as n_true,
+              (select count(*) from cand)::BIGINT as n_cand,
+              (select count(*) from hit)::BIGINT as n_hit)
+ select 'b{bands}r{rows}' as config, n_true, n_cand, n_hit,
+        round(case when n_true > 0 then n_hit * 1.0 / n_true end, 6)
+          as recall,
+        round(case when n_cand > 0 then n_hit * 1.0 / n_cand end, 6)
+          as cand_precision
+ from c"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4287,6 +4353,10 @@ def oracle_sql() -> dict[str, str]:
                    c.event_id) - 1 as wave_rank
  from clean c left join pr p using (hostname)
 """,
+        "lsh_eval": (
+            "select * from (" + _lsh_eval_cfg_sql(16, 2) + ") union all "
+            "select * from (" + _lsh_eval_cfg_sql(4, 8) + ")"
+        ),
         "host_hyperball": hyperball_oracle_sql(
             "edges as (select 'h' || (user_id % 37) as src, "
             "'h' || ((user_id * 7 + event_id) % 37) as dst from events "

@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "pmi_collocations",
     "host_hyperball",
+    "lsh_eval",
 ]
 
 

@@ -812,3 +812,68 @@ def soft_dedup_weights(
         F.col("commonness"),
         F.round(F.lit(1.0) / F.col("commonness"), 6).alias("weight"),
     )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    n: int = 3,
+    tau: float = 0.9,
+    k: int = 32,
+    bands: int = 16,
+    rows: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Measure an LSH configuration against exact ground truth —
+    the "measure, don't guess" harness for the dedup scale path.
+
+    truth  = exact shingle-Jaccard pairs >= tau (the brute baseline)
+    cand   = the band-bucket candidate pairs the LSH config surfaces
+    n_hit  = truth ∩ cand (what the scale path would actually keep,
+             since the pipeline exact-verifies candidates)
+
+    recall        = n_hit / n_true   (pairs the config misses)
+    cand_precision = n_hit / n_cand  (verify work wasted on non-dups)
+
+    One row out; the three counts are independent 1-row aggregates
+    broadcast-cross-joined (never a driver scalar). Run it at a small
+    SF to pick (bands, rows) before committing the 100-TB job — the
+    analytic miss bound (1 - tau^rows)^bands tells you where to look,
+    this measures it on YOUR corpus.
+    """
+    sh = shingles(df, n, id_col, text)
+    sh.cache()
+    truth = jaccard_pairs(sh, tau, id_col).select("ia", "ib")
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, k, id_col, hash_fn), bands, rows, id_col
+    )
+    truth.cache()
+    cand.cache()
+    hits = truth.join(cand, ["ia", "ib"], "left_semi")
+    agg_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    agg_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    agg_hit = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        agg_true.crossJoin(F.broadcast(agg_cand))
+        .crossJoin(F.broadcast(agg_hit))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.when(
+                    F.col("n_true") > 0,
+                    F.col("n_hit") * 1.0 / F.col("n_true"),
+                ),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("n_cand") > 0,
+                    F.col("n_hit") * 1.0 / F.col("n_cand"),
+                ),
+                6,
+            ).alias("cand_precision"),
+        )
+    )
