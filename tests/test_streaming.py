@@ -225,3 +225,62 @@ def test_foreach_batch_incremental_dedupe(spark, tmp_path):
     # the index covers exactly the surviving docs
     idx_docs = {r.doc_id for r in store.read("band_index").collect()}
     assert idx_docs == kept2
+
+
+def test_foreach_batch_sketch_merge_equals_batch_sketch(spark, tmp_path):
+    """Streaming HLL maintenance: after draining N micro-batches, the
+    persisted register table must EQUAL the from-scratch batch sketch
+    of the union (HLL merge is exact on registers, not approximate),
+    state stays <= 2^b rows per host, and snapshots time-travel."""
+    from tspider_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from tspider_spark.sources.state import StateStore
+    from tspider_spark.streaming.stream import run_foreach_batch_sketch_merge
+
+    src = str(tmp_path / "urls")
+    rows = [
+        ("big.com", f"http://big.com/p{i}") for i in range(60)
+    ] + [("tiny.com", "http://tiny.com/a"), ("tiny.com", "http://tiny.com/b")]
+    # three files -> availableNow drains them as separate micro-batches
+    # (maxFilesPerTrigger=1)
+    for part in range(3):
+        spark.createDataFrame(
+            rows[part::3], "hostname string, url string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    stream = (
+        spark.readStream.schema("hostname string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_foreach_batch_sketch_merge(
+        stream, store, str(tmp_path / "ck"), b=5
+    )
+    q.awaitTermination(120)
+
+    merged = store.read("host_hll")
+    batch = hll_registers(
+        spark.createDataFrame(rows, "hostname string, url string"),
+        "hostname", "url", b=5,
+    ).select(F.col("grp").alias("hostname"), "reg", "rho")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # bounded state: at most m = 32 registers per host
+    per_host = merged.groupBy("hostname").count().collect()
+    assert all(r["count"] <= 32 for r in per_host)
+    # estimates finalize identically from the streamed registers
+    ests = {
+        r["hostname"]: r["n_hll"]
+        for r in hll_estimate(merged, b=5).collect()
+    }
+    assert 40 <= ests["big.com"] <= 90
+    assert 1 <= ests["tiny.com"] <= 4
+    # one snapshot per micro-batch: an earlier version has fewer or
+    # equally-advanced registers (time-travel reads work)
+    assert store.version >= 3
+    v1 = store.read("host_hll", version=1)
+    assert v1.count() <= merged.count()

@@ -85,6 +85,30 @@ def hll_registers(
     )
 
 
+def hll_estimate(
+    regs: DataFrame, b: int, group_col: str = "hostname"
+) -> DataFrame:
+    """Finalize a ``(group_col, reg, rho)`` register table into
+    per-group estimates — the READ side of the store-sketches-not-
+    numbers pattern (register tables persisted in the crawl state and
+    max-merged across waves/micro-batches finalize through this).
+    Output: (group_col, n_hll)."""
+    m = 1 << b
+    agg = regs.groupBy(group_col).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nz"),
+    )
+    # registers never hit contribute 2^0 each; V = m - nz empties
+    s_full = F.col("_s") + (F.lit(m) - F.col("_nz"))
+    v = (F.lit(m) - F.col("_nz")).cast("double")
+    raw = F.lit(_alpha(m) * m * m) / s_full
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(group_col, F.round(est, 4).alias("n_hll"))
+
+
 def hll_cardinality(
     df: DataFrame,
     group_col: str = "hostname",
@@ -106,24 +130,8 @@ def hll_cardinality(
 
     Output: (group_col, n_hll [, n_exact, rel_err]).
     """
-    m = 1 << b
     regs = hll_registers(df, group_col, item_col, b)
-    agg = regs.groupBy("grp").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
-        F.count(F.lit(1)).alias("_nz"),
-    )
-    # registers never hit contribute 2^0 each; V = m - nz empties
-    s_full = F.col("_s") + (F.lit(m) - F.col("_nz"))
-    v = (F.lit(m) - F.col("_nz")).cast("double")
-    raw = F.lit(_alpha(m) * m * m) / s_full
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (v > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
-    ).otherwise(raw)
-    out = agg.select(
-        F.col("grp").alias(group_col),
-        F.round(est, 4).alias("n_hll"),
-    )
+    out = hll_estimate(regs, b, "grp").withColumnRenamed("grp", group_col)
     if with_exact:
         exact = (
             df.select(F.col(group_col), F.col(item_col))

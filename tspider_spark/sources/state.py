@@ -139,12 +139,23 @@ SCHEMAS["band_index"] = T.StructType(
     ]
 )
 
+# streaming sketch maintenance (stream.py run_foreach_batch_sketch_merge):
+# per-host HLL register table max-merged across micro-batches — the
+# store-sketches-not-numbers pattern; ≤ 2^b rows per host forever
+SCHEMAS["host_hll"] = T.StructType(
+    [
+        T.StructField("hostname", T.StringType()),
+        T.StructField("reg", T.IntegerType()),
+        T.StructField("rho", T.IntegerType()),
+    ]
+)
+
 APPEND_TABLES = (
     "frontier", "seen_scanned", "seen_saved", "results", "fetch_metrics",
     "blocked_tasks", "dedup_docs", "band_index",
 )
 REPLACE_TABLES = ("host_budget", "whitelist", "seen_filter",
-                  "host_pattern_stats")
+                  "host_pattern_stats", "host_hll")
 
 
 class ConcurrentCommitError(RuntimeError):

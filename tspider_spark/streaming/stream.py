@@ -20,6 +20,9 @@ Operators:
 * ``run_foreach_batch_incremental_dedupe`` — continuous corpus
   ingestion with wave-proportional near-dup dedupe against the
   persisted band index (incremental_lsh_dups under foreachBatch).
+* ``run_foreach_batch_sketch_merge`` — per-host HLL cardinality
+  sketches max-merged into the state store every micro-batch (bounded
+  state, exact union semantics).
 * ``stream_budget_admission`` — F8+F9 as a custom stateful operator
   (applyInPandasWithState): per-host budget + admitted-key state
   carried across micro-batches.
@@ -254,4 +257,54 @@ def stream_budget_admission(
         stateStructType="reqcount long, admitted array<string>",
         outputMode="append",
         timeoutConf="NoTimeout",
+    )
+
+
+def run_foreach_batch_sketch_merge(
+    stream_df: DataFrame,
+    store,
+    checkpoint_dir: str,
+    key_col: str = "hostname",
+    item_col: str = "url",
+    b: int = 6,
+):
+    """Continuous per-host cardinality accounting: each micro-batch's
+    (hostname, url) rows are sketched into HLL registers and MERGED
+    into the persisted ``host_hll`` state table with a register-wise
+    max — the streaming face of the store-sketches-not-numbers pattern
+    (``operators/sketch.py``). State is ≤ 2^b rows per host FOREVER,
+    whatever the stream's volume, and the merge is exactly the union
+    semantics of HLL: the merged table equals the sketch of all items
+    ever seen (pinned by test), so estimates read via
+    :func:`~tspider_spark.operators.sketch.hll_estimate` never drift
+    from a from-scratch batch sketch.
+
+    Commits through the StateStore (one snapshot per micro-batch), so
+    a killed stream resumes from the last consistent register table
+    and ``tools/frontier_stats.py``-style readers can time-travel it.
+    """
+    from tspider_spark.operators.sketch import hll_registers
+
+    def step(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        delta = hll_registers(batch_df, key_col, item_col, b).select(
+            F.col("grp").alias("hostname"), "reg", "rho"
+        )
+        merged = (
+            store.read("host_hll")
+            .unionByName(delta)
+            .groupBy("hostname", "reg")
+            .agg(F.max("rho").alias("rho"))
+        )
+        store.commit(
+            replaces={"host_hll": merged},
+            meta={"last_sketch_batch": batch_id, "hll_b": b},
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
