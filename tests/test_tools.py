@@ -231,3 +231,35 @@ def test_frontier_stats_tool(spark, tmp_path, capsys):
     assert top["pattern"] == "http://big.com/item/{d}?id"
     assert top["n_exact"] == 40
     assert top["n_cms"] >= 40
+
+
+def test_frontier_stats_reads_streamed_sketch(spark, tmp_path, capsys):
+    """--table host_hll finalizes the streamed register table without
+    touching the raw key space (b read from commit meta)."""
+    import json
+
+    import frontier_stats
+
+    from tspider_spark.operators.sketch import hll_registers
+    from pyspark.sql import functions as F
+
+    store = StateStore(spark, str(tmp_path / "s"))
+    rows = [("big.com", f"http://big.com/p{i}") for i in range(50)]
+    regs = hll_registers(
+        spark.createDataFrame(rows, "hostname string, url string"),
+        "hostname", "url", b=5,
+    ).select(F.col("grp").alias("hostname"), "reg", "rho")
+    store.commit(replaces={"host_hll": regs}, meta={"hll_b": 5})
+
+    rc = frontier_stats.main(
+        ["--state", str(tmp_path / "s"), "--table", "host_hll"], spark=spark
+    )
+    assert rc == 0
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("FRONTIER_STATS ")
+    ][-1]
+    out = json.loads(line[len("FRONTIER_STATS "):])
+    assert out["hosts"][0]["hostname"] == "big.com"
+    assert 30 <= out["hosts"][0]["n_hll"] <= 80
+    assert out["hot_patterns"] == []

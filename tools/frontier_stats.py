@@ -37,7 +37,12 @@ def main(argv=None, spark=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--state", required=True)
     ap.add_argument(
-        "--table", default="seen_scanned", choices=["seen_scanned", "frontier"]
+        "--table",
+        default="seen_scanned",
+        choices=["seen_scanned", "frontier", "host_hll"],
+        help="host_hll: finalize the STREAMED register table "
+        "(run_foreach_batch_sketch_merge) instead of re-sketching raw "
+        "keys — no scan of the key space at all",
     )
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--b", type=int, default=6)
@@ -52,29 +57,44 @@ def main(argv=None, spark=None) -> int:
             "tspider-frontier-stats"
         ).getOrCreate()
 
-    from tspider_spark.operators.sketch import cms_top_k, hll_cardinality
+    from tspider_spark.operators.sketch import (
+        cms_top_k,
+        hll_cardinality,
+        hll_estimate,
+    )
     from tspider_spark.sources.state import StateStore
 
     store = StateStore(spark, args.state)
     df = store.read(args.table, version=args.version)
-    key = "scan_key" if args.table == "seen_scanned" else "url"
-
-    per_host = (
-        hll_cardinality(df, group_col="hostname", item_col=key, b=args.b)
-        .orderBy(F.col("n_hll").desc(), F.col("hostname"))
-        .limit(args.top)
-        .collect()
-    )
-    # digit-folded pattern: the same T2 canonicalization idea the
-    # scheduler's scan keys use — hot patterns are crawler-trap bait
-    patterns = df.select(
-        F.regexp_replace(F.col(key), "[0-9]+", "{d}").alias("url")
-    )
-    hot = (
-        cms_top_k(patterns, item_col="url", k=args.top)
-        .orderBy(F.col("n_exact").desc(), F.col("item"))
-        .collect()
-    )
+    if args.table == "host_hll":
+        # pre-sketched registers: finalize only (b comes from the
+        # stream's commit metadata, not the CLI)
+        b = int(store.meta().get("hll_b", args.b))
+        per_host = (
+            hll_estimate(df, b=b, group_col="hostname")
+            .orderBy(F.col("n_hll").desc(), F.col("hostname"))
+            .limit(args.top)
+            .collect()
+        )
+        hot = []
+    else:
+        key = "scan_key" if args.table == "seen_scanned" else "url"
+        per_host = (
+            hll_cardinality(df, group_col="hostname", item_col=key, b=args.b)
+            .orderBy(F.col("n_hll").desc(), F.col("hostname"))
+            .limit(args.top)
+            .collect()
+        )
+        # digit-folded pattern: the same T2 canonicalization idea the
+        # scheduler's scan keys use — hot patterns are crawler-trap bait
+        patterns = df.select(
+            F.regexp_replace(F.col(key), "[0-9]+", "{d}").alias("url")
+        )
+        hot = (
+            cms_top_k(patterns, item_col="url", k=args.top)
+            .orderBy(F.col("n_exact").desc(), F.col("item"))
+            .collect()
+        )
     out = {
         "table": args.table,
         "version": store.version if args.version is None else args.version,
