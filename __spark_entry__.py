@@ -1432,6 +1432,15 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=10)
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health Zipf fit: OLS slope/intercept of ln(freq) on
+    ln(rank) over the top-100 words + type/token mass — one corpus
+    scan, bounded-heap top-n, rank window over ≤100 rows."""
+    from tspider_spark.operators.textstats import zipf_stats
+
+    return zipf_stats(_load(spark, sf_dir, "documents"), top_n=100)
+
+
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH configuration eval against exact ground truth on the known-
     dup corpus: recall (missed pairs) and candidate precision (wasted
@@ -2618,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "host_hyperball": q_host_hyperball,
         "lsh_eval": q_lsh_eval,
+        "zipf_fit": q_zipf_fit,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -2864,6 +2874,7 @@ def oracle_sql() -> dict[str, str]:
     from tspider_spark.operators.textstats import (
         inverted_index_oracle_sql,
         pmi_oracle_sql,
+        zipf_oracle_sql,
     )
     from tspider_spark.operators.quality import (
         badwords_oracle_sql,
@@ -3634,6 +3645,7 @@ def oracle_sql() -> dict[str, str]:
             "docs as (select doc_id, text from documents)", n_merges=8,
         ),
         "pmi_collocations": pmi_oracle_sql(min_count=5, top_k=100),
+        "zipf_fit": zipf_oracle_sql(top_n=100),
         "weighted_sample_k": """
  with t as (
    select doc_id,

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "host_hyperball",
     "lsh_eval",
+    "zipf_fit",
 ]
 
 

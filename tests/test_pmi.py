@@ -59,3 +59,32 @@ def test_pmi_oracle_parity(spark, tmp_path):
     )
     exp = sorted(con.execute(pmi_oracle_sql(min_count=2)).fetchall())
     assert got == exp
+
+
+# --- zipf_stats (same corpus-stats family) ----------------------------------
+
+
+def test_zipf_slope_on_known_distribution(spark):
+    import math
+
+    from tspider_spark.operators.textstats import zipf_stats
+
+    # exact freq ∝ 1/rank corpus: aa x12, bb x6, cc x4, dd x3 -> slope
+    # of ln f on ln r over 4 points is exactly -1... (12/r rounding:
+    # use true harmonic counts 12, 6, 4, 3 = 12/r exactly)
+    words = ["aa"] * 12 + ["bb"] * 6 + ["cc"] * 4 + ["dd"] * 3
+    out = zipf_stats(
+        _docs(spark, " ".join(words)), top_n=4
+    ).collect()[0]
+    assert out["n_types"] == 4 and out["n_tokens"] == 25
+    assert out["top_n"] == 4
+    assert abs(out["zipf_slope"] - (-1.0)) < 1e-6
+    assert abs(out["zipf_intercept"] - math.log(12.0)) < 1e-6
+
+
+def test_zipf_rank_tie_break_is_total(spark):
+    from tspider_spark.operators.textstats import zipf_stats
+
+    # all words equally frequent: slope exactly 0, intercept ln(2)
+    out = zipf_stats(_docs(spark, "pp qq rr pp qq rr"), top_n=3).collect()[0]
+    assert out["zipf_slope"] == 0.0

@@ -716,3 +716,108 @@ def pmi_oracle_sql(
  join uni u2 on pr.w2 = u2.w
  cross join tot cross join ptot
  order by pmi desc, pr.w1, pr.w2 limit {int(top_k)}"""
+
+
+def zipf_stats(
+    docs: DataFrame,
+    text: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus-health diagnostic: Zipf rank-frequency fit. Natural text
+    follows freq ∝ rank^s with s ≈ −1; corpora polluted by boilerplate
+    or templated spam bend the head of the curve, so the fitted slope
+    is a cheap whole-corpus health number (alongside type/token mass).
+
+    OLS of ln(freq) on ln(rank) over the ``top_n`` most frequent
+    lowercase ``[a-z]+`` words (rank = row_number by freq desc, word
+    asc — total order). Shape: ONE corpus scan → vocab-sized hash agg;
+    the top-n cut is a bounded heap (TakeOrderedAndProject) and the
+    rank window runs over exactly top_n rows (bounded by construction
+    — this is the one place a single-partition window is correct).
+
+    Returns one row: (n_types, n_tokens, top_n, zipf_slope,
+    zipf_intercept), slope/intercept rounded to 6.
+    """
+    wf = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text}), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    totals = wf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("freq").cast("long").alias("n_tokens"),
+    )
+    top = wf.orderBy(F.desc("freq"), F.asc("w")).limit(int(top_n))
+    from pyspark.sql import Window
+
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("w")))
+        .alias("rank"),
+        "freq",
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    fit = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope"),
+        "n",
+        "sx",
+        "sy",
+    )
+    fit = fit.select(
+        F.round("slope", 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n"), 6
+        ).alias("zipf_intercept"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(fit))
+        .select(
+            "n_types",
+            "n_tokens",
+            F.lit(int(top_n)).alias("top_n"),
+            "zipf_slope",
+            "zipf_intercept",
+        )
+    )
+
+
+def zipf_oracle_sql(
+    src: str = "documents", text: str = "text", top_n: int = 100
+) -> str:
+    """DuckDB twin of :func:`zipf_stats` — identical rank order and
+    OLS formula (same division structure before round(6))."""
+    return f"""
+ with wf as (
+   select w, count(*)::bigint as freq
+   from (select unnest(regexp_extract_all(lower({text}), '[a-z]+')) as w
+         from {src})
+   group by 1),
+ totals as (select count(*)::bigint as n_types,
+                   sum(freq)::bigint as n_tokens from wf),
+ ranked as (
+   select row_number() over (order by freq desc, w) as rank, freq
+   from wf order by freq desc, w limit {int(top_n)}),
+ pts as (select ln(rank::double) as x, ln(freq::double) as y from ranked),
+ s as (select count(*)::double as n, sum(x) as sx, sum(y) as sy,
+              sum(x * y) as sxy, sum(x * x) as sxx from pts),
+ fit as (select (n * sxy - sx * sy) / (n * sxx - sx * sx) as slope,
+                n, sx, sy from s)
+ select totals.n_types, totals.n_tokens, {int(top_n)} as top_n,
+        round(slope, 6) as zipf_slope,
+        round((sy - slope * sx) / n, 6) as zipf_intercept
+ from totals cross join fit"""
