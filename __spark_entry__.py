@@ -1038,6 +1038,27 @@ def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_pr_curve(feats, labels, w)
 
 
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the trained classifier (1 iter, lr=0.2
+    — an early-training snapshot whose probabilities actually spread
+    across bins): per-bin mean predicted prob vs empirical positive
+    rate, the calibration check behind any 'keep the top X%' gate."""
+    from tspider_spark.operators.classify import (
+        classifier_calibration,
+        hashed_gram_features,
+        train_quality_classifier,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    feats = hashed_gram_features(d, n_buckets=512)
+    labels = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    w = train_quality_classifier(feats, labels, iters=1, lr=0.2)
+    return classifier_calibration(feats, labels, w)
+
+
 def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-weighted exactly-k document sample (A-ES exponential
     race, md5-derived clocks): longer docs win proportionally more
@@ -2628,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hyperball": q_host_hyperball,
         "lsh_eval": q_lsh_eval,
         "zipf_fit": q_zipf_fit,
+        "classifier_calibration": q_classifier_calibration,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -2863,6 +2885,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from tspider_spark.operators.textstats import script_stats_oracle_sql
     from tspider_spark.operators.classify import (
+        calibration_oracle_sql,
         pr_curve_oracle_sql,
         train_oracle_sql,
     )
@@ -3628,6 +3651,11 @@ def oracle_sql() -> dict[str, str]:
         # ones legally)
         "classifier_pr_curve": pr_curve_oracle_sql(
             train_oracle_sql(_CLS_FEATS_CTE, _CLS_LABELS_CTE, iters=3, lr=0.5),
+            _CLS_FEATS_CTE,
+            _CLS_LABELS_CTE,
+        ),
+        "classifier_calibration": calibration_oracle_sql(
+            train_oracle_sql(_CLS_FEATS_CTE, _CLS_LABELS_CTE, iters=1, lr=0.2),
             _CLS_FEATS_CTE,
             _CLS_LABELS_CTE,
         ),

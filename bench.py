@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "host_hyperball",
     "lsh_eval",
     "zipf_fit",
+    "classifier_calibration",
 ]
 
 

@@ -46,3 +46,58 @@ def test_hit_never_exceeds_either_side(spark):
     assert out["n_hit"] <= out["n_true"]
     assert out["n_hit"] <= out["n_cand"]
     assert 0.0 <= out["recall"] <= 1.0
+
+
+# --- classifier calibration (same eval-harness family) ----------------------
+
+
+def test_calibration_bins_partition_and_rates(spark):
+    from pyspark.sql import functions as F
+
+    from tspider_spark.operators.classify import (
+        classifier_calibration,
+        hashed_gram_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("good text here " if i % 2 else "bad junk words ") * 3)
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    feats = hashed_gram_features(docs, n_buckets=64)
+    labels = docs.select(
+        "doc_id", F.when(F.col("doc_id") % 2 == 1, 1.0).otherwise(0.0).alias("y")
+    )
+    # hand weights: zero -> every doc scores p = 0.5 -> single bin 5
+    w0 = spark.createDataFrame(
+        [(b, 0.0) for b in range(64)], "bucket int, weight double"
+    )
+    out = classifier_calibration(feats, labels, w0, bins=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bin"] == 5 and r["p_lo"] == 0.5 and r["p_hi"] == 0.6
+    assert r["n"] == 40 and r["n_pos"] == 20
+    assert r["mean_p"] == 0.5 and r["frac_pos"] == 0.5
+
+
+def test_calibration_bin_edges_clamp_to_last_bin(spark):
+    from pyspark.sql import functions as F
+
+    from tspider_spark.operators.classify import (
+        classifier_calibration,
+        hashed_gram_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd")], "doc_id long, text string"
+    )
+    feats = hashed_gram_features(docs, n_buckets=8)
+    labels = docs.select("doc_id", F.lit(1.0).alias("y"))
+    # huge positive weights -> p rounds to 1.0, which must land in bin
+    # bins-1, not a phantom bin `bins`
+    w = spark.createDataFrame(
+        [(b, 50.0) for b in range(8)], "bucket int, weight double"
+    )
+    out = classifier_calibration(feats, labels, w, bins=10).collect()
+    assert len(out) == 1 and out[0]["bin"] == 9
+    assert out[0]["p_hi"] == 1.0

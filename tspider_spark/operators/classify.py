@@ -411,3 +411,107 @@ def pr_curve_oracle_sql(
         tp / nullif(tp + fn, 0) as recall
  from c
 """
+
+
+def classifier_calibration(
+    feats: DataFrame,
+    labels: DataFrame,
+    weights: DataFrame,
+    bins: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reliability diagram of a (trained) linear quality classifier:
+    uniform probability bins with per-bin count, positive count, mean
+    predicted probability, and empirical positive rate. A classifier
+    whose gate threshold means anything needs frac_pos ≈ mean_p per
+    bin; drift between them is what temperature-scaling would fix —
+    and what silently mis-sizes a "keep the top X%" curation gate.
+
+    Same two-shuffle margin pass as :func:`classifier_pr_curve`, then
+    ONE map-side-combinable agg keyed by the bin index (≤ ``bins``
+    groups). frac_pos is a raw IEEE division of identical integer
+    counts; mean_p is a double mean rounded to 6 (same precedent as
+    the PageRank family).
+
+    Returns (bin, p_lo, p_hi, n, n_pos, mean_p, frac_pos), only bins
+    that contain at least one document.
+    """
+    margins = (
+        feats.select(
+            F.col(id_col).alias("_id"),
+            "bucket",
+            F.col("cnt").cast("double").alias("_x"),
+        )
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("_id")
+        .agg(F.round(F.sum(F.col("_x") * F.col("weight")), 7).alias("_m"))
+    )
+    scored = margins.join(
+        labels.select(F.col(id_col).alias("_id"), F.col("y").cast("double")),
+        "_id",
+    ).select(
+        "y",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_m"))), 9).alias(
+            "_p"
+        ),
+    )
+    # long, not int: DuckDB's least(floor()::int, k) still yields
+    # BIGINT, and the driver hash compares dtypes strictly
+    bin_ix = F.least(
+        F.floor(F.col("_p") * bins).cast("long"), F.lit(bins - 1).cast("long")
+    )
+    agg = (
+        scored.select(bin_ix.alias("bin"), "y", "_p")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.round(F.avg("_p"), 6).alias("mean_p"),
+        )
+    )
+    return agg.select(
+        "bin",
+        F.round(F.col("bin") * (1.0 / bins), 6).alias("p_lo"),
+        F.round((F.col("bin") + 1) * (1.0 / bins), 6).alias("p_hi"),
+        "n",
+        "n_pos",
+        "mean_p",
+        (F.col("n_pos") / F.col("n")).alias("frac_pos"),
+    )
+
+
+def calibration_oracle_sql(
+    train_sql: str,
+    feats_cte: str,
+    labels_cte: str,
+    bins: int = 10,
+) -> str:
+    """DuckDB twin of :func:`classifier_calibration` over the weights
+    produced by ``train_sql``."""
+    return f"""
+ with {feats_cte},
+ {labels_cte},
+ w as (select * from ({train_sql})),
+ m as (
+   select f.doc, round(sum(f.cnt * w.weight), 7) as m
+   from feats f join w on f.bucket = w.bucket group by 1
+ ),
+ s as (
+   select l.y, round(1.0 / (1.0 + exp(-m.m)), 9) as p
+   from m join labels l using (doc)
+ ),
+ c as (
+   select least(floor(p * {bins})::int, {bins - 1}) as bin,
+          count(*)::BIGINT as n,
+          sum(case when y = 1.0 then 1 else 0 end)::BIGINT as n_pos,
+          round(avg(p), 6) as mean_p
+   from s group by 1
+ )
+ select bin, round(bin * cast({1.0 / bins!r} as double), 6) as p_lo,
+        round((bin + 1) * cast({1.0 / bins!r} as double), 6) as p_hi,
+        n, n_pos, mean_p,
+        n_pos / n as frac_pos
+ from c
+"""
