@@ -1498,6 +1498,23 @@ def q_host_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball(edges, radius=4, b=4)
 
 
+def q_hyperball_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance distribution + 90% effective diameter of the host
+    graph from the same HyperBall rounds: neighborhood function N(t),
+    per-hop increments, interpolated first 0.9·N crossing."""
+    from tspider_spark.operators.graph import hyperball_distances
+
+    ev = _load(spark, sf_dir, "events")
+    src = F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string"))
+    dst = F.concat(
+        F.lit("h"), ((F.col("user_id") * 7 + F.col("event_id")) % 37).cast("string")
+    )
+    edges = ev.select(src.alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    return hyperball_distances(edges, radius=4, b=4)
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing a 4-gram with the
     held-out 'eval' slice (doc_id % 97 == 0). 4-grams because the
@@ -2650,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_eval": q_lsh_eval,
         "zipf_fit": q_zipf_fit,
         "classifier_calibration": q_classifier_calibration,
+        "hyperball_diameter": q_hyperball_diameter,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -2878,6 +2896,7 @@ def _lsh_eval_cfg_sql(bands: int, rows: int, k: int = 32, tau: float = 0.9) -> s
 def oracle_sql() -> dict[str, str]:
     from tspider_spark.operators.graph import (
         hits_oracle_sql,
+        hyperball_distances_oracle_sql,
         hyperball_oracle_sql,
         opic_oracle_sql,
         pagerank_oracle_sql,
@@ -4396,6 +4415,12 @@ def oracle_sql() -> dict[str, str]:
         "lsh_eval": (
             "select * from (" + _lsh_eval_cfg_sql(16, 2) + ") union all "
             "select * from (" + _lsh_eval_cfg_sql(4, 8) + ")"
+        ),
+        "hyperball_diameter": hyperball_distances_oracle_sql(
+            "edges as (select 'h' || (user_id % 37) as src, "
+            "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
+            "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",
+            radius=4, b=4,
         ),
         "host_hyperball": hyperball_oracle_sql(
             "edges as (select 'h' || (user_id % 37) as src, "

@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "lsh_eval",
     "zipf_fit",
     "classifier_calibration",
+    "hyperball_diameter",
 ]
 
 

@@ -66,3 +66,45 @@ def test_oracle_replays_registers_bit_for_bit(spark, tmp_path):
         radius=4, b=4,
     )
     assert got == sorted(con.execute(sql).fetchall())
+
+
+def test_distances_on_path_graph(spark):
+    from tspider_spark.operators.graph import hyperball_distances
+
+    # a -> b -> c: N(t) grows then saturates; frac hits 1.0 at the end
+    out = {
+        r["t"]: r
+        for r in hyperball_distances(
+            _edges(spark, [("a", "b"), ("b", "c")]), radius=3, b=6
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[0]["neighborhood"] < out[1]["neighborhood"]
+    assert out[2]["neighborhood"] == out[3]["neighborhood"]  # saturated
+    assert out[3]["reach_frac"] == 1.0 and out[3]["delta"] == 0.0
+    # eff_diameter is a single consistent value within [0, radius]
+    eds = {r["eff_diameter"] for r in out.values()}
+    assert len(eds) == 1
+    ed = eds.pop()
+    assert 0.0 <= ed <= 3.0
+
+
+def test_distances_oracle_parity(spark, tmp_path):
+    from tspider_spark.operators.graph import (
+        hyperball_distances,
+        hyperball_distances_oracle_sql,
+    )
+
+    pairs = [(f"n{i}", f"n{(i + 1) % 9}") for i in range(9)]
+    pairs += [("n0", "n4"), ("n2", "n7")]
+    _edges(spark, pairs).write.parquet(str(tmp_path / "e"))
+    edges = spark.read.parquet(str(tmp_path / "e"))
+    got = sorted(
+        map(tuple, hyperball_distances(edges, radius=5, b=4).collect())
+    )
+    con = duckdb.connect()
+    sql = hyperball_distances_oracle_sql(
+        f"edges as (select src, dst from '{tmp_path / 'e'}/*.parquet')",
+        radius=5, b=4,
+    )
+    assert got == sorted(con.execute(sql).fetchall())

@@ -1171,6 +1171,69 @@ def _hb_est(m: int, s_col, nz_col):
     ).otherwise(raw)
 
 
+def _hyperball_allest(
+    edges: DataFrame,
+    radius: int,
+    b: int,
+    src: str,
+    dst: str,
+    checkpoint_every: int,
+) -> DataFrame:
+    """Shared HyperBall round loop: returns the per-round estimate
+    table (node, t, est) for t in 0..radius (see :func:`hyperball`
+    for the algorithm and scale notes)."""
+    if radius < 1:
+        raise ValueError("hyperball needs radius >= 1")
+    m = 1 << b
+    w_bits = _HB_HASH_BITS - b
+    e = edges.select(src, dst).distinct()
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    hv = F.conv(F.substring(F.md5(F.col("node")), 1, 15), 16, 10).cast("long")
+    w = F.shiftrightunsigned(hv, b)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(w)) + 1
+    )
+    sk = nodes.select(
+        "node",
+        F.pmod(hv, F.lit(m)).cast("int").alias("reg"),
+        rho.cast("int").alias("rho"),
+    )
+
+    def _est(regs: DataFrame, t: int) -> DataFrame:
+        agg = regs.groupBy("node").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+            F.count(F.lit(1)).alias("_nz"),
+        )
+        return agg.select(
+            "node",
+            F.lit(t).alias("t"),
+            _hb_est(m, F.col("_s"), F.col("_nz")).alias("est"),
+        )
+
+    ests = [_est(sk, 0)]
+    for t in range(1, radius + 1):
+        succ = (
+            e.join(sk, F.col(dst) == F.col("node"))
+            .select(F.col(src).alias("node"), "reg", "rho")
+        )
+        sk = (
+            sk.unionByName(succ)
+            .groupBy("node", "reg")
+            .agg(F.max("rho").alias("rho"))
+        )
+        if t % checkpoint_every == 0 and t < radius:
+            sk = sk.localCheckpoint(eager=True)
+        ests.append(_est(sk, t))
+    allest = ests[0]
+    for d in ests[1:]:
+        allest = allest.unionByName(d)
+    return allest
+
+
 def hyperball(
     edges: DataFrame,
     radius: int = 4,
@@ -1203,53 +1266,7 @@ def hyperball(
     expression (a pivot, not a float groupBy-sum, so summation order
     can't wiggle the last bits between engines).
     """
-    if radius < 1:
-        raise ValueError("hyperball needs radius >= 1")
-    m = 1 << b
-    w_bits = _HB_HASH_BITS - b
-    e = edges.select(src, dst).distinct()
-    nodes = (
-        e.select(F.col(src).alias("node"))
-        .unionByName(e.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    hv = F.conv(F.substring(F.md5(F.col("node")), 1, 15), 16, 10).cast("long")
-    w = F.shiftrightunsigned(hv, b)
-    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
-        F.lit(w_bits) - F.length(F.bin(w)) + 1
-    )
-    sk = nodes.select(
-        "node",
-        F.pmod(hv, F.lit(m)).cast("int").alias("reg"),
-        rho.cast("int").alias("rho"),
-    )
-
-    def _est(regs: DataFrame, t: int) -> DataFrame:
-        agg = regs.groupBy("node").agg(
-            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
-            F.count(F.lit(1)).alias("_nz"),
-        )
-        return agg.select(
-            "node", F.lit(t).alias("t"), _hb_est(m, F.col("_s"), F.col("_nz")).alias("est")
-        )
-
-    ests = [_est(sk, 0)]
-    for t in range(1, radius + 1):
-        succ = (
-            e.join(sk, F.col(dst) == F.col("node"))
-            .select(F.col(src).alias("node"), "reg", "rho")
-        )
-        sk = (
-            sk.unionByName(succ)
-            .groupBy("node", "reg")
-            .agg(F.max("rho").alias("rho"))
-        )
-        if t % checkpoint_every == 0 and t < radius:
-            sk = sk.localCheckpoint(eager=True)
-        ests.append(_est(sk, t))
-    allest = ests[0]
-    for d in ests[1:]:
-        allest = allest.unionByName(d)
+    allest = _hyperball_allest(edges, radius, b, src, dst, checkpoint_every)
     # pivot to fixed columns, then a fixed-order harmonic expression
     piv = allest.groupBy("node").agg(
         *[
@@ -1332,4 +1349,102 @@ def hyperball_oracle_sql(edges_cte: str, radius: int = 4, b: int = 4) -> str:
  select node, round(e{radius}, 4) as ball,
         round({harm}, 6) as harmonic
  from piv"""
+    )
+
+
+def hyperball_distances(
+    edges: DataFrame,
+    radius: int = 6,
+    b: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Graph-level distance distribution from the same HyperBall
+    rounds: the neighborhood function N(t) = Σ_v |B(v, t)|, its
+    per-hop increments, and the 90% EFFECTIVE DIAMETER (smallest
+    interpolated t with N(t) ≥ 0.9·N(radius)) — the standard
+    reachability health numbers for a web graph (is the crawl frontier
+    one tight ball, or islands?).
+
+    Everything after the shared round loop operates on radius+1 rows;
+    the interpolation is a bounded-heap first-crossing pick, and the
+    total is a broadcast 1-row cross join.
+
+    Returns (t, neighborhood[4dp], delta[4dp], reach_frac[6dp],
+    eff_diameter[4dp — same value every row]).
+    """
+    allest = _hyperball_allest(edges, radius, b, src, dst, checkpoint_every)
+    nt = allest.groupBy("t").agg(
+        F.round(F.sum("est"), 4).alias("neighborhood")
+    )
+    prev = nt.select(
+        (F.col("t") + 1).alias("t"), F.col("neighborhood").alias("_prev")
+    )
+    tot = (
+        nt.orderBy(F.desc("t"))
+        .limit(1)
+        .select(F.col("neighborhood").alias("_tot"))
+    )
+    joined = nt.join(prev, "t", "left").crossJoin(F.broadcast(tot))
+    hit = (
+        joined.filter(
+            F.col("neighborhood") >= F.lit(0.9) * F.col("_tot")
+        )
+        .orderBy("t")
+        .limit(1)
+        .select(
+            F.when(F.col("t") == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("t") - 1)
+                + (F.lit(0.9) * F.col("_tot") - F.col("_prev"))
+                / (F.col("neighborhood") - F.col("_prev"))
+            )
+            .alias("_ed")
+        )
+    )
+    return joined.crossJoin(F.broadcast(hit)).select(
+        "t",
+        "neighborhood",
+        F.round(
+            F.col("neighborhood") - F.coalesce(F.col("_prev"), F.lit(0.0)), 4
+        ).alias("delta"),
+        F.round(F.col("neighborhood") / F.col("_tot"), 6).alias("reach_frac"),
+        F.round(F.col("_ed"), 4).alias("eff_diameter"),
+    )
+
+
+def hyperball_distances_oracle_sql(
+    edges_cte: str, radius: int = 6, b: int = 4
+) -> str:
+    """DuckDB twin of :func:`hyperball_distances` — same register
+    chain as :func:`hyperball_oracle_sql`, finalized corpus-level."""
+    base = hyperball_oracle_sql(edges_cte, radius, b)
+    # reuse the register/estimate CTE chain; swap the final select
+    head, _, _ = base.rpartition(",\n allest as (")
+    union = " union all ".join(
+        f"select * from est{t}" for t in range(radius + 1)
+    )
+    return (
+        head
+        + f""",
+ allest as ({union}),
+ nt as (select t, round(sum(est), 4) as neighborhood
+        from allest group by 1),
+ j as (select a.t, a.neighborhood, b.neighborhood as prev
+       from nt a left join nt b on b.t = a.t - 1),
+ tot as (select neighborhood as tot from nt order by t desc limit 1),
+ hit as (
+   select case when t = 0 then cast(0.0 as double)
+          else (t - 1) + (cast(0.9 as double) * tot - prev)
+                         / (neighborhood - prev) end as ed
+   from j cross join tot
+   where neighborhood >= cast(0.9 as double) * tot
+   order by t limit 1)
+ select j.t, j.neighborhood,
+        round(j.neighborhood - coalesce(j.prev, cast(0.0 as double)), 4)
+          as delta,
+        round(j.neighborhood / tot, 6) as reach_frac,
+        round(ed, 4) as eff_diameter
+ from j cross join tot cross join hit"""
     )
