@@ -141,6 +141,20 @@ _CLEAN_SQL = _URLS_SQL + """
 )
 """
 
+# the F9 admission relation — shared by f9_budget_admission and the
+# sched_fairness rollup over it
+_F9_SQL = _CLEAN_SQL + f"""
+ , firsts as (
+   select hostname, scan_key, min(event_id) as ord,
+          arg_min(url, event_id) as url
+   from clean group by 1, 2
+ ), ranked as (
+   select *, row_number() over (partition by hostname order by ord) rn
+   from firsts
+ )
+ select hostname, scan_key, url from ranked where rn <= {CAP + 1}
+"""
+
 
 def _derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tspider_spark.functions.urlfuncs import with_url_info
@@ -238,6 +252,16 @@ def q_f9_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = admit_wave(cands, empty, CAP, reduce_first=False,
                      partitions=int(spark.conf.get("spark.sql.shuffle.partitions")))
     return out.select("hostname", "scan_key", "url")
+
+
+def q_sched_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain's fairness index over the admission fold's per-host
+    allocation — one number saying whether the politeness/budget fold
+    spreads fetches or lets a head host dominate the wave. Exact
+    integer sums → bit-identical doubles, no rounding."""
+    from tspider_spark.operators.diagnose import fairness_index
+
+    return fairness_index(q_f9_budget_admission(spark, sf_dir), "hostname")
 
 
 def q_a2_index_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2668,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "classifier_calibration": q_classifier_calibration,
         "hyperball_diameter": q_hyperball_diameter,
+        "sched_fairness": q_sched_fairness,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -3034,17 +3059,18 @@ def oracle_sql() -> dict[str, str]:
  where scan_key not in
    (select scan_key from clean where event_type = 'click')
 """,
-        "f9_budget_admission": _CLEAN_SQL + f"""
- , firsts as (
-   select hostname, scan_key, min(event_id) as ord,
-          arg_min(url, event_id) as url
-   from clean group by 1, 2
- ), ranked as (
-   select *, row_number() over (partition by hostname order by ord) rn
-   from firsts
- )
- select hostname, scan_key, url from ranked where rn <= {CAP + 1}
-""",
+        "f9_budget_admission": _F9_SQL,
+        # Jain over the SAME admission relation (subquery-wrapped WITH)
+        "sched_fairness": f"""
+ select n_keys, total,
+        _mx / total as max_share,
+        (total * total) / (n_keys * _sq) as jain
+ from (
+   select count(*)::BIGINT as n_keys, sum(x)::BIGINT as total,
+          max(x)::BIGINT as _mx, sum(x * x)::BIGINT as _sq
+   from (select hostname, count(*)::BIGINT as x
+         from ({_F9_SQL}) group by 1)
+ )""",
         "a2_index_synthesis": _CLEAN_SQL + f"""
  , regular as (
    select hostname, scan_key, url, event_id as ord, 1 as pos from clean

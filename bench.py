@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "zipf_fit",
     "classifier_calibration",
     "hyperball_diameter",
+    "sched_fairness",
 ]
 
 

@@ -101,3 +101,26 @@ def test_calibration_bin_edges_clamp_to_last_bin(spark):
     out = classifier_calibration(feats, labels, w, bins=10).collect()
     assert len(out) == 1 and out[0]["bin"] == 9
     assert out[0]["p_hi"] == 1.0
+
+
+# --- fairness_index ----------------------------------------------------------
+
+
+def test_jain_fairness_extremes(spark):
+    from tspider_spark.operators.diagnose import fairness_index
+
+    # perfectly even: 3 hosts x 4 rows -> J = 1, max_share = 1/3
+    even = spark.createDataFrame(
+        [(f"h{i % 3}",) for i in range(12)], "hostname string"
+    )
+    r = fairness_index(even).collect()[0]
+    assert (r["n_keys"], r["total"]) == (3, 12)
+    assert r["jain"] == 1.0 and abs(r["max_share"] - 1 / 3) < 1e-12
+
+    # one host dominates: x = (9, 1, 1, 1) -> J = 144/(4*84)
+    skew = spark.createDataFrame(
+        [("big",)] * 9 + [("a",), ("b",), ("c",)], "hostname string"
+    )
+    r = fairness_index(skew).collect()[0]
+    assert r["jain"] == 144 / (4 * 84)
+    assert r["max_share"] == 0.75

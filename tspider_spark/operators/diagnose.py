@@ -123,3 +123,37 @@ def skew_summary(
             ).cast("int"),
         ).alias("recommended_salt"),
     )
+
+
+def fairness_index(df: DataFrame, key_col: str = "hostname") -> DataFrame:
+    """Jain's fairness index (Jain et al. 1984) of the per-key row
+    allocation: J = (Σx)² / (n·Σx²) over per-key counts x — 1.0 when
+    every key gets the same share, → 1/n when one key takes all. The
+    scheduler-health companion to :func:`skew_summary`: run it over a
+    wave's ADMITTED rows to check the politeness/budget fold is
+    spreading fetches, or over shuffle keys to quantify partition
+    balance as one number.
+
+    All inputs to the two divisions are exact integer sums, so the
+    doubles are bit-identical across engines — no rounding needed.
+
+    One count shuffle + a 1-row agg. Returns (n_keys, total,
+    max_share, jain).
+    """
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("x").cast("long").alias("total"),
+        F.max("x").cast("long").alias("_mx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sq"),
+    ).select(
+        "n_keys",
+        "total",
+        (F.col("_mx") / F.col("total")).alias("max_share"),
+        (
+            (F.col("total") * F.col("total"))
+            / (F.col("n_keys") * F.col("_sq"))
+        ).alias("jain"),
+    )
