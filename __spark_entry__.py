@@ -254,6 +254,23 @@ def q_f9_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("hostname", "scan_key", "url")
 
 
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise language-corpus shingle overlap via HLL set algebra
+    (|A∩B| ≈ |A|+|B|−|A∪B|, union = register-wise max): how much 3-gram
+    content two slices share, from #groups × 64 registers of state —
+    no pairwise item join at any scale."""
+    from tspider_spark.operators.sketch import hll_overlap
+    from tspider_spark.operators.textdedup import shingles
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("lang").alias("doc_id"), "text"
+    )
+    sh = shingles(d, n=3).select(
+        F.col("doc_id").alias("lang"), F.col("shingle").alias("sh")
+    )
+    return hll_overlap(sh, "lang", "sh", b=6)
+
+
 def q_sched_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jain's fairness index over the admission fold's per-host
     allocation — one number saying whether the politeness/budget fold
@@ -2693,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration": q_classifier_calibration,
         "hyperball_diameter": q_hyperball_diameter,
         "sched_fairness": q_sched_fairness,
+        "vocab_overlap": q_vocab_overlap,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -2953,7 +2971,11 @@ def oracle_sql() -> dict[str, str]:
         bpe_oracle_sql,
     )
     from tspider_spark.operators.recrawl import recrawl_oracle_sql
-    from tspider_spark.operators.sketch import cms_oracle_sql, hll_oracle_sql
+    from tspider_spark.operators.sketch import (
+        cms_oracle_sql,
+        hll_oracle_sql,
+        hll_overlap_oracle_sql,
+    )
     from tspider_spark.operators.textstats import LANG_STOPWORDS
 
     en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
@@ -3719,6 +3741,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pmi_collocations": pmi_oracle_sql(min_count=5, top_k=100),
         "zipf_fit": zipf_oracle_sql(top_n=100),
+        "vocab_overlap": hll_overlap_oracle_sql(
+            r"""src as (
+  select lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] as sh
+  from (select lang,
+               string_split_regex(trim(lower(text)), '\s+') as w,
+               unnest(range(1, greatest(
+                 len(string_split_regex(trim(lower(text)), '\s+')) - 2, 0
+               ) + 1)) as i
+        from documents))""",
+            "lang", "sh", b=6,
+        ),
         "weighted_sample_k": """
  with t as (
    select doc_id,

@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "classifier_calibration",
     "hyperball_diameter",
     "sched_fairness",
+    "vocab_overlap",
 ]
 
 

@@ -517,3 +517,50 @@ def test_cms_state_bounded_at_d_times_w(spark):
     rows = [(f"u{i}",) for i in range(5000)]
     df = spark.createDataFrame(rows, "url string")
     assert cms_table(df, d=3, w=64).count() <= 3 * 64
+
+
+# --- hll_overlap (sketch set algebra) ---------------------------------------
+
+
+def test_hll_overlap_disjoint_and_identical_sets(spark):
+    from pyspark.sql import functions as F
+
+    from tspider_spark.operators.sketch import hll_overlap
+
+    rows = (
+        [("a", f"x{i}") for i in range(40)]
+        + [("b", f"x{i}") for i in range(40)]      # b == a
+        + [("c", f"y{i}") for i in range(40)]      # c disjoint from both
+    )
+    df = spark.createDataFrame(rows, "grp string, item string")
+    out = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in hll_overlap(df, "grp", "item", b=6).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    # identical sets: union estimate == each side, intersection == side
+    assert ab["n_union"] == ab["n_a"] == ab["n_b"]
+    assert ab["n_inter"] == ab["n_a"]
+    # disjoint sets: intersection estimate near 0 (sketch noise only,
+    # clamped at >= 0), union >= max side
+    ac = out[("a", "c")]
+    assert ac["n_inter"] <= 0.25 * ac["n_a"]
+    assert ac["n_union"] >= max(ac["n_a"], ac["n_c"] if "n_c" in ac else 0)
+
+
+def test_hll_overlap_partial(spark):
+    from tspider_spark.operators.sketch import hll_overlap
+
+    # 30 shared + 30 exclusive each side: true |inter| = 30
+    rows = (
+        [("p", f"s{i}") for i in range(30)]
+        + [("p", f"p{i}") for i in range(30)]
+        + [("q", f"s{i}") for i in range(30)]
+        + [("q", f"q{i}") for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "grp string, item string")
+    r = hll_overlap(df, "grp", "item", b=8).collect()[0]
+    # b=8 (m=256): linear-counting regime, tight estimates
+    assert 15 <= r["n_inter"] <= 45
+    assert 45 <= r["n_a"] <= 75

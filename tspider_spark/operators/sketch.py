@@ -328,3 +328,148 @@ def cms_oracle_sql(
  from probes p join sk using (row, bucket)
  group by 1, 2
 """
+
+
+def hll_overlap(
+    df: DataFrame,
+    group_col: str = "lang",
+    item_col: str = "w",
+    b: int = 6,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between groups via HLL algebra:
+    |A ∩ B| ≈ |A| + |B| − |A ∪ B|, where the union sketch is just the
+    register-wise max of the two group sketches — no re-scan of the
+    items, no pairwise item join. The curation use: how much does one
+    source/language's vocabulary (or URL space, or shingle set)
+    overlap another's, at 10^10 items, from state the size of
+    #groups × 2^b.
+
+    Everything is one :func:`hll_registers` pass + joins against the
+    TINY distinct-group-pair table (#groups², broadcast); union
+    registers aggregate per (pair, reg) with map-side combine.
+
+    Estimates are the same 4dp-rounded finalization as
+    :func:`hll_estimate` on all three sketches; the intersection
+    (inclusion-exclusion of rounded values, clamped at 0 — I-E can go
+    slightly negative at sketch error) is exact double math after
+    that, so the oracle replays it bit-for-bit.
+
+    Returns (grp_a, grp_b, n_a, n_b, n_union, n_inter) for unordered
+    pairs grp_a < grp_b.
+    """
+    regs = hll_registers(df, group_col, item_col, b)
+    ests = hll_estimate(regs, b, "grp")
+    groups = regs.select("grp").distinct()
+    pairs = (
+        groups.select(F.col("grp").alias("grp_a"))
+        .crossJoin(groups.select(F.col("grp").alias("grp_b")))
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    side_a = regs.join(
+        F.broadcast(pairs), F.col("grp") == F.col("grp_a")
+    ).select("grp_a", "grp_b", "reg", "rho")
+    side_b = regs.join(
+        F.broadcast(pairs), F.col("grp") == F.col("grp_b")
+    ).select("grp_a", "grp_b", "reg", "rho")
+    union_regs = (
+        side_a.unionByName(side_b)
+        .groupBy("grp_a", "grp_b", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    m = 1 << b
+    uagg = union_regs.groupBy("grp_a", "grp_b").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nz"),
+    )
+    s_full = F.col("_s") + (F.lit(m) - F.col("_nz"))
+    v = (F.lit(m) - F.col("_nz")).cast("double")
+    raw = F.lit(_alpha(m) * m * m) / s_full
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    u = uagg.select("grp_a", "grp_b", F.round(est, 4).alias("n_union"))
+    ea = ests.select(F.col("grp").alias("grp_a"), F.col("n_hll").alias("n_a"))
+    eb = ests.select(F.col("grp").alias("grp_b"), F.col("n_hll").alias("n_b"))
+    return (
+        u.join(F.broadcast(ea), "grp_a")
+        .join(F.broadcast(eb), "grp_b")
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_a",
+            "n_b",
+            "n_union",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("n_a") + F.col("n_b") - F.col("n_union"),
+                ),
+                4,
+            ).alias("n_inter"),
+        )
+    )
+
+
+def hll_overlap_oracle_sql(
+    src_cte: str,
+    group_col: str = "lang",
+    item_col: str = "w",
+    b: int = 6,
+) -> str:
+    """DuckDB twin of :func:`hll_overlap`; ``src_cte`` must define
+    ``src(<group_col>, <item_col>)``."""
+    m = 1 << b
+    w_bits = _HASH_BITS - b
+    alpha = _alpha(m)
+
+    def est(s, nz):
+        return (
+            f"case when ({alpha} * {m} * {m}) / ({s} + ({m} - {nz}))"
+            f"          <= {2.5 * m} and ({m} - {nz}) > 0"
+            f"     then {float(m)} * ln({float(m)} / ({m} - {nz}))"
+            f"     else ({alpha} * {m} * {m}) / ({s} + ({m} - {nz})) end"
+        )
+
+    return f"""
+ with {src_cte},
+ h as (
+   select {group_col} as grp,
+          ('0x' || substring(md5({item_col}), 1, 15))::BIGINT as hv
+   from src
+ ),
+ r as (
+   select grp, cast(hv % {m} as int) as reg,
+          max(case when hv // {m} = 0 then {w_bits + 1}
+              else {w_bits} - length(bin(hv // {m})) + 1 end) as rho
+   from h group by 1, 2
+ ),
+ e as (
+   select grp, round({est('s', 'nz')}, 4) as n_hll
+   from (select grp, sum(power(2.0, -rho)) as s, count(*) as nz
+         from r group by 1)
+ ),
+ pairs as (
+   select a.grp as grp_a, b.grp as grp_b
+   from (select distinct grp from r) a, (select distinct grp from r) b
+   where a.grp < b.grp
+ ),
+ ur as (
+   select grp_a, grp_b, reg, max(rho) as rho from (
+     select p.grp_a, p.grp_b, r.reg, r.rho
+     from pairs p join r on r.grp = p.grp_a
+     union all
+     select p.grp_a, p.grp_b, r.reg, r.rho
+     from pairs p join r on r.grp = p.grp_b
+   ) group by 1, 2, 3
+ ),
+ u as (
+   select grp_a, grp_b, round({est('s', 'nz')}, 4) as n_union
+   from (select grp_a, grp_b, sum(power(2.0, -rho)) as s, count(*) as nz
+         from ur group by 1, 2)
+ )
+ select u.grp_a, u.grp_b, ea.n_hll as n_a, eb.n_hll as n_b, u.n_union,
+        round(greatest(cast(0.0 as double),
+                       ea.n_hll + eb.n_hll - u.n_union), 4) as n_inter
+ from u join e ea on ea.grp = u.grp_a join e eb on eb.grp = u.grp_b
+"""
