@@ -254,6 +254,26 @@ def q_f9_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("hostname", "scan_key", "url")
 
 
+def q_aimd_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD adaptive per-host politeness from the fetch log: clean
+    wave +1 slot, error-heavy wave halves — the sequential fold runs
+    as one in-row JVM aggregate over the wave-sorted history (bounded
+    by wave count), bit-replayed by DuckDB's list_reduce."""
+    from tspider_spark.operators.recrawl import aimd_concurrency
+
+    ev = _load(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string")).alias(
+            "hostname"
+        ),
+        (F.col("event_id") % 6).cast("int").alias("wave"),
+        ((F.col("user_id") * 13 + F.col("event_id")) % 5 == 0)
+        .cast("int")
+        .alias("is_err"),
+    )
+    return aimd_concurrency(log)
+
+
 def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise language-corpus shingle overlap via HLL set algebra
     (|A∩B| ≈ |A|+|B|−|A∪B|, union = register-wise max): how much 3-gram
@@ -2711,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_diameter": q_hyperball_diameter,
         "sched_fairness": q_sched_fairness,
         "vocab_overlap": q_vocab_overlap,
+        "aimd_politeness": q_aimd_politeness,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -2970,7 +2991,10 @@ def oracle_sql() -> dict[str, str]:
         bpe_encode_oracle_sql,
         bpe_oracle_sql,
     )
-    from tspider_spark.operators.recrawl import recrawl_oracle_sql
+    from tspider_spark.operators.recrawl import (
+        aimd_oracle_sql,
+        recrawl_oracle_sql,
+    )
     from tspider_spark.operators.sketch import (
         cms_oracle_sql,
         hll_oracle_sql,
@@ -4480,6 +4504,12 @@ def oracle_sql() -> dict[str, str]:
             "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
             "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",
             radius=4, b=4,
+        ),
+        "aimd_politeness": aimd_oracle_sql(
+            "log as (select 'h' || (user_id % 37) as hostname, "
+            "cast(event_id % 6 as int) as wave, "
+            "((user_id * 13 + event_id) % 5 = 0)::int as is_err "
+            "from events)"
         ),
         "host_hyperball": hyperball_oracle_sql(
             "edges as (select 'h' || (user_id % 37) as src, "

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "hyperball_diameter",
     "sched_fairness",
     "vocab_overlap",
+    "aimd_politeness",
 ]
 
 

@@ -144,3 +144,87 @@ def recrawl_oracle_sql(obs_cte: str, as_of_epoch: float) -> str:
         round(1.0 - exp(-lam_sec * since), 6) as p_stale
  from rates
 """
+
+
+def aimd_concurrency(
+    fetch_log: DataFrame,
+    err_threshold: float = 0.3,
+    c_max: float = 8.0,
+    host_col: str = "hostname",
+    wave_col: str = "wave",
+    err_col: str = "is_err",
+) -> DataFrame:
+    """Adaptive per-host politeness via AIMD (the TCP congestion rule,
+    and what production crawlers actually run — a fixed crawl delay is
+    the reference's answer, this is the continuous one): walk each
+    host's per-wave error history in wave order; a clean wave adds one
+    concurrency slot (additive increase, capped at ``c_max``), an
+    error-heavy wave (err rate > ``err_threshold``) halves it
+    (multiplicative decrease, floored at 1).
+
+    The fold is inherently sequential per host but bounded by the
+    number of WAVES (tiny), so it runs as one JVM ``aggregate`` over a
+    wave-sorted in-row array — per-host state never leaves the row,
+    no iteration, no Python, one shuffle on the host. Halving stays
+    exact in binary doubles, so the DuckDB twin (list_reduce with a
+    prepended initial state — DuckDB's reduce takes no init) replays
+    it bit-for-bit.
+
+    Returns (hostname, n_waves, final_concurrency).
+    """
+    per_wave = (
+        fetch_log.groupBy(host_col, wave_col)
+        .agg(F.avg(F.col(err_col).cast("double")).alias("_er"))
+        .select(
+            host_col,
+            F.struct(
+                F.col(wave_col).alias("wave"),
+                (F.col("_er") > err_threshold).cast("double").alias("bad"),
+            ).alias("_o"),
+        )
+    )
+    folded = per_wave.groupBy(host_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_waves"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list("_o")), lambda o: o["bad"]
+            ),
+            F.lit(1.0),
+            lambda c, o: F.when(
+                o == 1.0, F.greatest(F.lit(1.0), c / 2)
+            ).otherwise(F.least(F.lit(float(c_max)), c + 1)),
+        ).alias("final_concurrency"),
+    )
+    return folded.select(host_col, "n_waves", "final_concurrency")
+
+
+def aimd_oracle_sql(
+    log_cte: str,
+    err_threshold: float = 0.3,
+    c_max: float = 8.0,
+) -> str:
+    """DuckDB twin of :func:`aimd_concurrency`; ``log_cte`` must
+    define ``log(hostname, wave, is_err)``. DuckDB's list_reduce has
+    no initial-value argument, so the initial state 1.0 is PREPENDED
+    to the outcome list (first element becomes the accumulator —
+    positionally identical to Spark's aggregate(arr, 1.0, ...))."""
+    return f"""
+ with {log_cte},
+ pw as (
+   select hostname, wave,
+          (avg(is_err::double) > {err_threshold!r})::int::double as bad
+   from log group by 1, 2
+ ),
+ arrs as (
+   select hostname, count(*)::bigint as n_waves,
+          list_prepend(cast(1.0 as double), list(bad order by wave))
+            as outcomes
+   from pw group by 1
+ )
+ select hostname, n_waves,
+        list_reduce(outcomes,
+          (c, o) -> case when o = 1.0
+                         then greatest(cast(1.0 as double), c / 2)
+                         else least(cast({c_max!r} as double), c + 1) end)
+          as final_concurrency
+ from arrs"""
