@@ -254,6 +254,23 @@ def q_f9_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("hostname", "scan_key", "url")
 
 
+def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured vs theoretical bloom FPR at (m=2^16, k=3) over an
+    8k-key seen set with a disjoint probe set — the sizing harness for
+    the seen-set prefilter, fully declarative (portable md5 double
+    hashing, set semantics instead of a bit array) so the whole eval
+    is oracle-pinned."""
+    from tspider_spark.operators.dedupe import bloom_fpr_eval
+
+    ev = _load(spark, sf_dir, "events")
+    key = F.concat(
+        F.lit("u"), (F.col("user_id") * 131 + F.col("event_id")).cast("string")
+    )
+    seen = ev.select(key.alias("scan_key"))
+    probe = ev.select(F.concat(key, F.lit("#p")).alias("scan_key"))
+    return bloom_fpr_eval(seen, probe, m=1 << 16, k=3)
+
+
 def q_aimd_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AIMD adaptive per-host politeness from the fetch log: clean
     wave +1 slot, error-heavy wave halves — the sequential fold runs
@@ -2732,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sched_fairness": q_sched_fairness,
         "vocab_overlap": q_vocab_overlap,
         "aimd_politeness": q_aimd_politeness,
+        "bloom_fpr": q_bloom_fpr,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -2991,6 +3009,7 @@ def oracle_sql() -> dict[str, str]:
         bpe_encode_oracle_sql,
         bpe_oracle_sql,
     )
+    from tspider_spark.operators.dedupe import bloom_fpr_oracle_sql
     from tspider_spark.operators.recrawl import (
         aimd_oracle_sql,
         recrawl_oracle_sql,
@@ -4504,6 +4523,13 @@ def oracle_sql() -> dict[str, str]:
             "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
             "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",
             radius=4, b=4,
+        ),
+        "bloom_fpr": bloom_fpr_oracle_sql(
+            "seen as (select 'u' || (user_id * 131 + event_id) as scan_key "
+            "from events)",
+            "probe as (select 'u' || (user_id * 131 + event_id) || '#p' "
+            "as scan_key from events)",
+            m=1 << 16, k=3,
         ),
         "aimd_politeness": aimd_oracle_sql(
             "log as (select 'h' || (user_id % 37) as hostname, "

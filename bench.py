@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "sched_fairness",
     "vocab_overlap",
     "aimd_politeness",
+    "bloom_fpr",
 ]
 
 

@@ -72,3 +72,60 @@ def test_oracle_parity(spark, tmp_path):
         f"log as (select hostname, wave, is_err from '{tmp_path / 'l'}/*.parquet')"
     )
     assert got == sorted(con.execute(sql).fetchall())
+
+
+# --- bloom_fpr_eval (seen-set sizing harness) -------------------------------
+
+
+def test_bloom_fpr_no_false_negatives_by_construction(spark):
+    from tspider_spark.operators.dedupe import bloom_fpr_eval
+
+    seen = spark.createDataFrame(
+        [(f"k{i}",) for i in range(200)], "scan_key string"
+    )
+    # probe = the seen set itself: everything is excluded as a true
+    # positive, so n_probe = 0 and fpr is null (not a crash)
+    r = bloom_fpr_eval(seen, seen, m=1 << 12, k=3).collect()[0]
+    assert r["n_seen"] == 200 and r["n_probe"] == 0
+    assert r["n_fp"] == 0 and r["fpr"] is None
+
+
+def test_bloom_fpr_tracks_theory(spark):
+    from tspider_spark.operators.dedupe import bloom_fpr_eval
+
+    seen = spark.createDataFrame(
+        [(f"k{i}",) for i in range(2000)], "scan_key string"
+    )
+    probe = spark.createDataFrame(
+        [(f"p{i}",) for i in range(2000)], "scan_key string"
+    )
+    r = bloom_fpr_eval(seen, probe, m=1 << 13, k=2).collect()[0]
+    # fill ratio ~ 2000*2/8192 -> theory fpr ~ 0.17; measured within 3x
+    assert r["bits_set"] <= 4000
+    assert 0.0 <= r["fpr"] <= 1.0
+    assert abs(r["fpr"] - r["fpr_theory"]) < 0.1
+
+
+def test_bloom_fpr_oracle_parity(spark, tmp_path):
+    from tspider_spark.operators.dedupe import (
+        bloom_fpr_eval,
+        bloom_fpr_oracle_sql,
+    )
+
+    spark.createDataFrame(
+        [(f"s{i}",) for i in range(500)], "scan_key string"
+    ).write.parquet(str(tmp_path / "s"))
+    spark.createDataFrame(
+        [(f"q{i}",) for i in range(500)] + [("s1",), ("s2",)],
+        "scan_key string",
+    ).write.parquet(str(tmp_path / "q"))
+    seen = spark.read.parquet(str(tmp_path / "s"))
+    probe = spark.read.parquet(str(tmp_path / "q"))
+    got = [tuple(r) for r in bloom_fpr_eval(seen, probe, m=4096, k=3).collect()]
+    con = duckdb.connect()
+    sql = bloom_fpr_oracle_sql(
+        f"seen as (select scan_key from '{tmp_path / 's'}/*.parquet')",
+        f"probe as (select scan_key from '{tmp_path / 'q'}/*.parquet')",
+        m=4096, k=3,
+    )
+    assert got == con.execute(sql).fetchall()

@@ -579,3 +579,125 @@ def anti_join_seen_cuckoo(
     maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
     checked = maybe.join(seen.select(key_col).distinct(), key_col, "left_anti")
     return definite_new.unionByName(checked)
+
+
+def bloom_fpr_eval(
+    seen: DataFrame,
+    probe: DataFrame,
+    key_col: str = "scan_key",
+    m: int = 1 << 15,
+    k: int = 3,
+) -> DataFrame:
+    """Measured vs theoretical bloom false-positive rate — the
+    "measure, don't guess" harness for sizing the seen-set prefilter
+    before a 10^10-URL run (the analytic (1−e^{−kn/m})^k assumes
+    ideal hashes; this measures YOUR key distribution).
+
+    Declarative bloom, set semantics instead of a bit array: the
+    filter is the DISTINCT position set of the seen keys' k
+    double-hashed probes (p_i = (h1 + i·h2) mod m, the same scheme the
+    engine's BloomFilter runs), and a probe key false-positives when
+    all k of its positions hit. Hashing here is the portable md5
+    60-bit family (the engine's fast path uses pandas siphash — same
+    uniformity class, this one is DuckDB-replayable so the WHOLE eval
+    is oracle-pinned).
+
+    Probe keys already present in ``seen`` are excluded (those are
+    true positives, not errors). fpr_theory uses the MEASURED fill
+    ratio: (bits_set / m)^k — exact double math on integer counts.
+
+    One row: (n_seen, n_probe, m, k, bits_set, n_fp, fpr, fpr_theory).
+    """
+    def h(col, salt):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10
+        ).cast("long")
+
+    def positions(df):
+        i = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("i")
+        d = df.select(F.col(key_col).alias("_k")).select(
+            "_k", h(F.col("_k"), "bf1:").alias("_h1"),
+            h(F.col("_k"), "bf2:").alias("_h2"), i,
+        )
+        return d.select(
+            "_k", F.pmod(F.col("_h1") + F.col("i") * F.col("_h2"), F.lit(m)).alias("p")
+        )
+
+    seen_k = seen.select(key_col).distinct()
+    probe_k = probe.select(key_col).distinct().join(
+        seen_k, key_col, "left_anti"
+    )
+    bits = positions(seen_k).select("p").distinct()
+    hits = (
+        positions(probe_k)
+        .join(bits, "p", "left_semi")
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+        .filter(F.col("_nh") == k)
+    )
+    a_seen = seen_k.agg(F.count(F.lit(1)).cast("long").alias("n_seen"))
+    a_probe = probe_k.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
+    a_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    a_fp = hits.agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    return (
+        a_seen.crossJoin(F.broadcast(a_probe))
+        .crossJoin(F.broadcast(a_bits))
+        .crossJoin(F.broadcast(a_fp))
+        .select(
+            "n_seen",
+            "n_probe",
+            F.lit(int(m)).alias("m"),
+            F.lit(int(k)).alias("k"),
+            "bits_set",
+            "n_fp",
+            F.when(
+                F.col("n_probe") > 0, F.col("n_fp") / F.col("n_probe")
+            ).alias("fpr"),
+            F.round(
+                F.pow(F.col("bits_set") / F.lit(float(m)), F.lit(float(k))), 8
+            ).alias("fpr_theory"),
+        )
+    )
+
+
+def bloom_fpr_oracle_sql(
+    seen_cte: str,
+    probe_cte: str,
+    key_col: str = "scan_key",
+    m: int = 1 << 15,
+    k: int = 3,
+) -> str:
+    """DuckDB twin of :func:`bloom_fpr_eval`; the CTEs must define
+    ``seen(<key_col>)`` and ``probe(<key_col>)``."""
+    def h(salt):
+        return (
+            f"('0x' || substring(md5('{salt}' || {key_col}), 1, 15))::BIGINT"
+        )
+
+    return f"""
+ with {seen_cte},
+ {probe_cte},
+ sk as (select distinct {key_col} from seen),
+ pk as (select distinct {key_col} from probe
+        where {key_col} not in (select {key_col} from sk)),
+ spos as (
+   select distinct ({h('bf1:')} + i * {h('bf2:')}) % {m} as p
+   from sk cross join (select unnest(range(0, {k})) as i)
+ ),
+ ppos as (
+   select {key_col} as kk, ({h('bf1:')} + i * {h('bf2:')}) % {m} as p
+   from pk cross join (select unnest(range(0, {k})) as i)
+ ),
+ fp as (
+   select kk from ppos join spos using (p) group by kk
+   having count(*) = {k}
+ ),
+ c as (select (select count(*) from sk)::BIGINT as n_seen,
+              (select count(*) from pk)::BIGINT as n_probe,
+              (select count(*) from spos)::BIGINT as bits_set,
+              (select count(*) from fp)::BIGINT as n_fp)
+ select n_seen, n_probe, {int(m)} as m, {int(k)} as k, bits_set, n_fp,
+        case when n_probe > 0 then n_fp / n_probe end as fpr,
+        round(power(bits_set / cast({float(m)} as double),
+                    cast({float(k)} as double)), 8) as fpr_theory
+ from c"""
