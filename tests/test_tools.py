@@ -263,3 +263,47 @@ def test_frontier_stats_reads_streamed_sketch(spark, tmp_path, capsys):
     assert out["hosts"][0]["hostname"] == "big.com"
     assert 30 <= out["hosts"][0]["n_hll"] <= 80
     assert out["hot_patterns"] == []
+
+
+def test_state_diff_tool(spark, tmp_path, capsys):
+    """Snapshot diff between committed versions: appends show up as
+    `added`, replaces as added+removed, defaults diff the last commit."""
+    import json
+
+    import state_diff
+
+    store = StateStore(spark, str(tmp_path / "s"))
+    mk = lambda rows: spark.createDataFrame(rows, SCHEMAS["seen_scanned"])
+    store.commit(appends={"seen_scanned": mk([("h1", "k1"), ("h1", "k2")])})
+    store.commit(
+        appends={"seen_scanned": mk([("h2", "k3")])},
+        replaces={
+            "host_budget": spark.createDataFrame(
+                [("h1", 2)], SCHEMAS["host_budget"]
+            )
+        },
+    )
+    rc = state_diff.main([str(tmp_path / "s")], spark=spark)
+    assert rc == 0
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("STATE_DIFF ")
+    ][-1]
+    out = json.loads(line[len("STATE_DIFF "):])
+    assert (out["from"], out["to"]) == (1, 2)
+    ss = out["tables"]["seen_scanned"]
+    assert (ss["rows_from"], ss["rows_to"]) == (2, 3)
+    assert ss["added"] == 1 and ss["removed"] == 0
+    hb = out["tables"]["host_budget"]
+    assert hb["rows_from"] == 0 and hb["rows_to"] == 1 and hb["added"] == 1
+    # explicit range: full history diff from the empty v0
+    state_diff.main(
+        [str(tmp_path / "s"), "--from", "0", "--to", "2",
+         "--table", "seen_scanned", "--sample", "0"],
+        spark=spark,
+    )
+    out2 = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("STATE_DIFF ")][-1][len("STATE_DIFF "):]
+    )
+    assert out2["tables"]["seen_scanned"]["added"] == 3
