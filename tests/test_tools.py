@@ -307,3 +307,45 @@ def test_state_diff_tool(spark, tmp_path, capsys):
          if ln.startswith("STATE_DIFF ")][-1][len("STATE_DIFF "):]
     )
     assert out2["tables"]["seen_scanned"]["added"] == 3
+
+
+def test_export_shards_tool(spark, tmp_path, capsys):
+    """Sharded JSONL sink over a packed curation stage: rows land in
+    shard=N dirs by seq_first // shards_per_file, content round-trips."""
+    import json as _json
+
+    import export_shards
+
+    from tspider_spark.operators.curate import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "en", 40) for i in range(20)],
+        "doc_id long, lang string, n_tokens int",
+    )
+    packed = pack_sequences(docs, seq_tokens=100, stratum_col="lang")
+    packed.write.parquet(str(tmp_path / "out" / "packed"))
+
+    rc = export_shards.main(
+        [str(tmp_path / "out"), str(tmp_path / "shards"),
+         "--shards-per-file", "4", "--columns", "doc_id,lang"],
+        spark=spark,
+    )
+    assert rc == 0
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("EXPORT_SHARDS ")
+    ][-1]
+    stats = _json.loads(line[len("EXPORT_SHARDS "):])
+    assert stats["rows"] == 20
+    # 20 docs x 40 tokens = 800 tokens -> seq_first 0..7 -> shards 0,1
+    assert stats["shards"] == 2
+    shard_dirs = sorted(
+        p.name for p in (tmp_path / "shards").iterdir() if p.is_dir()
+    )
+    assert shard_dirs == ["shard=0", "shard=1"]
+    rows = []
+    for f in (tmp_path / "shards").rglob("*.json"):
+        rows += [_json.loads(ln) for ln in f.read_text().splitlines()]
+    assert len(rows) == 20
+    assert {r["doc_id"] for r in rows} == set(range(20))
+    assert all(set(r) == {"doc_id", "lang", "seq_first"} for r in rows)
