@@ -2229,6 +2229,45 @@ def q_robots_allow_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.3 wildcard evaluation: every host serves
+    Disallow /f*h + Allow /f*sh$ (+ Disallow /*.php$ when n%2==0);
+    four probes/host exercise '*' stretch, '$' anchoring, longest-
+    pattern-wins, and the no-match default. The oracle derives the
+    kept set from the host-number case analysis — independent of the
+    parser/matcher implementation."""
+    from pyspark.sql import functions as FF
+
+    from tspider_spark.operators.robots import (
+        parse_robots_rules,
+        robots_filter_wildcard,
+    )
+
+    hosts = _clean(spark, sf_dir).select(
+        F.col("u.hostname").alias("host")
+    ).distinct()
+    n = _host_num(F.col("host"))
+    body = FF.concat(
+        FF.lit("User-agent: *\nDisallow: /f*h\nAllow: /f*sh$\n"),
+        FF.when(n % 2 == 0, FF.lit("Disallow: /*.php$\n")).otherwise(
+            FF.lit("")
+        ),
+    )
+    rules = parse_robots_rules(hosts.withColumn("body", body))
+    cands = hosts.select(
+        FF.col("host").alias("hostname"),
+        FF.explode(
+            FF.array(
+                FF.lit("/fh"), FF.lit("/fish"),
+                FF.lit("/x.php"), FF.lit("/clean"),
+            )
+        ).alias("path"),
+    )
+    return robots_filter_wildcard(
+        cands, rules, host_col="hostname", path_col="path"
+    )
+
+
 def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 Sitemap-directive extraction over synthesized robots
     bodies (mis-cased keys, trailing comments, a relative URL that
@@ -2750,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap": q_vocab_overlap,
         "aimd_politeness": q_aimd_politeness,
         "bloom_fpr": q_bloom_fpr,
+        "robots_wildcards": q_robots_wildcards,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -4421,6 +4461,25 @@ def oracle_sql() -> dict[str, str]:
         when len(kept) > 0 then base || '?' || array_to_string(kept, '&')
         else base end as url_out
  from toks
+""",
+        # case analysis: /fh hits Disallow /f*h only -> dropped;
+        # /fish matches both and Allow /f*sh$ is longer -> kept;
+        # /x.php dropped only where the even-host /*.php$ rule exists;
+        # /clean never matches -> kept
+        "robots_wildcards": _CLEAN_SQL + """
+ , hosts as (
+   select distinct hostname as host,
+     cast(regexp_extract(hostname, 'host([0-9]+)', 1) as int) as n
+   from clean
+ ),
+ probes as (
+   select host, n, unnest(['/fh', '/fish', '/x.php', '/clean']) as path
+   from hosts
+ )
+ select host as hostname, path from probes
+ where path = '/fish'
+    or path = '/clean'
+    or (path = '/x.php' and n % 2 = 1)
 """,
         "robots_allow_precedence": _CLEAN_SQL + """
  , hosts as (

@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "vocab_overlap",
     "aimd_politeness",
     "bloom_fpr",
+    "robots_wildcards",
 ]
 
 

@@ -292,3 +292,63 @@ def test_submit_cli_robots_and_sitemap_bodies(spark, tmp_path):
     got = [(r["url"], r["depth"], r["rank"])
            for r in eng.crawl_order().collect()]
     assert got == oracle.crawl_order
+
+
+# --- wildcard matching (RFC 9309 §2.2.3) ------------------------------------
+
+
+def test_wildcard_filter_rfc_examples(spark):
+    from tspider_spark.operators.robots import (
+        parse_robots_rules,
+        robots_filter_wildcard,
+    )
+
+    bodies = spark.createDataFrame(
+        [
+            ("h1", "User-agent: *\nDisallow: /fish*\nAllow: /fish/ok\n"),
+            ("h2", "User-agent: *\nDisallow: /*.php$\n"),
+            ("h3", "User-agent: *\nDisallow: /p\nAllow: /p*d$\n"),
+        ],
+        "host string, body string",
+    )
+    rules = parse_robots_rules(bodies)
+    cands = spark.createDataFrame(
+        [
+            ("h1", "/fishheads"),      # /fish* stretches -> drop
+            ("h1", "/fish/ok/x"),      # longer Allow wins -> keep
+            ("h1", "/other"),          # no match -> keep
+            ("h2", "/index.php"),      # $ anchored hit -> drop
+            ("h2", "/index.php?x=1"),  # anchor fails past .php -> keep
+            ("h3", "/pad"),            # Allow /p*d$ (5) beats /p (2)
+            ("h3", "/pax"),            # only Disallow /p -> drop
+            ("h4", "/anything"),       # host with no rules -> keep
+        ],
+        "hostname string, path string",
+    )
+    kept = sorted(
+        (r["hostname"], r["path"])
+        for r in robots_filter_wildcard(cands, rules).collect()
+    )
+    assert kept == [
+        ("h1", "/fish/ok/x"), ("h1", "/other"),
+        ("h2", "/index.php?x=1"),
+        ("h3", "/pad"),
+        ("h4", "/anything"),
+    ]
+
+
+def test_wildcard_regex_escapes_metacharacters(spark):
+    from pyspark.sql import functions as F
+
+    from tspider_spark.operators.robots import rule_regex
+
+    rows = spark.createDataFrame(
+        [("/a.b",), ("/q?x=(1)",), ("/m$id",), ("/w*e$",), ("/b\\k",)],
+        "prefix string",
+    ).select("prefix", rule_regex("prefix").alias("rx")).collect()
+    rx = {r["prefix"]: r["rx"] for r in rows}
+    assert rx["/a.b"] == "^/a\\.b"            # '.' is literal
+    assert rx["/q?x=(1)"] == "^/q\\?x=\\(1\\)"
+    assert rx["/m$id"] == "^/m\\$id"          # mid-$ literal
+    assert rx["/w*e$"] == "^/w.*e$"           # trailing $ anchors
+    assert rx["/b\\k"] == "^/b\\\\k"

@@ -322,3 +322,76 @@ def parse_sitemap(
         url.alias("url"),
         F.col("_body").contains("<sitemapindex").alias("is_index"),
     )
+
+
+# regex metacharacters escaped when compiling an RFC 9309 pattern —
+# everything except '*' (compiled to '.*' afterwards); a trailing '$'
+# is stripped first (end anchor), so any '$' here is mid-pattern
+# literal. '\' must go first.
+_RX_ESCAPES = ["\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$"]
+
+
+def rule_regex(prefix_col) -> "F.Column":
+    """RFC 9309 §2.2.3 pattern → anchored regex string, built from
+    LITERAL replaces only, so the DuckDB oracle can produce the
+    byte-identical regex (Java regex and RE2 agree on the generated
+    constructs: escaped literals, ``.*``, ``^``/``$``). ``*`` matches
+    any character sequence; a TRAILING ``$`` anchors the match end
+    (mid-pattern ``$`` stays literal)."""
+    p = F.col(prefix_col) if isinstance(prefix_col, str) else prefix_col
+    ends = p.endswith("$")
+    body = F.when(ends, p.substr(F.lit(1), F.length(p) - 1)).otherwise(p)
+    for ch in _RX_ESCAPES:
+        body = F.replace(body, F.lit(ch), F.lit("\\" + ch))
+    body = F.replace(body, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), body, F.when(ends, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def robots_filter_wildcard(
+    cands: DataFrame,
+    rules: DataFrame,
+    host_col: str = "hostname",
+    path_col: str = "path",
+) -> DataFrame:
+    """Full RFC 9309 §2.2.2-§2.2.3 evaluation WITH wildcards: rules
+    may contain ``*`` (any sequence) and a trailing ``$`` (end
+    anchor); among the rules whose pattern matches the path the
+    LONGEST pattern wins and Allow beats Disallow on ties; no match =
+    allowed. Supersedes :func:`robots_filter_precedence` when
+    wildcard rules exist (prefix rules behave identically here).
+
+    Physical shape unchanged from the prefix version: per-host rule
+    arrays broadcast, ONE in-array JVM pass per candidate. The
+    precedence fold collapses to integer arithmetic — matched rules
+    map to ``2·len(pattern) + is_allow`` and ``array_max`` picks the
+    winner (odd = allowed), so no struct fold and the same expression
+    runs in the oracle."""
+    per_host = rules.groupBy(F.col("host").alias("_rhost")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "prefix", "allow", rule_regex("prefix").alias("rx")
+                )
+            )
+        ).alias("_rules")
+    )
+    joined = cands.join(
+        F.broadcast(per_host), F.col(host_col) == F.col("_rhost"), "left"
+    )
+    path = F.col(path_col)
+    empty = F.array().cast(
+        "array<struct<prefix:string,allow:boolean,rx:string>>"
+    )
+    keys = F.transform(
+        F.filter(
+            F.coalesce(F.col("_rules"), empty),
+            lambda r: F.regexp_like(path, r["rx"]),
+        ),
+        lambda r: F.length(r["prefix"]) * 2 + r["allow"].cast("int"),
+    )
+    best = F.array_max(keys)
+    return joined.filter(best.isNull() | (best % 2 == 1)).drop(
+        "_rhost", "_rules"
+    )
