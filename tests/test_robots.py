@@ -352,3 +352,54 @@ def test_wildcard_regex_escapes_metacharacters(spark):
     assert rx["/m$id"] == "^/m\\$id"          # mid-$ literal
     assert rx["/w*e$"] == "^/w.*e$"           # trailing $ anchors
     assert rx["/b\\k"] == "^/b\\\\k"
+
+
+def test_engine_wildcard_rules_supersede_prefix_summary(spark, tmp_path):
+    """robots_rules wiring: an Allow hole inside a Disallow (invisible
+    to the disallow-prefix summary) admits its URLs, and a $-anchored
+    wildcard blocks exactly its matches — end-to-end through seed+run."""
+    from tspider_spark.operators.robots import parse_robots_rules
+
+    docs, seeds = generate_corpus(
+        CorpusSpec(seed=21, n_domains=3, hosts_per_domain=2)
+    )
+    # pick a host with a real depth-1 pathful URL to carve the hole for
+    cfg = CrawlConfig(tld=True, max_per_host=10, robots_enabled=True)
+    base = ReferenceOracle(docs, cfg).run(seeds)
+    depth1 = sorted(
+        (u.split("/")[2], "/" + u.split("/", 3)[3])
+        for u, d, _ in base.crawl_order
+        if d == 1 and len(u.split("/", 3)) > 3 and u.split("/", 3)[3]
+    )
+    assert depth1, "corpus must schedule a pathful depth-1 URL"
+    rhost, hole = depth1[0]
+    body = (
+        "User-agent: *\n"
+        "Disallow: /\n"             # blanket block...
+        "Allow: /$\n"               # ...except the root itself ($-anchored)
+        f"Allow: {hole.split('?')[0]}*\n"  # ...and the hole
+    )
+    bodies = spark.createDataFrame([(rhost, body)], "host string, body string")
+    rules = parse_robots_rules(bodies)
+
+    engine = CrawlEngine(
+        spark, corpus_to_spark(spark, docs), str(tmp_path / "s"), cfg,
+        robots_rules=rules,
+    )
+    engine.seed(seeds)
+    engine.run()
+    got = [u for u, _, _ in
+           ((r["url"], r["depth"], r["rank"])
+            for r in engine.crawl_order().collect())]
+    rhost_urls = [u for u in got if u.startswith(f"http://{rhost}/")]
+    allow_prefix = f"http://{rhost}" + hole.split("?")[0]
+    # everything scheduled for rhost is the root (Allow /$ hole) or
+    # inside the wildcard Allow hole — the blanket Disallow ate the rest
+    assert all(
+        u == f"http://{rhost}/" or u.startswith(allow_prefix)
+        for u in rhost_urls
+    )
+    # and the hole is not empty — the wildcard Allow really admitted it
+    assert any(u.startswith(allow_prefix) for u in rhost_urls)
+    # other hosts unaffected
+    assert any(not u.startswith(f"http://{rhost}/") for u in got)

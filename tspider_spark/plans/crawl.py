@@ -60,7 +60,11 @@ from tspider_spark.operators.dedupe import (
     build_cuckoo_shard_df,
 )
 from tspider_spark.operators.extract import extract_candidates
-from tspider_spark.operators.robots import apply_crawl_delay, robots_filter
+from tspider_spark.operators.robots import (
+    apply_crawl_delay,
+    robots_filter,
+    robots_filter_wildcard,
+)
 from tspider_spark.operators.schedule import (
     admit_wave,
     admit_wave_salted,
@@ -81,11 +85,21 @@ class CrawlEngine:
         config: CrawlConfig | None = None,
         robots: DataFrame | None = None,
         host_priorities: DataFrame | None = None,
+        robots_rules: DataFrame | None = None,
     ):
         self.spark = spark
         self.documents = documents
         self.cfg = config or CrawlConfig()
         self.robots = robots if (config and config.robots_enabled) else None
+        # full RFC 9309 evaluation (Allow precedence + */$ wildcards):
+        # when the caller supplies the (host, prefix, allow) rule table
+        # (parse_robots_rules), scope checks route through the wildcard
+        # evaluator instead of the disallow-prefix summary; crawl-delay
+        # pacing still reads the parse_robots summary. Opt-in — absent
+        # rules preserve the prior (and reference-parity) behaviour.
+        self.robots_rules = (
+            robots_rules if (config and config.robots_enabled) else None
+        )
         # authority-priority mode (cfg.priority="authority"): like
         # ``documents``, the priority table is an input the caller
         # re-supplies on resume (the MODE round-trips via store meta)
@@ -133,7 +147,12 @@ class CrawlEngine:
                 "u.url", tuple(self.cfg.url_block_keywords),
                 self.cfg.url_keyword_threshold,
             ))
-        if self.robots is not None:
+        if self.robots_rules is not None:
+            s = robots_filter_wildcard(
+                s, self.robots_rules,
+                host_col="u.hostname", path_col="u.path",
+            )
+        elif self.robots is not None:
             s = robots_filter(s, self.robots, host_col="u.hostname")
         cands = s.select(
             F.col("u.hostname").alias("hostname"),
@@ -618,7 +637,12 @@ class CrawlEngine:
                 "u.url", tuple(self.cfg.url_block_keywords),
                 self.cfg.url_keyword_threshold,
             ))
-        if self.robots is not None:  # north_rule robots extension
+        if self.robots_rules is not None:  # north_rule robots extension
+            stream = robots_filter_wildcard(
+                stream, self.robots_rules,
+                host_col="u.hostname", path_col="u.path",
+            )
+        elif self.robots is not None:
             stream = robots_filter(stream, self.robots, host_col="u.hostname")
 
         # --- F8: committed seen_scanned anti-join --------------------------

@@ -58,6 +58,10 @@ def main(argv=None, stop_session=True):
                     help="parquet dir with (host, body): raw robots.txt "
                          "per host, parsed (parse_robots) and enforced "
                          "for disallow scoping + crawl-delay pacing")
+    ap.add_argument("--robots-precedence", action="store_true",
+                    help="evaluate robots with full RFC 9309 semantics "
+                         "(Allow precedence + * / trailing-$ wildcards) "
+                         "instead of the disallow-prefix summary")
     ap.add_argument("--sitemap-bodies", default=None,
                     help="parquet dir with (host, body): sitemap XML/"
                          "text bodies; non-index <loc> URLs become "
@@ -106,16 +110,25 @@ def main(argv=None, stop_session=True):
         if args.host_priorities else None
     )
     robots = None
+    robots_rules = None
     if args.robots_bodies:
-        from tspider_spark.operators.robots import parse_robots
+        from tspider_spark.operators.robots import (
+            parse_robots,
+            parse_robots_rules,
+        )
 
-        robots = parse_robots(spark.read.parquet(args.robots_bodies))
+        bodies = spark.read.parquet(args.robots_bodies)
+        robots = parse_robots(bodies)
+        if args.robots_precedence:
+            # full RFC 9309: Allow precedence + */$ wildcards
+            robots_rules = parse_robots_rules(bodies)
     if args.resume:
         cfg = CrawlConfig.from_meta(
             StateStore(spark, args.state).meta().get("config", {})
         )
         eng = CrawlEngine(spark, documents, args.state, cfg, robots=robots,
-                          host_priorities=host_priorities)
+                          host_priorities=host_priorities,
+                          robots_rules=robots_rules)
     else:
         kw: tuple = ()
         if args.url_block_keywords is not None:
@@ -136,7 +149,8 @@ def main(argv=None, stop_session=True):
             url_block_keywords=kw,
         )
         eng = CrawlEngine(spark, documents, args.state, cfg, robots=robots,
-                          host_priorities=host_priorities)
+                          host_priorities=host_priorities,
+                          robots_rules=robots_rules)
         ctx = ""
         if args.cookie_file:
             import hashlib
