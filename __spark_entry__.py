@@ -1531,6 +1531,21 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=10)
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-drift monitor between the English and non-English
+    corpus slices: top-20 per-word Jensen-Shannon contributions over
+    Laplace-smoothed unigram distributions — exact per-word math, no
+    cross-row float accumulation."""
+    from tspider_spark.operators.textstats import corpus_drift
+
+    d = _load(spark, sf_dir, "documents")
+    return corpus_drift(
+        d.filter(F.col("lang") == "en").select("text"),
+        d.filter(F.col("lang") != "en").select("text"),
+        top_k=20,
+    )
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health Zipf fit: OLS slope/intercept of ln(freq) on
     ln(rank) over the top-100 words + type/token mass — one corpus
@@ -2790,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aimd_politeness": q_aimd_politeness,
         "bloom_fpr": q_bloom_fpr,
         "robots_wildcards": q_robots_wildcards,
+        "corpus_drift": q_corpus_drift,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -3036,6 +3052,7 @@ def oracle_sql() -> dict[str, str]:
         triangles_oracle_sql,
     )
     from tspider_spark.operators.textstats import (
+        corpus_drift_oracle_sql,
         inverted_index_oracle_sql,
         pmi_oracle_sql,
         zipf_oracle_sql,
@@ -3824,6 +3841,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pmi_collocations": pmi_oracle_sql(min_count=5, top_k=100),
         "zipf_fit": zipf_oracle_sql(top_n=100),
+        "corpus_drift": corpus_drift_oracle_sql(
+            "old_docs as (select text from documents where lang = 'en')",
+            "new_docs as (select text from documents where lang <> 'en')",
+            top_k=20,
+        ),
         "vocab_overlap": hll_overlap_oracle_sql(
             r"""src as (
   select lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] as sh

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "aimd_politeness",
     "bloom_fpr",
     "robots_wildcards",
+    "corpus_drift",
 ]
 
 

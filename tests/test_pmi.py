@@ -88,3 +88,32 @@ def test_zipf_rank_tie_break_is_total(spark):
     # all words equally frequent: slope exactly 0, intercept ln(2)
     out = zipf_stats(_docs(spark, "pp qq rr pp qq rr"), top_n=3).collect()[0]
     assert out["zipf_slope"] == 0.0
+
+
+# --- corpus_drift -----------------------------------------------------------
+
+
+def test_drift_identical_slices_is_flat(spark):
+    from tspider_spark.operators.textstats import corpus_drift
+
+    d = _docs(spark, "aa bb cc", "dd ee aa")
+    out = corpus_drift(d, d, top_k=10).collect()
+    # identical distributions: every contribution is exactly 0
+    assert len(out) == 5
+    assert all(r["contrib"] == 0.0 for r in out)
+    assert all(r["p_old"] == r["p_new"] for r in out)
+
+
+def test_drift_surfaces_the_shifted_word(spark):
+    from tspider_spark.operators.textstats import corpus_drift
+
+    old = _docs(spark, "base base base common")
+    new = _docs(spark, "novel novel novel common")
+    out = corpus_drift(old, new, top_k=2).collect()
+    # the two one-sided words dominate; 'common' (shared) does not
+    top_words = {r["w"] for r in out}
+    assert top_words == {"base", "novel"}
+    assert all(r["contrib"] > 0 for r in out)
+    # one-sided words still get a smoothed nonzero probability
+    base = [r for r in out if r["w"] == "base"][0]
+    assert base["n_new"] == 0 and base["p_new"] > 0

@@ -821,3 +821,108 @@ def zipf_oracle_sql(
         round(slope, 6) as zipf_slope,
         round((sy - slope * sx) / n, 6) as zipf_intercept
  from totals cross join fit"""
+
+
+def corpus_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text: str = "text",
+    top_k: int = 20,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Distribution drift between two corpus slices (ingestion
+    monitoring: did this wave's crawl change what the corpus is made
+    of?): per-word Jensen-Shannon divergence contributions between the
+    Laplace-smoothed unigram distributions, top-k drivers first.
+
+    p_w = (c_w + α)/(N + αV) per side with V = |union vocabulary|, so
+    words absent from one side stay defined; contribution =
+    ½p·ln(p/m) + ½q·ln(q/m) with m = (p+q)/2 (summing it over the
+    vocabulary gives the total JSD — the per-word rows are emitted
+    instead because each is EXACT arithmetic on integer counts, no
+    cross-row float accumulation for the driver hash to wobble on).
+
+    Shape: one scan + vocab hash agg per side, ONE full-outer join on
+    the word, totals as broadcast 1-row cross joins, bounded-heap
+    top-k. Returns (w, n_old, n_new, p_old[8dp], p_new[8dp],
+    contrib[9dp]).
+    """
+    def counts(df, name):
+        return (
+            df.select(
+                F.explode(
+                    F.expr(f"regexp_extract_all(lower({text}), '[a-z]+', 0)")
+                ).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    co = counts(old, "n_old")
+    cn = counts(new, "n_new")
+    j = co.join(cn, "w", "full_outer").select(
+        "w",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    tot = j.agg(
+        F.sum("n_old").cast("long").alias("_no"),
+        F.sum("n_new").cast("long").alias("_nn"),
+        F.count(F.lit(1)).cast("long").alias("_v"),
+    )
+    a = F.lit(float(alpha))
+    p = (F.col("n_old") + a) / (F.col("_no") + a * F.col("_v"))
+    q = (F.col("n_new") + a) / (F.col("_nn") + a * F.col("_v"))
+    m = (p + q) / 2
+    contrib = F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "n_old",
+            "n_new",
+            F.round(p, 8).alias("p_old"),
+            F.round(q, 8).alias("p_new"),
+            F.round(contrib, 9).alias("contrib"),
+        )
+        .orderBy(F.desc("contrib"), F.asc("w"))
+        .limit(int(top_k))
+    )
+
+
+def corpus_drift_oracle_sql(
+    old_cte: str,
+    new_cte: str,
+    text: str = "text",
+    top_k: int = 20,
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`corpus_drift`; the CTEs must define
+    ``old_docs(text)`` and ``new_docs(text)``."""
+    a = f"cast({float(alpha)!r} as double)"
+    return f"""
+ with {old_cte},
+ {new_cte},
+ co as (select w, count(*)::bigint as n_old
+        from (select unnest(regexp_extract_all(lower({text}), '[a-z]+')) w
+              from old_docs) group by 1),
+ cn as (select w, count(*)::bigint as n_new
+        from (select unnest(regexp_extract_all(lower({text}), '[a-z]+')) w
+              from new_docs) group by 1),
+ j as (select coalesce(co.w, cn.w) as w,
+              coalesce(n_old, 0) as n_old, coalesce(n_new, 0) as n_new
+       from co full outer join cn on co.w = cn.w),
+ tot as (select sum(n_old)::bigint as no, sum(n_new)::bigint as nn,
+                count(*)::bigint as v from j),
+ e as (
+   select w, n_old, n_new,
+          (n_old + {a}) / (no + {a} * v) as p,
+          (n_new + {a}) / (nn + {a} * v) as q
+   from j cross join tot
+ )
+ select w, n_old, n_new,
+        round(p, 8) as p_old, round(q, 8) as p_new,
+        round(0.5 * p * ln(p / ((p + q) / 2))
+              + 0.5 * q * ln(q / ((p + q) / 2)), 9) as contrib
+ from e
+ order by contrib desc, w limit {int(top_k)}"""
