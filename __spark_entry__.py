@@ -1531,6 +1531,16 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=10)
 
 
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus-uniqueness: fraction of each doc's distinct
+    3-grams appearing in no other doc, over the known-dup corpus (the
+    +100000 copies force novelty 0 for every duplicated doc — the
+    oracle checks the discriminative case, not just round-tripping)."""
+    from tspider_spark.operators.quality import gram_novelty
+
+    return gram_novelty(_dup_docs(spark, sf_dir, 200), n=3)
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-drift monitor between the English and non-English
     corpus slices: top-20 per-word Jensen-Shannon contributions over
@@ -2806,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr": q_bloom_fpr,
         "robots_wildcards": q_robots_wildcards,
         "corpus_drift": q_corpus_drift,
+        "gram_novelty": q_gram_novelty,
         "classifier_train": q_classifier_train,
         "classifier_pr_curve": q_classifier_pr_curve,
         "host_kcore": q_host_kcore,
@@ -3841,6 +3852,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pmi_collocations": pmi_oracle_sql(min_count=5, top_k=100),
         "zipf_fit": zipf_oracle_sql(top_n=100),
+        "gram_novelty": _DUP_DOCS_SQL.format(limit=200)
+        + ","
+        + _shingle_sql("dup_docs")
+        + """
+ , dfc as (select shingle, count(*)::BIGINT as df from sh group by 1)
+ select doc_id, count(*)::BIGINT as n_grams,
+        sum((df = 1)::int)::BIGINT as n_novel,
+        round(sum((df = 1)::int) * 1.0 / count(*), 6) as novelty
+ from sh join dfc using (shingle)
+ group by doc_id
+""",
         "corpus_drift": corpus_drift_oracle_sql(
             "old_docs as (select text from documents where lang = 'en')",
             "new_docs as (select text from documents where lang <> 'en')",

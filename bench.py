@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "bloom_fpr",
     "robots_wildcards",
     "corpus_drift",
+    "gram_novelty",
 ]
 
 

@@ -574,3 +574,36 @@ def test_normalize_and_pii_random_properties(spark):
         sum(F.col(f"_left_{n}") for n, _, _ in PII_PATTERNS) > 0
     ).count()
     assert bad == 0
+
+
+def test_gram_novelty_semantics(spark):
+    from tspider_spark.operators.quality import gram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # grams abc, bcd unique
+            (2, "alpha beta gamma other"),   # shares 'alpha beta gamma'
+            (3, "wholly unrelated text here"),
+            (4, "ab"),                       # < 3 words: no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gram_novelty(docs, n=3).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4 has no grams -> no row
+    # doc 1: grams {a b g, b g d}; 'a b g' shared with doc 2 -> 1/2
+    assert out[1]["n_grams"] == 2 and out[1]["n_novel"] == 1
+    assert out[1]["novelty"] == 0.5
+    assert out[2]["novelty"] == 0.5
+    # doc 3: all grams unique
+    assert out[3]["novelty"] == 1.0
+
+
+def test_gram_novelty_exact_copies_score_zero(spark):
+    from tspider_spark.operators.quality import gram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    out = gram_novelty(docs, n=3).collect()
+    assert all(r["novelty"] == 0.0 for r in out)

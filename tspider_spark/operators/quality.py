@@ -1060,3 +1060,43 @@ def badwords_oracle_sql(
         (len(list_filter(toks, x -> list_contains([{lst}], x))) = 0) as keep
  from t
 """
+
+
+def gram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word n-grams that occur in NO other document — the doc-level
+    complement of pairwise dedupe (SoftDeDup downweights by component
+    size; this scores how much of each doc is corpus-unique, the
+    signal dedup-aware samplers upweight).
+
+    Shape: one shingle explode (distinct per doc) → gram document
+    frequency (hash agg on the gram, map-side combinable — stopword-
+    ish hot grams are bounded by n ≥ 3 exactly like jaccard_pairs) →
+    one id-keyed rollup. Returns (id, n_grams, n_novel,
+    novelty[6dp]); docs shorter than n words produce no grams and no
+    row (no token mass to score).
+    """
+    from tspider_spark.operators.textdedup import shingles
+
+    sh = shingles(docs, n, id_col, text)
+    df_counts = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("_df") == 1).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6)
+        )
+    )
