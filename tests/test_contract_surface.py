@@ -43,3 +43,13 @@ def test_all_query_outputs_are_scalar_columns(spark):
         if nested:
             bad[name] = nested
     assert not bad, f"non-scalar output columns crash the driver: {bad}"
+
+
+def test_bench_list_is_a_subset_of_the_contract():
+    # a bench entry without a queries() backing would crash the
+    # driver's per-round bench run
+    import bench
+
+    qs = set(entry.queries())
+    missing = [n for n in bench.BENCH_QUERIES if n not in qs]
+    assert not missing, f"bench names without contract queries: {missing}"
