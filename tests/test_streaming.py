@@ -284,3 +284,47 @@ def test_foreach_batch_sketch_merge_equals_batch_sketch(spark, tmp_path):
     assert store.version >= 3
     v1 = store.read("host_hll", version=1)
     assert v1.count() <= merged.count()
+
+
+def test_foreach_batch_cms_merge_equals_batch_sketch(spark, tmp_path):
+    """Streaming CMS maintenance: sum-merged counters across
+    micro-batches equal the from-scratch batch sketch exactly, state
+    is bounded by d*w, and top-k estimates read correctly."""
+    from tspider_spark.operators.sketch import cms_table
+    from tspider_spark.sources.state import StateStore
+    from tspider_spark.streaming.stream import run_foreach_batch_cms_merge
+
+    src = str(tmp_path / "urls")
+    rows = [(f"http://h.com/hot",)] * 30 + [
+        (f"http://h.com/p{i}",) for i in range(30)
+    ]
+    for part in range(3):
+        spark.createDataFrame(rows[part::3], "url string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_foreach_batch_cms_merge(
+        stream, store, str(tmp_path / "ck"), d=3, w=64
+    )
+    q.awaitTermination(120)
+
+    merged = store.read("cms_state")
+    batch = cms_table(
+        spark.createDataFrame(rows, "url string"), "url", d=3, w=64
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert merged.count() <= 3 * 64
+    # the sketch never undercounts the hot item
+    import pyspark.sql.functions as F
+
+    probes = merged.groupBy("row").agg(F.max("cnt").alias("mx"))
+    assert all(r["mx"] >= 30 for r in probes.collect())
+    assert store.version >= 3

@@ -150,12 +150,20 @@ SCHEMAS["host_hll"] = T.StructType(
     ]
 )
 
+SCHEMAS["cms_state"] = T.StructType(
+    [
+        T.StructField("row", T.IntegerType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
 APPEND_TABLES = (
     "frontier", "seen_scanned", "seen_saved", "results", "fetch_metrics",
     "blocked_tasks", "dedup_docs", "band_index",
 )
 REPLACE_TABLES = ("host_budget", "whitelist", "seen_filter",
-                  "host_pattern_stats", "host_hll")
+                  "host_pattern_stats", "host_hll", "cms_state")
 
 
 class ConcurrentCommitError(RuntimeError):

@@ -20,9 +20,10 @@ Operators:
 * ``run_foreach_batch_incremental_dedupe`` — continuous corpus
   ingestion with wave-proportional near-dup dedupe against the
   persisted band index (incremental_lsh_dups under foreachBatch).
-* ``run_foreach_batch_sketch_merge`` — per-host HLL cardinality
-  sketches max-merged into the state store every micro-batch (bounded
-  state, exact union semantics).
+* ``run_foreach_batch_sketch_merge`` / ``run_foreach_batch_cms_merge``
+  — the sketch-maintenance pair: per-host HLL registers max-merged
+  and the count-min table sum-merged into the state store every
+  micro-batch (bounded state, exact merge semantics).
 * ``stream_budget_admission`` — F8+F9 as a custom stateful operator
   (applyInPandasWithState): per-host budget + admitted-key state
   carried across micro-batches.
@@ -300,6 +301,48 @@ def run_foreach_batch_sketch_merge(
         store.commit(
             replaces={"host_hll": merged},
             meta={"last_sketch_batch": batch_id, "hll_b": b},
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_foreach_batch_cms_merge(
+    stream_df: DataFrame,
+    store,
+    checkpoint_dir: str,
+    item_col: str = "url",
+    d: int = 4,
+    w: int = 256,
+):
+    """The frequency half of the streaming sketch pair: each
+    micro-batch's items fold into the persisted ``cms_state``
+    count-min table by element-wise SUM (CMS merge), giving continuous
+    hot-URL-pattern pressure from d·w counters of state total —
+    however much traffic streams through. Merged counters equal the
+    from-scratch batch sketch exactly (sum-merge is lossless on
+    counters; pinned by test), and each micro-batch is one snapshot
+    commit, so readers time-travel the sketch history.
+    """
+    from tspider_spark.operators.sketch import cms_table
+
+    def step(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        delta = cms_table(batch_df, item_col, d, w)
+        merged = (
+            store.read("cms_state")
+            .unionByName(delta)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        store.commit(
+            replaces={"cms_state": merged},
+            meta={"last_cms_batch": batch_id, "cms_d": d, "cms_w": w},
         )
 
     return (
