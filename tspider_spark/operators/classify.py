@@ -203,12 +203,19 @@ def train_quality_classifier(
     """
     if iters < 1:
         raise ValueError("train_quality_classifier needs iters >= 1")
+    # Materialize the feature matrix ONCE: f feeds two joins per
+    # iteration (margins, gradient), so an un-cached plan recomputes
+    # the gram explode + md5 hashing 2×iters times — at sf0.1 that is
+    # the whole training cost. localCheckpoint (not cache) also cuts
+    # the lineage so the per-iteration plans stay flat.
     f = feats.select(
         F.col(id_col).alias("_id"),
         F.col("bucket"),
         F.col("cnt").cast("double").alias("_x"),
-    )
-    y = labels.select(F.col(id_col).alias("_id"), F.col("y").cast("double"))
+    ).localCheckpoint(eager=True)
+    y = labels.select(
+        F.col(id_col).alias("_id"), F.col("y").cast("double")
+    ).localCheckpoint(eager=True)
     nd = y.agg(F.count(F.lit(1)).cast("double").alias("_nd"))
     w = f.select("bucket").distinct().select(
         "bucket", F.lit(0.0).alias("_w")

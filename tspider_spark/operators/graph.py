@@ -49,7 +49,11 @@ def pagerank(
     """PageRank over the distinct directed edge set. Returns
     (node, rank) for every node appearing as source or target,
     rank rounded to 6 places."""
-    e = edges.select(src, dst).distinct()
+    # Materialize the loop-invariant relations ONCE: e feeds a join
+    # every iteration and base two — left as lazy plans they re-run
+    # the whole upstream edge derivation (documents scan + span
+    # explode + distinct) each round, which dominates the loop cost.
+    e = edges.select(src, dst).distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col(src).alias("node"))
         .unionByName(e.select(F.col(dst).alias("node")))
@@ -62,7 +66,11 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
     # deg joined once onto the rank table so each iteration reuses it
-    base = nodes.join(deg, "node", "left").crossJoin(F.broadcast(n_row))
+    base = (
+        nodes.join(deg, "node", "left")
+        .crossJoin(F.broadcast(n_row))
+        .localCheckpoint(eager=True)
+    )
 
     for i in range(iters):
         r = base.join(ranks, "node")
@@ -125,11 +133,14 @@ def hits(
     """
     if iters < 1:
         raise ValueError("hits needs iters >= 1")
-    e = edges.select(src, dst).distinct()
+    # e and nodes each feed TWO joins per iteration — materialize once
+    # (see the pagerank comment; same loop-invariant argument)
+    e = edges.select(src, dst).distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col(src).alias("node"))
         .unionByName(e.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_row = nodes.agg(F.count("*").alias("_n"))
     hub = nodes.crossJoin(F.broadcast(n_row)).select(
@@ -301,7 +312,8 @@ def trustrank(
     set is metadata-sized next to the graph), lineage cut per
     iteration. Returns (node, trust) rounded to 6 places.
     """
-    e = edges.select(src, dst).distinct()
+    # loop-invariant e/base materialized once (see pagerank comment)
+    e = edges.select(src, dst).distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col(src).alias("node"))
         .unionByName(e.select(F.col(dst).alias("node")))
@@ -313,7 +325,11 @@ def trustrank(
     ).select("node", F.coalesce("_is_seed", F.lit(0)).alias("_is_seed"))
     ns_row = flagged.agg(F.sum("_is_seed").alias("_ns"))
     deg = e.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("_deg"))
-    base = flagged.join(deg, "node", "left").crossJoin(F.broadcast(ns_row))
+    base = (
+        flagged.join(deg, "node", "left")
+        .crossJoin(F.broadcast(ns_row))
+        .localCheckpoint(eager=True)
+    )
     s_v = F.col("_is_seed").cast("double") / F.col("_ns")
 
     trust = base.select("node", s_v.alias("trust"))
@@ -435,7 +451,8 @@ def opic(
     Returns (node, importance) rounded to 6 places; importances sum
     to 1.
     """
-    e = edges.select(src, dst).distinct()
+    # loop-invariant e/base materialized once (see pagerank comment)
+    e = edges.select(src, dst).distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col(src).alias("node"))
         .unionByName(e.select(F.col(dst).alias("node")))
@@ -443,7 +460,11 @@ def opic(
     )
     n_row = nodes.agg(F.count("*").alias("_n"))
     deg = e.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("_deg"))
-    base = nodes.join(deg, "node", "left").crossJoin(F.broadcast(n_row))
+    base = (
+        nodes.join(deg, "node", "left")
+        .crossJoin(F.broadcast(n_row))
+        .localCheckpoint(eager=True)
+    )
 
     state = nodes.crossJoin(F.broadcast(n_row)).select(
         "node",
@@ -834,10 +855,13 @@ def label_propagation(
     if iters < 1:
         raise ValueError("label_propagation needs iters >= 1")
     e = edges.select(src, dst).filter(F.col(src) != F.col(dst)).distinct()
+    # nbrs is joined every round — materialize once (loop-invariant,
+    # same argument as the pagerank e/base checkpoint)
     nbrs = (
         e.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .unionByName(e.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = nbrs.select("node").distinct().select(
         "node", F.col("node").alias("label")
@@ -1092,6 +1116,10 @@ def kcore(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # materialize before the loop: round 1 references e three
+        # times (degree agg + two semi-joins) before the per-round
+        # checkpoint first fires, re-running the edge derivation
+        .localCheckpoint(eager=True)
     )
     for i in range(rounds):
         deg = (
@@ -1186,7 +1214,8 @@ def _hyperball_allest(
         raise ValueError("hyperball needs radius >= 1")
     m = 1 << b
     w_bits = _HB_HASH_BITS - b
-    e = edges.select(src, dst).distinct()
+    # e is joined every round — materialize once (loop-invariant)
+    e = edges.select(src, dst).distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col(src).alias("node"))
         .unionByName(e.select(F.col(dst).alias("node")))
