@@ -403,3 +403,58 @@ def test_engine_wildcard_rules_supersede_prefix_summary(spark, tmp_path):
     assert any(u.startswith(allow_prefix) for u in rhost_urls)
     # other hosts unaffected
     assert any(not u.startswith(f"http://{rhost}/") for u in got)
+
+
+def test_parse_sitemap_entries_defaults_and_decode(spark):
+    from tspider_spark.operators.robots import parse_sitemap_entries
+
+    body = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>http://a.example/p?x=1&amp;y=2</loc>"
+        "<priority>0.8</priority><lastmod>2026-01-15</lastmod></url>"
+        "<url><loc>http://a.example/bare</loc></url>"
+        "<url><priority>0.9</priority></url>"  # no loc -> dropped
+        "</urlset>"
+    )
+    bodies = spark.createDataFrame(
+        [("a.example", body)], "host string, body string"
+    )
+    rows = {r["url"]: r for r in parse_sitemap_entries(bodies).collect()}
+    assert set(rows) == {"http://a.example/p?x=1&y=2", "http://a.example/bare"}
+    full = rows["http://a.example/p?x=1&y=2"]
+    assert full["priority"] == 0.8
+    assert str(full["lastmod"]) == "2026-01-15"
+    bare = rows["http://a.example/bare"]
+    assert bare["priority"] == 0.5      # sitemaps.org default
+    assert bare["lastmod"] is None
+
+
+def test_sitemap_seed_rank_orders_and_caps(spark):
+    from tspider_spark.operators.robots import sitemap_seed_rank
+
+    entries = spark.createDataFrame(
+        [
+            # fresh + high priority wins
+            ("h", "http://h/a", 0.9, "2026-01-30"),
+            # same priority, staler -> lower
+            ("h", "http://h/b", 0.9, "2025-06-01"),
+            # undated ages to the cap
+            ("h", "http://h/c", 1.0, None),
+            # future lastmod clamps to age 0 (not negative)
+            ("h", "http://h/d", 0.4, "2026-03-01"),
+            ("h", "http://h/e", 0.1, "2026-01-30"),
+        ],
+        "host string, url string, priority double, lastmod string",
+    ).selectExpr("host", "url", "priority", "cast(lastmod as date) lastmod")
+    out = sitemap_seed_rank(
+        entries, ref_date="2026-02-01", half_life_days=30.0,
+        age_cap_days=365, top_k=3,
+    ).collect()
+    assert [r["url"] for r in sorted(out, key=lambda r: r["seed_rank"])] == [
+        "http://h/a",   # 0.9/(1+2/30)
+        "http://h/d",   # 0.4/(1+0/30) = 0.4 (future clamped)
+        "http://h/b",   # 0.9/(1+245/30) ~ 0.098
+    ]                   # c: 1.0/(1+365/30) ~ 0.076, e: ~0.094 -> cut at k=3
+    d = {r["url"]: r for r in out}
+    assert d["http://h/d"]["age_days"] == 0
+    assert all(r["seed_rank"] <= 3 for r in out)

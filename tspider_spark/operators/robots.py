@@ -395,3 +395,113 @@ def robots_filter_wildcard(
     return joined.filter(best.isNull() | (best % 2 == 1)).drop(
         "_rhost", "_rules"
     )
+
+
+# ---------------------------------------------------------------------------
+# sitemap-driven frontier seeding (priority + recency)
+
+
+def parse_sitemap_entries(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Full ``<url>``-block sitemap parse: unlike :func:`parse_sitemap`
+    (which harvests bare ``<loc>`` seeds), this keeps the per-URL
+    scheduling metadata the sitemaps.org protocol defines —
+    ``<priority>`` (default 0.5 per the spec when absent) and
+    ``<lastmod>`` (W3C date, null when absent) — so the frontier can
+    rank sitemap seeds instead of admitting them FIFO. The reference
+    has no sitemap stage at all (its seeds are CLI/file,
+    ``tspider.py:33-60``); this is a north-rule frontier extension.
+
+    Pure JVM and shuffle-free: one ``regexp_extract_all`` splits the
+    body into ``<url>`` blocks (one output row per block after the
+    explode), then per-block ``regexp_extract`` pulls loc / priority /
+    lastmod; loc is entity-decoded for the five XML predefined
+    entities. Blocks without a ``<loc>`` are dropped.
+
+    Returns (host, url, priority double, lastmod date).
+    """
+    blocks = F.expr(
+        f"regexp_extract_all({body_col}, '<url>(.*?)</url>', 1)"
+    )
+    out = bodies.select(
+        F.col(host_col).alias("host"), F.explode(blocks).alias("_blk")
+    )
+    loc = F.regexp_extract(
+        F.col("_blk"), "<loc>\\s*(?:<!\\[CDATA\\[)?([^<\\]\\s]+)", 1
+    )
+    pri = F.regexp_extract(F.col("_blk"), "<priority>([0-9.]+)</priority>", 1)
+    mod = F.regexp_extract(
+        F.col("_blk"), "<lastmod>([0-9]{4}-[0-9]{2}-[0-9]{2})", 1
+    )
+    url = loc
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&apos;", "'"),
+    ):
+        url = F.replace(url, F.lit(ent), F.lit(ch))
+    return out.filter(loc != "").select(
+        "host",
+        url.alias("url"),
+        F.when(pri == "", F.lit(0.5))
+        .otherwise(pri.cast("double"))
+        .alias("priority"),
+        F.when(mod == "", F.lit(None).cast("date"))
+        .otherwise(F.to_date(mod))
+        .alias("lastmod"),
+    )
+
+
+def sitemap_seed_rank(
+    entries: DataFrame,
+    ref_date: str,
+    half_life_days: float = 30.0,
+    age_cap_days: int = 365,
+    top_k: int = 3,
+) -> DataFrame:
+    """Rank sitemap entries into per-host seed lists for the frontier:
+    score = priority / (1 + age_days / half_life) — the spec's
+    priority damped by staleness. The decay is RATIONAL arithmetic
+    (one divide + one add), not exp()/pow(): IEEE divides round
+    identically on the JVM and DuckDB, so scores are bit-reproducible
+    across engines where a libm pow() is not (the classifier-training
+    lesson at classify.py:222). Missing lastmod ages to
+    ``age_cap_days`` (an undated URL competes as maximally stale);
+    future lastmod clamps to age 0.
+
+    ``ref_date`` is an explicit 'YYYY-MM-DD' literal — "today" is a
+    parameter, never a clock read, so replays are deterministic.
+
+    Scale shape: one hash exchange on host for the row_number window —
+    per-host sitemap cardinality is protocol-bounded (50k URLs/file),
+    so no single window partition can be frontier-sized; ties break by
+    url for total determinism. Returns (host, url, priority, age_days,
+    score, seed_rank) with seed_rank <= top_k.
+    """
+    from pyspark.sql import Window
+
+    age = F.when(
+        F.col("lastmod").isNull(), F.lit(age_cap_days)
+    ).otherwise(
+        F.greatest(
+            F.lit(0), F.datediff(F.to_date(F.lit(ref_date)), F.col("lastmod"))
+        )
+    )
+    scored = entries.select(
+        "host",
+        "url",
+        "priority",
+        age.cast("int").alias("age_days"),
+        F.round(
+            F.col("priority")
+            / (F.lit(1.0) + age.cast("double") / F.lit(half_life_days)),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("score").desc(), F.col("url").asc()
+    )
+    return (
+        scored.withColumn("seed_rank", F.row_number().over(w))
+        .filter(F.col("seed_rank") <= top_k)
+    )
