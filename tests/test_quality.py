@@ -607,3 +607,48 @@ def test_gram_novelty_exact_copies_score_zero(spark):
     )
     out = gram_novelty(docs, n=3).collect()
     assert all(r["novelty"] == 0.0 for r in out)
+
+
+def test_kn_bigram_matches_python_replica(spark):
+    import math
+    from collections import Counter
+    from tspider_spark.operators.quality import kn_bigram_logprob
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the fish"),
+        (3, "a dog sat on a log"),
+        (4, "one"),                      # single token -> no bigrams, dropped
+    ]
+    D = 0.75
+    # python replica of interpolated KN over the same corpus
+    toks = {i: t.lower().split() for i, t in docs}
+    pairs = [(w[j], w[j + 1]) for w in toks.values() for j in range(len(w) - 1)]
+    cbi = Counter(pairs)
+    cprev = Counter()
+    n1p_prev = Counter()
+    n1p_cur = Counter()
+    for (v, w), c in cbi.items():
+        cprev[v] += c
+        n1p_prev[v] += 1
+        n1p_cur[w] += 1
+    n_types = len(cbi)
+
+    def p(v, w):
+        return max(cbi[(v, w)] - D, 0.0) / cprev[v] + (
+            D * n1p_prev[v] / cprev[v]
+        ) * (n1p_cur[w] / n_types)
+
+    # KN invariant: P(.|v) sums to 1 over the full continuation vocab
+    vocab = set(n1p_cur)
+    for v in cprev:
+        assert abs(sum(p(v, w) for w in vocab) - 1.0) < 1e-9
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in kn_bigram_logprob(df, discount=D).collect()}
+    assert set(got) == {1, 2, 3}        # doc 4 has no bigrams
+    for i in (1, 2, 3):
+        w = toks[i]
+        bits = [-math.log2(p(w[j], w[j + 1])) for j in range(len(w) - 1)]
+        assert got[i]["n_bigrams"] == len(bits)
+        assert abs(got[i]["bits_per_token"] - sum(bits) / len(bits)) < 1e-5

@@ -471,6 +471,78 @@ def bigram_logprob(
     )
 
 
+def kn_bigram_logprob(
+    df: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999's interpolated form) — the smoothing KenLM
+    actually ships, one rung up from :func:`bigram_logprob`'s
+    ML+add-1 interpolation:
+
+    P(w|v) = max(c(v,w) − D, 0)/c(v·) + (D·N1+(v·)/c(v·)) · P_cont(w)
+    P_cont(w) = N1+(·w) / N1+(··)
+
+    where D is the absolute discount, N1+(v·) counts DISTINCT
+    continuations of v, N1+(·w) counts DISTINCT predecessors of w
+    (the "how many contexts has this word followed" novelty signal —
+    'Francisco' is frequent but predictable, so KN demotes it), and
+    N1+(··) is the bigram type count. Scoring the training corpus
+    itself keeps every probability finite without an OOV branch: all
+    scored pairs exist, so the discounted term is ≥ (1−D)/c(v·) > 0.
+
+    Scale shape mirrors :func:`bigram_logprob`: in-row adjacent-pair
+    zip (shuffle-free), ONE bigram groupBy (corpus-bounded, shuffled
+    never broadcast), two metadata aggs over the bigram TYPE table
+    (strictly smaller), hash-join probes on the pair key, per-doc
+    mean partial-aggregates. D is a parameter, never estimated from
+    n1/n2 counts, so both engines hold the identical double.
+
+    Output: (id_col, n_bigrams, bits_per_token) for docs with >= 2
+    non-empty tokens, rounded to 6 places.
+    """
+    w = f"filter({_words(text)}, x -> x <> '')"
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"case when size({w}) >= 2 then "
+                f"arrays_zip(slice({w}, 1, size({w}) - 1), "
+                f"slice({w}, 2, size({w}) - 1)) "
+                f"else array() end"
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.0").alias("prev"), F.col("_bg.1").alias("cur"))
+    bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cnt_bi"))
+    prev_tot = bi.groupBy("prev").agg(
+        F.sum("cnt_bi").alias("cnt_prev"),
+        F.count("*").alias("n1p_prev"),
+    )
+    cont = bi.groupBy("cur").agg(F.count("*").alias("n1p_cur"))
+    types = bi.agg(F.count("*").alias("n_types"))
+    d = F.lit(discount)
+    p = (
+        pairs.join(bi, ["prev", "cur"])
+        .join(prev_tot, "prev")
+        .join(cont, "cur")
+        .crossJoin(F.broadcast(types))
+        .select(
+            F.col(id_col),
+            (
+                F.greatest(F.col("cnt_bi") - d, F.lit(0.0)) / F.col("cnt_prev")
+                + (d * F.col("n1p_prev") / F.col("cnt_prev"))
+                * (F.col("n1p_cur") / F.col("n_types"))
+            ).alias("_p"),
+        )
+    )
+    return p.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(-F.log2("_p")), 6).alias("bits_per_token"),
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     lam: float = 0.7,
