@@ -1107,7 +1107,9 @@ def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _load(spark, sf_dir, "documents")
-    feats = hashed_gram_features(d, n_buckets=512)
+    # one materialization feeds training AND the post-train sweep —
+    # without it the gram explode re-runs for the scoring pass
+    feats = hashed_gram_features(d, n_buckets=512).localCheckpoint(eager=True)
     labels = d.select(
         "doc_id",
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
@@ -1128,7 +1130,8 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _load(spark, sf_dir, "documents")
-    feats = hashed_gram_features(d, n_buckets=512)
+    # one materialization feeds training AND the binning pass
+    feats = hashed_gram_features(d, n_buckets=512).localCheckpoint(eager=True)
     labels = d.select(
         "doc_id",
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
@@ -1887,6 +1890,16 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(docs)
 
 
+def q_kn_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (the smoothing KenLM
+    ships): absolute discount D=0.75, continuation probability from
+    distinct-predecessor counts — per-doc mean bits per token."""
+    from tspider_spark.operators.quality import kn_bigram_logprob
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return kn_bigram_logprob(docs, discount=0.75)
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail split: exact ntile(3) over the bigram-LM
     score via the scheduler's three-level distributed rank — no
@@ -2093,6 +2106,93 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     body = F.when(n % 6 == 0, index).otherwise(urlset)
     return parse_sitemap(hosts.withColumn("body", body))
+
+
+def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-context suffix array by prefix doubling over the
+    concatenated corpus (ExactSubstr's index structure, Lee et al.
+    2022): md5-subset docs (mod 8), ASCII-cleaned + capped at 120
+    chars + \\x01 sentinels, suffixes ranked by their first 64 chars
+    with position tie-break — 6 doubling rounds, each ONE shifted
+    self-join + distinct + three-level distributed rank (no global
+    window anywhere); first 300 suffixes returned."""
+    from tspider_spark.operators.suffixarray import suffix_array
+
+    d = _load(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sub = d.filter(hv % 8 == 0).select("doc_id", "text")
+    return suffix_array(
+        sub, max_doc_chars=120, prefix_len=64, top_k=300
+    )
+
+
+def q_sitemap_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven frontier seeding: parse full <url> blocks
+    (loc + optional <priority>/<lastmod>; spec default priority 0.5,
+    missing lastmod ages to the cap) and rank per-host seeds by
+    priority damped with staleness — score = priority/(1+age/30), a
+    rational decay chosen for bit-reproducibility over libm pow().
+    Synthesized bodies: host n serves n%4+1 urls; url i omits
+    <priority> when (n+i)%5==0 and <lastmod> when (n+i)%3==0;
+    lastmod = 2026-01-01 minus (n*7+i*13)%400 days; ref date
+    2026-02-01, top 3 per host."""
+    from tspider_spark.operators.robots import (
+        parse_sitemap_entries,
+        sitemap_seed_rank,
+    )
+
+    hosts = _clean(spark, sf_dir).select(
+        F.col("u.hostname").alias("host")
+    ).distinct()
+    n = _host_num(F.col("host"))
+    k = (n % 4 + 1).cast("int")
+
+    def _blk(i):
+        m = n + i
+        pri = F.when(
+            m % 5 == 0, F.lit("")
+        ).otherwise(
+            F.concat(
+                F.lit("<priority>0."),
+                (m % 9 + 1).cast("int").cast("string"),
+                F.lit("</priority>"),
+            )
+        )
+        mod = F.when(
+            m % 3 == 0, F.lit("")
+        ).otherwise(
+            F.concat(
+                F.lit("<lastmod>"),
+                F.date_format(
+                    F.date_sub(
+                        F.to_date(F.lit("2026-01-01")),
+                        ((n * 7 + i * 13) % 400).cast("int"),
+                    ),
+                    "yyyy-MM-dd",
+                ),
+                F.lit("</lastmod>"),
+            )
+        )
+        return F.concat(
+            F.lit("<url><loc>http://"), F.col("host"),
+            F.lit("/s/"), i.cast("string"),
+            F.lit("?x=1&amp;y=2</loc>"), pri, mod, F.lit("</url>"),
+        )
+
+    body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), k - 1), _blk), ""
+        ),
+        F.lit("</urlset>"),
+    )
+    entries = parse_sitemap_entries(hosts.withColumn("body", body))
+    return sitemap_seed_rank(
+        entries, ref_date="2026-02-01", half_life_days=30.0,
+        age_cap_days=365, top_k=3,
+    )
 
 
 def _scalarize(df: DataFrame) -> DataFrame:
@@ -2726,6 +2826,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "robots_allow_precedence": q_robots_allow_precedence,
         "gopher_filter": q_gopher_filter,
+        # round-3 continuation additions (newest first: never checked)
+        "sitemap_seed": q_sitemap_seed,
+        "suffix_array": q_suffix_array,
+        "kn_bigram_bits": q_kn_bigram_bits,
         # round-3 additions (new => inside the driver's 50-query window)
         "host_hits": q_host_hits,
         "host_opic": q_host_opic,
@@ -3052,6 +3156,7 @@ def oracle_sql() -> dict[str, str]:
         trustrank_oracle_sql,
     )
     from tspider_spark.operators.textstats import script_stats_oracle_sql
+    from tspider_spark.operators.suffixarray import suffix_array_oracle_sql
     from tspider_spark.operators.classify import (
         calibration_oracle_sql,
         pr_curve_oracle_sql,
@@ -4391,6 +4496,49 @@ def oracle_sql() -> dict[str, str]:
  from rt join freq using (w) cross join tot
  group by doc_id
 """,
+        "suffix_array": suffix_array_oracle_sql(
+            "with docs as (select doc_id, text from documents "
+            "where ('0x' || substring(md5(cast(doc_id as varchar)), 1, 15))"
+            "::BIGINT % 8 = 0)",
+            max_doc_chars=120,
+            prefix_len=64,
+            top_k=300,
+        ),
+        "sitemap_seed": _CLEAN_SQL + """
+ , hosts as (
+   select distinct hostname as host,
+     cast(regexp_extract(hostname, 'host([0-9]+)', 1) as int) as n
+   from clean
+ ),
+ ent as (
+   select host,
+     'http://' || host || '/s/' || i || '?x=1&y=2' as url,
+     case when (n + i) % 5 = 0 then cast(0.5 as double)
+          else cast('0.' || ((n + i) % 9 + 1) as double) end as priority,
+     case when (n + i) % 3 = 0 then cast(null as date)
+          else date '2026-01-01' - cast((n*7 + i*13) % 400 as int)
+          end as lastmod
+   from hosts, unnest(range(0, 4)) as t(i)
+   where i < n % 4 + 1
+ ),
+ scored as (
+   select host, url, priority,
+     cast(case when lastmod is null then 365
+          else greatest(0, date_diff('day', lastmod, date '2026-02-01'))
+          end as int) as age_days
+   from ent
+ ),
+ sc2 as (
+   select *, round(priority / (1 + cast(age_days as double) / 30.0), 6)
+          as score
+   from scored
+ )
+ select host, url, priority, age_days, score,
+   cast(row_number() over (partition by host
+        order by score desc, url asc) as int) as seed_rank
+ from sc2
+ qualify seed_rank <= 3
+""",
         "sitemap_parse": _CLEAN_SQL + """
  , hosts as (
    select distinct hostname as host,
@@ -4681,6 +4829,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         "script_stats": script_stats_oracle_sql("documents"),
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
+        "kn_bigram_bits": """
+ with words as (
+   select doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      x -> x <> '') as wl
+   from documents
+ ),
+ idx as (
+   select doc_id, wl, unnest(range(1, len(wl))) as i from words
+ ),
+ pairs as (
+   select doc_id, wl[i] as prev, wl[i + 1] as cur from idx
+ ),
+ bi as (select prev, cur, count(*) as cnt_bi from pairs group by 1, 2),
+ pt as (select prev, sum(cnt_bi) as cnt_prev, count(*) as n1p_prev
+        from bi group by 1),
+ ct as (select cur, count(*) as n1p_cur from bi group by 1),
+ ty as (select count(*) as n_types from bi)
+ select doc_id, count(*) as n_bigrams,
+        round(avg(-log2(
+          greatest(cnt_bi - cast(0.75 as double), cast(0.0 as double))
+            / cnt_prev
+          + (cast(0.75 as double) * n1p_prev / cnt_prev)
+            * (n1p_cur / n_types)
+        )), 6) as bits_per_token
+ from pairs
+ join bi using (prev, cur)
+ join pt using (prev)
+ join ct using (cur)
+ cross join ty
+ group by doc_id
+""",
         "perplexity_buckets": f"""
  with scored as ({_BIGRAM_LOGPROB_SQL})
  select doc_id, n_bigrams, bits_per_token,

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "paragraph_dedupe",
     "host_pagerank",
     "substring_dedupe",
+    "suffix_array",
     "unigram_logprob",
     "semdedup",
     "dup_line_stats",
@@ -82,6 +83,7 @@ BENCH_QUERIES = [
     "robots_sitemaps",
     "robots_allow_precedence",
     "sitemap_parse",
+    "sitemap_seed",
     "normalize_text",
     "dsir_weights",
     "gopher_filter",
@@ -91,6 +93,7 @@ BENCH_QUERIES = [
     "hashed_doc_vectors",
     "host_hits",
     "bigram_logprob",
+    "kn_bigram_bits",
     "dsir_resample",
     "url_trap_hosts",
     "url_keyword_filter",
