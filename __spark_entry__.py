@@ -1697,6 +1697,23 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dups(alld, max_hamming=8).select("ia", "ib")
 
 
+def q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-hash (dHash) image near-dup pairs — the local-structure
+    complement of the aHash query: same perturb-and-recover oracle
+    (3 pixel flips move <= 6 of 64 gradient bits, so every (ref, #v)
+    pair survives hamming<=8; random-image collisions ~1e-10)."""
+    from tspider_spark.operators.multimodal import (
+        attach_media_payload,
+        decode_media,
+        image_dhash_dups,
+        perturb_images,
+    )
+
+    dec = decode_media(attach_media_payload(_image_refs(spark, sf_dir)))
+    alld = dec.unionByName(decode_media(perturb_images(dec)))
+    return image_dhash_dups(alld, max_hamming=8).select("ia", "ib")
+
+
 def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact media dedupe by payload sha256: every ref unioned with a
     byte-identical #copy must collapse to one group with the original
@@ -2830,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seed": q_sitemap_seed,
         "suffix_array": q_suffix_array,
         "kn_bigram_bits": q_kn_bigram_bits,
+        "image_dhash_dups": q_image_dhash_dups,
         # round-3 additions (new => inside the driver's 50-query window)
         "host_hits": q_host_hits,
         "host_opic": q_host_opic,
@@ -4712,6 +4730,9 @@ def oracle_sql() -> dict[str, str]:
  select media_ref as ia, media_ref || '#v' as ib from refs
 """,
         "image_near_dups": "with" + _IMAGE_REFS_SQL + """
+ select media_ref as ia, media_ref || '#v' as ib from refs
+""",
+        "image_dhash_dups": "with" + _IMAGE_REFS_SQL + """
  select media_ref as ia, media_ref || '#v' as ib from refs
 """,
         "media_dedup_exact": "with" + _IMAGE_REFS_SQL + """

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "authority_wave_order",
     "image_near_dups",
+    "image_dhash_dups",
     "audio_near_dups",
     "robots_parse",
     "robots_sitemaps",

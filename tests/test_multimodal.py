@@ -371,3 +371,50 @@ def test_resize_feeds_feature_stage(spark):
     assert all((r["width"], r["height"]) == (8, 8) for r in rows.values())
     feats = extract_features(small).collect()
     assert len(feats) == 2 and all(len(r["feature"]) == 16 for r in feats)
+
+
+def test_dhash_brightness_invariant_ahash_is_not(spark):
+    """dHash keys on local gradients, so a uniform brightness shift
+    leaves it bit-identical — the failure mode it covers for aHash."""
+    import numpy as np
+
+    from tspider_spark.operators.multimodal import (
+        ahash_images, dhash_images, encode_ppm,
+    )
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(40, 180, (24, 17, 3), dtype=np.uint8)
+    brighter = (arr.astype(np.int64) + 60).clip(0, 255).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("x.ppm", bytearray(encode_ppm(arr))),
+         ("y.ppm", bytearray(encode_ppm(brighter)))],
+        "media_ref string, payload binary",
+    )
+    dh = {r["media_ref"]: r["dhash"] for r in dhash_images(df).collect()}
+    assert dh["x.ppm"] == dh["y.ppm"]
+    # sanity: the codec-independence property holds for dHash too
+    from tspider_spark.operators.multimodal import encode_bmp
+
+    df2 = spark.createDataFrame(
+        [("a.ppm", bytearray(encode_ppm(arr))),
+         ("a.bmp", bytearray(encode_bmp(arr)))],
+        "media_ref string, payload binary",
+    )
+    got = {r["media_ref"]: r["dhash"] for r in dhash_images(df2).collect()}
+    assert got["a.ppm"] == got["a.bmp"]
+
+
+def test_image_dhash_dups_recovers_variants(spark):
+    from tspider_spark.operators.multimodal import (
+        attach_media_payload, decode_media, image_dhash_dups,
+        perturb_images,
+    )
+
+    refs = [(f"http://img.site/{i}.png",) for i in range(6)] + \
+           [(f"http://img.site/{i}.bmp",) for i in range(6, 12)]
+    dec = decode_media(
+        attach_media_payload(spark.createDataFrame(refs, "media_ref string"))
+    )
+    alld = dec.unionByName(decode_media(perturb_images(dec)))
+    got = {(r["ia"], r["ib"]) for r in image_dhash_dups(alld, 8).collect()}
+    assert got == {(r[0], r[0] + "#v") for r in refs}

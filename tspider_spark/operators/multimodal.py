@@ -539,6 +539,62 @@ def image_near_dups(decoded: DataFrame, max_hamming: int = 8) -> DataFrame:
     )
 
 
+DHASH_SCHEMA = "media_ref string, dhash long"
+
+
+def dhash_images(decoded: DataFrame, grid: int = 8) -> DataFrame:
+    """Difference-hash (dHash) each decodable image row: luma ->
+    grid x (grid+1) cell means -> bit = right cell > left cell ->
+    packed signed 64-bit. The GRADIENT-sign complement of
+    :func:`ahash_images`'s global-mean threshold: aHash is blind to
+    brightness/contrast shifts but confused by vignettes; dHash keys
+    on local structure, so the pair covers each other's failure
+    modes — the standard perceptual-hash family pairing. Same Arrow
+    batch shape and codec handling as aHash; non-image rows drop."""
+
+    def dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, hashes = [], []
+            for ref, b in zip(pdf["media_ref"], pdf["payload"]):
+                bb = bytes(b)
+                if bb[:2] == b"BM":
+                    _, _, c, arr = parse_bmp(bb)
+                elif bb[:2] in (b"P6", b"P5"):
+                    _, _, c, arr = parse_ppm(bb)
+                else:
+                    continue
+                px = arr.astype(np.float32)
+                luma = px.mean(axis=2) if px.ndim == 3 else px
+                h, w = luma.shape
+                yb = np.linspace(0, h, grid + 1).astype(np.int64)[:-1]
+                xb = np.linspace(0, w, grid + 2).astype(np.int64)[:-1]
+                cells = np.add.reduceat(
+                    np.add.reduceat(luma, yb, axis=0), xb, axis=1
+                )
+                ylen = np.diff(np.append(yb, h)).astype(np.float32)
+                xlen = np.diff(np.append(xb, w)).astype(np.float32)
+                cells = cells / np.outer(ylen, xlen)
+                bits = (cells[:, 1:] > cells[:, :-1]).flatten()
+                v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                refs.append(ref)
+                hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame({"media_ref": refs, "dhash": hashes})
+
+    return decoded.select("media_ref", "payload").mapInPandas(dh, DHASH_SCHEMA)
+
+
+def image_dhash_dups(decoded: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Gradient-hash near-duplicate image pairs: dHash signatures
+    through the same pigeonhole chunk join + exact JVM popcount
+    verify as :func:`image_near_dups`."""
+    from tspider_spark.operators.textdedup import hamming_pairs
+
+    return hamming_pairs(
+        dhash_images(decoded), sig_col="dhash", id_col="media_ref",
+        bits=64, max_hamming=max_hamming,
+    )
+
+
 def media_dedup_exact(decoded: DataFrame) -> DataFrame:
     """Exact payload dedupe across the media table: group on the
     decode stage's sha256, keep the lexicographically-first ref
