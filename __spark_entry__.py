@@ -1907,6 +1907,20 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(docs)
 
 
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece (MaxMatch) greedy longest-match-first encoding with
+    the ## continuation convention — the second tokenizer family next
+    to BPE: corpus-derived subword vocab (prefix/interior pieces with
+    df>=3, single chars always kept), 16 bounded greedy rounds over
+    the DISTINCT-WORD table only; top 300 words by occurrence with
+    their piece decomposition. The oracle replays the vocab build and
+    every greedy round as chained CTEs."""
+    from tspider_spark.operators.wordpiece import wordpiece_top_words
+
+    docs = _load(spark, sf_dir, "documents").select("text")
+    return wordpiece_top_words(docs, min_df=3, top_k=300)
+
+
 def q_kn_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (the smoothing KenLM
     ships): absolute discount D=0.75, continuation probability from
@@ -2848,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_array": q_suffix_array,
         "kn_bigram_bits": q_kn_bigram_bits,
         "image_dhash_dups": q_image_dhash_dups,
+        "wordpiece_encode": q_wordpiece_encode,
         # round-3 additions (new => inside the driver's 50-query window)
         "host_hits": q_host_hits,
         "host_opic": q_host_opic,
@@ -3175,6 +3190,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from tspider_spark.operators.textstats import script_stats_oracle_sql
     from tspider_spark.operators.suffixarray import suffix_array_oracle_sql
+    from tspider_spark.operators.wordpiece import wordpiece_oracle_sql
     from tspider_spark.operators.classify import (
         calibration_oracle_sql,
         pr_curve_oracle_sql,
@@ -4850,6 +4866,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "script_stats": script_stats_oracle_sql("documents"),
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
+        "wordpiece_encode": wordpiece_oracle_sql(
+            docs_src="documents", min_df=3, top_k=300
+        ),
         "kn_bigram_bits": """
  with words as (
    select doc_id,

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "host_hits",
     "bigram_logprob",
     "kn_bigram_bits",
+    "wordpiece_encode",
     "dsir_resample",
     "url_trap_hosts",
     "url_keyword_filter",
