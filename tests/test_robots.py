@@ -458,3 +458,55 @@ def test_sitemap_seed_rank_orders_and_caps(spark):
     d = {r["url"]: r for r in out}
     assert d["http://h/d"]["age_days"] == 0
     assert all(r["seed_rank"] <= 3 for r in out)
+
+
+def test_submit_cli_sitemap_priority_ranked_seeding(spark, tmp_path):
+    """--sitemap-rank-date orders sitemap seeds by priority damped
+    with staleness: high-priority fresh URLs get the earliest
+    discovery ranks, after the explicit --seeds list."""
+    from tspider_spark.submit_crawl import main
+
+    docs, seeds = generate_corpus(
+        CorpusSpec(seed=23, n_domains=2, hosts_per_domain=1)
+    )
+    hosts = sorted({d.split("/")[2] for d, _ in docs})
+    shost = hosts[1]
+    # score order (ref 2026-02-01, half-life 30d) is pz > pa > pm,
+    # which differs from lexicographic pa < pm < pz:
+    #   /pz: 0.9/(1+2/30)  ~ 0.844   (high priority, fresh)
+    #   /pa: 0.5/(1+0/30)  = 0.5     (no <priority> -> default, today)
+    #   /pm: 0.9/(1+300/30) ~ 0.082  (high priority, stale)
+    sm_body = (
+        "<urlset>"
+        f"<url><loc>http://{shost}/pz</loc><priority>0.9</priority>"
+        "<lastmod>2026-01-30</lastmod></url>"
+        f"<url><loc>http://{shost}/pa</loc>"
+        "<lastmod>2026-02-01</lastmod></url>"
+        f"<url><loc>http://{shost}/pm</loc><priority>0.9</priority>"
+        "<lastmod>2025-04-07</lastmod></url>"
+        "</urlset>"
+    )
+    sb = str(tmp_path / "sb")
+    spark.createDataFrame(
+        [(shost, sm_body)], "host string, body string"
+    ).write.parquet(sb)
+
+    docs_path = str(tmp_path / "docs")
+    corpus_to_spark(spark, docs).write.parquet(docs_path)
+    state = str(tmp_path / "state")
+    main(["--documents", docs_path, "--state", state, "--tld",
+          "--max-waves", "1", "--sitemap-bodies", sb,
+          "--sitemap-rank-date", "2026-02-01",
+          "--seeds", seeds[0]],
+         stop_session=False)
+
+    eng = CrawlEngine(
+        spark, spark.read.parquet(docs_path), state,
+        CrawlConfig(tld=True),
+    )
+    depth0 = [r["url"] for r in eng.crawl_order().collect()
+              if r["depth"] == 0]
+    want_tail = [f"http://{shost}/pz", f"http://{shost}/pa",
+                 f"http://{shost}/pm"]
+    assert depth0[-3:] == want_tail
+    assert depth0[0].startswith("http://" + hosts[0].replace("www.", "www."))

@@ -10,6 +10,7 @@ Usage (see tools/run_crawl_submit.sh for the packaged invocation):
         [--strip-tracking] [--url-block-keywords [kw ...]]
         [--robots-bodies DIR] [--sitemap-bodies DIR]
         [--discover-sitemaps] [--host-priorities DIR]
+        [--sitemap-rank-date YYYY-MM-DD] [--sitemap-top-k K]
 
 On a real cluster the same command takes --master yarn/k8s etc.; the
 engine itself is master-agnostic (everything is DataFrame ops against
@@ -71,6 +72,17 @@ def main(argv=None, stop_session=True):
                          "only seed from sitemaps that robots.txt "
                          "actually declares (RFC 9309 Sitemap: lines) "
                          "— the robots->sitemap->seeds discovery loop")
+    ap.add_argument("--sitemap-rank-date", default=None,
+                    help="with --sitemap-bodies: rank sitemap seeds by "
+                         "<priority> damped with <lastmod> staleness "
+                         "relative to this YYYY-MM-DD reference date "
+                         "(sitemap_seed_rank) and seed in score order "
+                         "instead of sorted-URL order — high-priority "
+                         "fresh URLs get the earliest discovery ranks")
+    ap.add_argument("--sitemap-top-k", type=int, default=3,
+                    help="with --sitemap-rank-date: per-host seed cap "
+                         "(protocol files carry up to 50k URLs; only "
+                         "the top-k per host enter the frontier)")
     ap.add_argument("--host-priorities", default=None,
                     help="parquet dir with (hostname, priority) enabling "
                          "authority-priority frontier ordering "
@@ -160,7 +172,8 @@ def main(argv=None, stop_session=True):
         if args.sitemap_bodies:
             from tspider_spark.operators.robots import parse_sitemap
 
-            sm = parse_sitemap(spark.read.parquet(args.sitemap_bodies))
+            bodies = spark.read.parquet(args.sitemap_bodies)
+            declared = None
             if args.discover_sitemaps and args.robots_bodies:
                 from tspider_spark.operators.robots import (
                     robots_sitemap_urls,
@@ -169,13 +182,41 @@ def main(argv=None, stop_session=True):
                 declared = robots_sitemap_urls(
                     spark.read.parquet(args.robots_bodies)
                 ).select("host").distinct()
-                sm = sm.join(declared, "host", "left_semi")
-            extra = sorted(
-                r["url"]
-                for r in sm.filter(~sm["is_index"]).select("url")
-                .distinct().collect()
-            )  # seed lists are small/one-shot; order pinned for replay
-            seeds = list(seeds) + [u for u in extra if u not in set(seeds)]
+            if args.sitemap_rank_date:
+                # priority-ranked seeding: <priority>/<lastmod> order
+                # the frontier's discovery ranks (total order: score
+                # desc, url asc — replay-deterministic)
+                from pyspark.sql import functions as F
+
+                from tspider_spark.operators.robots import (
+                    parse_sitemap_entries,
+                    sitemap_seed_rank,
+                )
+
+                ent = parse_sitemap_entries(bodies)
+                if declared is not None:
+                    ent = ent.join(declared, "host", "left_semi")
+                ranked = sitemap_seed_rank(
+                    ent, ref_date=args.sitemap_rank_date,
+                    top_k=args.sitemap_top_k,
+                )
+                extra = [
+                    r["url"]
+                    for r in ranked.orderBy(
+                        F.col("score").desc(), F.col("url").asc()
+                    ).collect()
+                ]
+            else:
+                sm = parse_sitemap(bodies)
+                if declared is not None:
+                    sm = sm.join(declared, "host", "left_semi")
+                extra = sorted(
+                    r["url"]
+                    for r in sm.filter(~sm["is_index"]).select("url")
+                    .distinct().collect()
+                )  # seed lists are small/one-shot; order pinned for replay
+            seen_seeds = set(seeds)
+            seeds = list(seeds) + [u for u in extra if u not in seen_seeds]
         if args.seeds_file:
             eng.seed_from_text_file(args.seeds_file, fetch_context=ctx)
         else:
