@@ -46,6 +46,20 @@ def gram_array(n: int, text: str = "text") -> Column:
     )
 
 
+def gram_array_from(arr_col: str, n: int) -> Column:
+    """Same n-gram array as :func:`gram_array` but over an
+    ALREADY-BOUND token-array column — use this when the array can be
+    bound in a prior select: transform lambdas defeat codegen
+    subexpression elimination, so an inlined split macro re-splits
+    the text once per slice (O(words^2) per doc)."""
+    return F.expr(
+        f"case when size({arr_col}) >= {n} then "
+        f"transform(sequence(1, size({arr_col}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({arr_col}, i, {n}))) "
+        f"else array() end"
+    )
+
+
 def repetition_stats(
     df: DataFrame, ns: tuple = (2, 3, 4), id_col: str = "doc_id", text: str = "text"
 ) -> DataFrame:
@@ -336,8 +350,12 @@ def substring_dedupe(
         df.select(F.col(id_col), F.posexplode(F.expr(w)).alias("pos", "word"))
         .filter(F.col("word") != "")
     )
-    occ = df.select(
-        F.col(id_col), F.posexplode(gram_array(length, text)).alias("start", "gram")
+    # bind the token array before gram_array's transform lambda (the
+    # inlined split is O(words^2) per doc — no subexpr elimination in
+    # lambdas); gram_array_from reuses the bound column
+    occ = df.select(F.col(id_col), F.expr(w).alias("_gw")).select(
+        F.col(id_col),
+        F.posexplode(gram_array_from("_gw", length)).alias("start", "gram"),
     )
     winner = occ.groupBy("gram").agg(F.min(F.struct(id_col, "start")).alias("_w"))
     dups = occ.join(winner, "gram").filter(

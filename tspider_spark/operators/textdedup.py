@@ -59,14 +59,18 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text: str = "tex
     words = f"split(trim(lower({text})), '\\\\s+')"
     # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs
     # shorter than n words must short-circuit to an empty array.
+    # The token array is BOUND to a column first: codegen does not
+    # subexpression-eliminate inside transform lambdas, so inlining
+    # the split re-splits the text once per slice() — O(words^2).
     grams = F.expr(
-        f"case when size({words}) >= {n} then "
-        f"transform(sequence(1, size({words}) - {n} + 1), "
-        f"i -> concat_ws(' ', slice({words}, i, {n}))) "
+        f"case when size(_w) >= {n} then "
+        f"transform(sequence(1, size(_w) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(_w, i, {n}))) "
         f"else array() end"
     )
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        df.select(F.col(id_col), F.expr(words).alias("_w"))
+        .select(F.col(id_col), F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -555,12 +559,18 @@ def winnow_fingerprints(
     per doc (ordered by position; one exchange on the doc id) ->
     distinct. Returns (id, fp) pairs.
     """
+    # bind the normalized string ONCE: the regex normalization inside
+    # the transform lambda would otherwise re-run per character
+    # position (O(len^2) regex work per doc — lambdas defeat codegen
+    # subexpression elimination)
     grams = df.select(
+        F.col(id_col), F.expr(_norm_sql(text)).alias("_norm")
+    ).select(
         F.col(id_col),
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, greatest(length({_norm_sql(text)}) - {k} + 1, 1)), "
-                f"i -> substring({_norm_sql(text)}, i, {k}))"
+                f"transform(sequence(1, greatest(length(_norm) - {k} + 1, 1)), "
+                f"i -> substring(_norm, i, {k}))"
             )
         ).alias("pos", "gram"),
     )
@@ -720,13 +730,17 @@ def cdc_chunk_stats(
     dup_ratio) with BIGINT counts and a float ratio.
     """
     norm = _norm_sql(text)
+    # bind _norm before the lambda (same O(len^2) re-normalization
+    # trap as the winnow gram builder above)
     grams = df.select(
+        F.col(id_col), F.expr(f"{norm}").alias("_norm")
+    ).select(
         F.col(id_col),
-        F.expr(f"{norm}").alias("_norm"),
+        F.col("_norm"),
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, greatest(length({norm}) - {k} + 1, 1)), "
-                f"i -> substring({norm}, i, {k}))"
+                f"transform(sequence(1, greatest(length(_norm) - {k} + 1, 1)), "
+                f"i -> substring(_norm, i, {k}))"
             )
         ).alias("pos", "gram"),
     ).withColumn("pos", F.col("pos") + 1)  # 1-based positions
