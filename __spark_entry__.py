@@ -2159,6 +2159,25 @@ def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_longest_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest repeated substrings via adjacent-rank LCP over the
+    suffix array — ExactSubstr's actual mechanism (every repeat is a
+    common prefix of lexicographically adjacent suffixes). Same md5
+    mod-8 doc subset as suffix_array; LCP probes the character table
+    (two gpos hash joins, no strings shuffled) and stops at document
+    sentinels; pairs with LCP >= 8, longest first, top 100."""
+    from tspider_spark.operators.suffixarray import longest_repeats
+
+    d = _load(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sub = d.filter(hv % 8 == 0).select("doc_id", "text")
+    return longest_repeats(
+        sub, max_doc_chars=120, prefix_len=64, min_len=8, top_k=100
+    )
+
+
 def q_sitemap_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-driven frontier seeding: parse full <url> blocks
     (loc + optional <priority>/<lastmod>; spec default priority 0.5,
@@ -2863,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram_bits": q_kn_bigram_bits,
         "image_dhash_dups": q_image_dhash_dups,
         "wordpiece_encode": q_wordpiece_encode,
+        "longest_repeats": q_longest_repeats,
         # round-3 additions (new => inside the driver's 50-query window)
         "host_hits": q_host_hits,
         "host_opic": q_host_opic,
@@ -3189,7 +3209,10 @@ def oracle_sql() -> dict[str, str]:
         trustrank_oracle_sql,
     )
     from tspider_spark.operators.textstats import script_stats_oracle_sql
-    from tspider_spark.operators.suffixarray import suffix_array_oracle_sql
+    from tspider_spark.operators.suffixarray import (
+        longest_repeats_oracle_sql,
+        suffix_array_oracle_sql,
+    )
     from tspider_spark.operators.wordpiece import wordpiece_oracle_sql
     from tspider_spark.operators.classify import (
         calibration_oracle_sql,
@@ -4537,6 +4560,15 @@ def oracle_sql() -> dict[str, str]:
             max_doc_chars=120,
             prefix_len=64,
             top_k=300,
+        ),
+        "longest_repeats": longest_repeats_oracle_sql(
+            "with docs as (select doc_id, text from documents "
+            "where ('0x' || substring(md5(cast(doc_id as varchar)), 1, 15))"
+            "::BIGINT % 8 = 0)",
+            max_doc_chars=120,
+            prefix_len=64,
+            min_len=8,
+            top_k=100,
         ),
         "sitemap_seed": _CLEAN_SQL + """
  , hosts as (

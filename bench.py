@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "host_pagerank",
     "substring_dedupe",
     "suffix_array",
+    "longest_repeats",
     "unigram_logprob",
     "semdedup",
     "dup_line_stats",

@@ -63,3 +63,40 @@ def test_suffix_array_prefix_bound_ties_break_by_position(spark):
         r["gpos"] for r in sorted(rows, key=lambda r: r["sa_rank"])
     ]
     assert got_order == order
+
+
+def test_longest_repeats_finds_planted_repeat(spark):
+    from tspider_spark.operators.suffixarray import longest_repeats
+
+    phrase = "the quick brown fox jumps over it"   # 33 chars, planted twice
+    docs = [
+        (1, f"AAA {phrase} BBB"),
+        (2, f"CCC {phrase} DDD"),
+        (3, "unrelated filler text with no long repeats at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = longest_repeats(df, min_len=8, top_k=50).collect()
+    assert rows, "planted repeat not found"
+    top = max(rows, key=lambda r: r["lcp"])
+    # the maximal repeat is the shared phrase plus the shared spaces
+    # around it ('AAA_..._BBB' vs 'CCC_..._DDD' share '_<phrase>_');
+    # cleaned text is lowercase, offsets index into it
+    assert {top["doc_a"], top["doc_b"]} == {1, 2}
+    assert top["lcp"] >= len(phrase)
+    off = top["off_a"] if top["doc_a"] == 1 else top["off_b"]
+    got_a = docs[0][1].lower()[off : off + top["lcp"]]
+    assert phrase in got_a
+
+
+def test_longest_repeats_never_crosses_doc_sentinels(spark):
+    from tspider_spark.operators.suffixarray import longest_repeats
+
+    # identical docs: the whole text repeats, but the sentinel caps
+    # the LCP at the doc length (a cross-boundary "repeat" would be
+    # an artifact of concatenation)
+    t = "abcdefgh ijklmnop"
+    df = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    rows = longest_repeats(df, min_len=8, top_k=10).collect()
+    assert rows and max(r["lcp"] for r in rows) == len(t)

@@ -96,23 +96,16 @@ def corpus_positions(
     )
 
 
-def suffix_array(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text: str = "text",
-    max_doc_chars: int = 120,
-    prefix_len: int = 64,
-    top_k: int = 300,
+def suffix_array_ranks(
+    pos: DataFrame, prefix_len: int = 64
 ) -> DataFrame:
-    """Bounded-context suffix array of the concatenated corpus (see
-    module docstring). Returns the first ``top_k`` suffixes in
-    lexicographic order: (sa_rank long, gpos long, doc_id, off int).
-    """
+    """Full suffix ranking of a materialized position table (from
+    :func:`corpus_positions`): returns (gpos, sa_rank) for EVERY
+    position — the prefix-doubling core shared by :func:`suffix_array`
+    (which keeps the head) and :func:`longest_repeats` (which walks
+    adjacent ranks)."""
     if prefix_len < 2 or prefix_len & (prefix_len - 1):
         raise ValueError("prefix_len must be a power of two >= 2")
-    pos = corpus_positions(docs, id_col, text, max_doc_chars).localCheckpoint(
-        eager=True
-    )
     r = pos.select("gpos", F.col("code").cast("long").alias("rank"))
     k = 1
     while k < prefix_len:
@@ -142,15 +135,108 @@ def suffix_array(
         )
         k *= 2
     sa = distributed_rank(r, ("rank", "gpos"), out="sa_rank")
+    return sa.select("gpos", F.col("sa_rank").cast("long").alias("sa_rank"))
+
+
+def suffix_array(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_doc_chars: int = 120,
+    prefix_len: int = 64,
+    top_k: int = 300,
+) -> DataFrame:
+    """Bounded-context suffix array of the concatenated corpus (see
+    module docstring). Returns the first ``top_k`` suffixes in
+    lexicographic order: (sa_rank long, gpos long, doc_id, off int).
+    """
+    pos = corpus_positions(docs, id_col, text, max_doc_chars).localCheckpoint(
+        eager=True
+    )
+    sa = suffix_array_ranks(pos, prefix_len)
     return (
         sa.filter(F.col("sa_rank") <= top_k)
         .join(pos.select("gpos", id_col, "off"), "gpos")
+        .select("sa_rank", "gpos", F.col(id_col), "off")
+    )
+
+
+def longest_repeats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_doc_chars: int = 120,
+    prefix_len: int = 64,
+    min_len: int = 8,
+    top_k: int = 100,
+) -> DataFrame:
+    """Longest repeated substrings via adjacent-rank LCP — the suffix
+    array doing ExactSubstr's actual job (Lee et al. 2022 §3: every
+    repeated substring is a common prefix of two lexicographically
+    ADJACENT suffixes, so scanning adjacent pairs finds all maximal
+    repeats). LCP is computed per adjacent pair by probing the
+    character table at gpos+i for i < prefix_len — two hash joins on
+    gpos, no strings shuffled — and STOPS AT SENTINELS (a "repeat"
+    crossing a document boundary is an artifact, so the \\x01 column
+    never matches itself).
+
+    Returns pairs with LCP >= ``min_len``, longest first (total order
+    lcp desc, gpos_a asc), capped at ``top_k``:
+    (lcp int, doc_a, off_a int, doc_b, off_b int).
+    """
+    pos = corpus_positions(docs, id_col, text, max_doc_chars).localCheckpoint(
+        eager=True
+    )
+    sa = suffix_array_ranks(pos, prefix_len).localCheckpoint(eager=True)
+    a = sa.select(F.col("sa_rank").alias("_r"), F.col("gpos").alias("_ga"))
+    b = sa.select(
+        (F.col("sa_rank") - 1).alias("_r"), F.col("gpos").alias("_gb")
+    )
+    adj = a.join(b, "_r")
+    probes = adj.select(
+        "_ga",
+        "_gb",
+        F.explode(F.expr(f"sequence(0, {prefix_len - 1})")).alias("_i"),
+    )
+    ca = pos.select(F.col("gpos").alias("_pa"), F.col("code").alias("_ca"))
+    cb = pos.select(F.col("gpos").alias("_pb"), F.col("code").alias("_cb"))
+    cmp = (
+        probes.join(ca, probes["_ga"] + probes["_i"] == ca["_pa"], "left")
+        .join(cb, probes["_gb"] + probes["_i"] == cb["_pb"], "left")
         .select(
-            F.col("sa_rank").cast("long").alias("sa_rank"),
-            "gpos",
-            F.col(id_col),
-            "off",
+            "_ga",
+            "_gb",
+            "_i",
+            # mismatch at i: either side past corpus end, sentinel
+            # (code 1 never matches, bounding repeats to one doc's
+            # text), or plain inequality
+            (
+                F.col("_ca").isNull()
+                | F.col("_cb").isNull()
+                | (F.col("_ca") == 1)
+                | (F.col("_ca") != F.col("_cb"))
+            ).alias("_neq"),
         )
+    )
+    lcp = cmp.groupBy("_ga", "_gb").agg(
+        F.coalesce(
+            F.min(F.when(F.col("_neq"), F.col("_i"))), F.lit(prefix_len)
+        )
+        .cast("int")
+        .alias("lcp")
+    )
+    info = pos.select("gpos", F.col(id_col), F.col("off"))
+    out = (
+        lcp.filter(F.col("lcp") >= min_len)
+        .join(info.withColumnRenamed("gpos", "_ga"), "_ga")
+        .withColumnsRenamed({id_col: "doc_a", "off": "off_a"})
+        .join(info.withColumnRenamed("gpos", "_gb"), "_gb")
+        .withColumnsRenamed({id_col: "doc_b", "off": "off_b"})
+    )
+    return (
+        out.orderBy(F.col("lcp").desc(), F.col("_ga").asc())
+        .limit(top_k)
+        .select("lcp", "doc_a", "off_a", "doc_b", "off_b")
     )
 
 
@@ -189,4 +275,64 @@ def suffix_array_oracle_sql(
         p.gpos, p.doc_id, p.off
  from pos p, big b
  qualify sa_rank <= {top_k}
+"""
+
+def longest_repeats_oracle_sql(
+    docs_cte: str,
+    max_doc_chars: int = 120,
+    prefix_len: int = 64,
+    min_len: int = 8,
+    top_k: int = 100,
+) -> str:
+    """DuckDB twin of :func:`longest_repeats`: sort the capped
+    suffixes, pair each with its successor, and compute the LCP as
+    the longest equal prefix containing no sentinel. ``docs_cte``
+    must define ``docs(doc_id, text)``."""
+    return f"""{docs_cte}
+ , cleaned as (
+   select doc_id,
+     substring(lower(regexp_replace(text, '[^A-Za-z0-9 ]+', '', 'g')),
+               1, {max_doc_chars}) || chr(1) as s
+   from docs
+ ),
+ base as (
+   select doc_id, s,
+     coalesce(sum(length(s)) over (order by doc_id
+       rows between unbounded preceding and 1 preceding), 0) as base
+   from cleaned
+ ),
+ big as (select string_agg(s, '' order by doc_id) as g from cleaned),
+ pos as (
+   select d.doc_id, d.base + i - 1 as gpos, cast(i - 1 as int) as off
+   from base d, unnest(range(1, length(d.s) + 1)) as t(i)
+ ),
+ ordered as (
+   select p.doc_id, p.gpos, p.off,
+          substring(b.g, cast(p.gpos + 1 as int), {prefix_len}) as s,
+          row_number() over (
+            order by substring(b.g, cast(p.gpos + 1 as int), {prefix_len}),
+                     p.gpos) as r
+   from pos p, big b
+ ),
+ adj as (
+   select x.gpos as ga, x.s as sa, y.s as sb,
+          x.doc_id as doc_a, x.off as off_a,
+          y.doc_id as doc_b, y.off as off_b
+   from ordered x join ordered y on y.r = x.r + 1
+ ),
+ lcps as (
+   select ga, doc_a, off_a, doc_b, off_b,
+     cast(coalesce((
+        select max(l) from unnest(range(1, {prefix_len} + 1)) as t(l)
+        where substring(sa, 1, cast(l as int))
+                = substring(sb, 1, cast(l as int))
+          and strpos(substring(sa, 1, cast(l as int)), chr(1)) = 0
+     ), 0) as int) as lcp
+   from adj
+ )
+ select lcp, doc_a, off_a, doc_b, off_b
+ from lcps
+ where lcp >= {min_len}
+ order by lcp desc, ga asc
+ limit {top_k}
 """
