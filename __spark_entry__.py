@@ -1237,6 +1237,17 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(q, e, k=5).select("query_id", "rank", "neighbor_id")
 
 
+def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval: per truncation dim (64=full, 32,
+    16), the per-query overlap of the truncated cosine top-10 with
+    the full-dim top-10 — mean and min on the exact m/k grid. The
+    64-dim row is the built-in 1.0 sanity check."""
+    from tspider_spark.operators.similarity import matryoshka_overlap
+
+    e = _load(spark, sf_dir, "embeddings")
+    return matryoshka_overlap(e, n_queries=16, dims=(64, 32, 16), k=10)
+
+
 def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tspider_spark.operators.similarity import cosine_dup_pairs_lsh
 
@@ -2883,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_dups": q_image_dhash_dups,
         "wordpiece_encode": q_wordpiece_encode,
         "longest_repeats": q_longest_repeats,
+        "matryoshka_eval": q_matryoshka_eval,
         # round-3 additions (new => inside the driver's 50-query window)
         "host_hits": q_host_hits,
         "host_opic": q_host_opic,
@@ -4197,6 +4209,34 @@ def oracle_sql() -> dict[str, str]:
    from scored
  )
  select query_id, rank, neighbor_id from ranked where rank <= 5
+""",
+        "matryoshka_eval": """
+ with base as (select vec_id, embedding::DOUBLE[] v from embeddings),
+ dims as (select unnest([64, 32, 16]) as d),
+ q as (select vec_id qid, v qv from base where vec_id < 16),
+ scored as (
+   select dims.d, q.qid, b.vec_id nid,
+          list_cosine_similarity(q.qv[1:dims.d], b.v[1:dims.d]) as s
+   from dims cross join q cross join base b
+   where q.qid <> b.vec_id
+ ),
+ ranked as (
+   select d, qid, nid,
+          row_number() over (partition by d, qid
+                             order by s desc, nid asc) as rank
+   from scored
+ ),
+ topk as (select d, qid, nid from ranked where rank <= 10),
+ fullt as (select qid, nid from topk where d = 64),
+ ov as (
+   select t.d, t.qid, count(f.nid) as m
+   from topk t left join fullt f on t.qid = f.qid and t.nid = f.nid
+   group by t.d, t.qid
+ )
+ select cast(d as int) as dim,
+        round(avg(m / 10.0), 6) as mean_overlap,
+        round(min(m / 10.0), 6) as min_overlap
+ from ov group by d
 """,
         "embedding_cosine_dups": """
  with base as (select vec_id, embedding::DOUBLE[] v from embeddings where vec_id < 1200),

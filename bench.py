@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "url_strip_tracking",
     "ann_sq_topk",
     "ann_pq_topk",
+    "matryoshka_eval",
     "dedup_components_star",
     "host_opic",
     "perplexity_buckets",

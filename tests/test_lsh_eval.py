@@ -124,3 +124,26 @@ def test_jain_fairness_extremes(spark):
     r = fairness_index(skew).collect()[0]
     assert r["jain"] == 144 / (4 * 84)
     assert r["max_share"] == 0.75
+
+
+def test_matryoshka_overlap_full_dim_is_one_and_monotone_grid(spark):
+    import numpy as np
+    from tspider_spark.operators.similarity import matryoshka_overlap
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["dim"]: r for r in
+           matryoshka_overlap(df, n_queries=5, dims=(16, 8, 4), k=5).collect()}
+    assert set(out) == {16, 8, 4}
+    assert out[16]["mean_overlap"] == 1.0 and out[16]["min_overlap"] == 1.0
+    # overlaps live on the exact m/k grid
+    for d in (8, 4):
+        for fld in ("mean_overlap", "min_overlap"):
+            v = out[d][fld]
+            assert 0.0 <= v <= 1.0
+        assert round(out[d]["min_overlap"] * 5, 6) == int(
+            round(out[d]["min_overlap"] * 5)
+        )
+    # truncating to 4 of 16 random dims must lose SOME neighbors
+    assert out[4]["mean_overlap"] < 1.0

@@ -802,3 +802,72 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def matryoshka_overlap(
+    vectors: DataFrame,
+    n_queries: int = 16,
+    dims: tuple = (64, 32, 16),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022, MRL):
+    how much of the full-dimension cosine top-k survives when the
+    embedding column is truncated to its leading ``d`` dims — the
+    harness that picks the serving dimension for an ANN index BEFORE
+    committing a 100-TB corpus to it (half the dims = half the index
+    bytes and twice the QPS, if the overlap holds).
+
+    For each d in ``dims``: brute-force cosine top-k over vectors
+    truncated with ``slice(vec, 1, d)``, then per-query overlap with
+    the FULL-dim top-k (dims[0] must be the full width, overlap 1.0
+    by construction — the built-in sanity row). Per-dim output:
+    (dim, mean_overlap, min_overlap), overlaps on the exact m/k grid.
+
+    Scale shape: each dim is one broadcast-query cross join + per-
+    query top-k (the labeled brute baseline; swap in the IVF/PQ path
+    for the index side at scale) and the overlap join is keyed on
+    (query, neighbor) — metadata-sized (n_queries x k rows per dim).
+    """
+    full_dim = dims[0]
+    base = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    tops = {}
+    for d in dims:
+        cd = base.select(
+            F.col(id_col), F.slice("_v", 1, d).alias(vec_col)
+        )
+        qd = cd.filter(F.col(id_col) < n_queries)
+        tops[d] = brute_force_topk(qd, cd, k, id_col=id_col).select(
+            "query_id", "neighbor_id"
+        )
+    # distinct column names break the tops[full]-vs-fullt self-join
+    # ambiguity (both derive from the same plan)
+    fullt = tops[full_dim].select(
+        F.col("query_id").alias("_fq"), F.col("neighbor_id").alias("_fn")
+    ).localCheckpoint(eager=True)
+    qids = fullt.select(F.col("_fq").alias("_q")).distinct()
+    out = None
+    for d in dims:
+        matched = (
+            tops[d]
+            .join(
+                fullt,
+                (F.col("query_id") == F.col("_fq"))
+                & (F.col("neighbor_id") == F.col("_fn")),
+            )
+            .groupBy(F.col("query_id").alias("_q"))
+            .agg(F.count(F.lit(1)).alias("_m"))
+        )
+        per_q = qids.join(matched, "_q", "left").select(
+            (F.coalesce(F.col("_m"), F.lit(0)) / F.lit(float(k))).alias("_ov")
+        )
+        row = per_q.agg(
+            F.lit(d).cast("int").alias("dim"),
+            F.round(F.avg("_ov"), 6).alias("mean_overlap"),
+            F.round(F.min("_ov"), 6).alias("min_overlap"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
