@@ -1237,6 +1237,18 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(q, e, k=5).select("query_id", "rank", "neighbor_id")
 
 
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(N) ~ K*N^beta over per-doc
+    running (tokens, distinct words) checkpoints in doc order —
+    template spam collapses beta, ID pollution pushes it to 1. Two-
+    level cumsums (no single-partition window over the doc-count-
+    sized checkpoint table), OLS identical to the Zipf fit, intercept
+    reported as ln K (no libm exp)."""
+    from tspider_spark.operators.textstats import heaps_stats
+
+    return heaps_stats(_load(spark, sf_dir, "documents"))
+
+
 def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation eval: per truncation dim (64=full, 32,
     16), the per-query overlap of the truncated cosine top-10 with
@@ -2895,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_encode": q_wordpiece_encode,
         "longest_repeats": q_longest_repeats,
         "matryoshka_eval": q_matryoshka_eval,
+        "heaps_fit": q_heaps_fit,
         # round-3 additions (new => inside the driver's 50-query window)
         "host_hits": q_host_hits,
         "host_opic": q_host_opic,
@@ -3240,6 +3253,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_drift_oracle_sql,
         inverted_index_oracle_sql,
         pmi_oracle_sql,
+        heaps_oracle_sql,
         zipf_oracle_sql,
     )
     from tspider_spark.operators.quality import (
@@ -4026,6 +4040,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pmi_collocations": pmi_oracle_sql(min_count=5, top_k=100),
         "zipf_fit": zipf_oracle_sql(top_n=100),
+        "heaps_fit": heaps_oracle_sql(),
         "gram_novelty": _DUP_DOCS_SQL.format(limit=200)
         + ","
         + _shingle_sql("dup_docs")

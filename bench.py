@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "host_hyperball",
     "lsh_eval",
     "zipf_fit",
+    "heaps_fit",
     "classifier_calibration",
     "hyperball_diameter",
     "sched_fairness",

@@ -275,3 +275,35 @@ def test_token_quantiles_exact_and_approx(spark):
     # the approx (sketch) twin lands within rank-error of exact
     ap = token_quantiles(df, ps=(0.5, 0.9), exact=False, accuracy=10000).collect()[0]
     assert abs(ap["p50"] - 50.5) <= 1.0 and abs(ap["p90"] - 90.1) <= 1.0
+
+
+def test_heaps_fit_on_synthetic_growth(spark):
+    """A corpus of all-new words per doc fits beta ~ 1; a corpus that
+    repeats one fixed vocabulary saturates toward beta ~ 0."""
+    import math
+
+    from tspider_spark.operators.textstats import heaps_stats
+
+    # letter-only unique words (the tokenizer is [a-z]+, so digits
+    # would split): word k -> 'w' + 3-letter base-26 encoding
+    def _w(k):
+        return "w" + "".join(
+            chr(97 + (k // 26 ** p) % 26) for p in (2, 1, 0)
+        )
+
+    novel = [
+        (i, " ".join(_w(i * 20 + j) for j in range(20))) for i in range(30)
+    ]
+    fixed = [(i, "alpha beta gamma delta epsilon") for i in range(30)]
+    dfn = spark.createDataFrame(novel, "doc_id long, text string")
+    dff = spark.createDataFrame(fixed, "doc_id long, text string")
+    rn = heaps_stats(dfn).collect()[0]
+    rf = heaps_stats(dff).collect()[0]
+    assert rn["n_points"] == 30 and rf["n_points"] == 30
+    assert rn["n_types"] == 600 and rn["n_tokens"] == 600
+    assert rn["heaps_beta"] > 0.97          # every token novel
+    assert rf["heaps_beta"] < 0.2           # vocabulary saturates
+    # the all-novel fit is exact: V = N -> beta 1, ln k 0
+    assert abs(rn["heaps_beta"] - 1.0) < 1e-6
+    assert abs(rn["heaps_ln_k"]) < 1e-6
+    assert math.isfinite(rf["heaps_ln_k"])

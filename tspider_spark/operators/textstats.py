@@ -926,3 +926,127 @@ def corpus_drift_oracle_sql(
               + 0.5 * q * ln(q / ((p + q) / 2)), 9) as contrib
  from e
  order by contrib desc, w limit {int(top_k)}"""
+
+
+def heaps_stats(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-health diagnostic #2: Heaps'-law vocabulary growth —
+    V(N) ≈ K·N^β with β ≈ 0.4-0.6 for natural text. A corpus whose β
+    collapses (template spam: vocabulary saturates) or approaches 1
+    (ID/hash pollution: every token novel) fails curation upstream of
+    any model; this is the growth-curve complement of
+    :func:`zipf_stats`' rank-frequency fit.
+
+    One checkpoint per document in ``id_col`` order: N_i = running
+    token count, V_i = running distinct-word count (a word counts at
+    its FIRST document, via min-doc per word — one vocab-sized agg).
+    Running sums use the two-level cumsum engine shared with
+    pack_shards — the checkpoint table is doc-count-sized, which at
+    10^10 docs is itself too big for a single-partition window. OLS
+    of ln V on ln N over all checkpoints, same fixed formula as the
+    Zipf fit; the intercept is reported as ln K (no libm exp(), so
+    both engines agree to the 6dp rounding).
+
+    Returns one row: (n_points, n_tokens, n_types, heaps_beta,
+    heaps_ln_k), floats rounded to 6.
+    """
+    from .curate import _exclusive_stratum_cumsum
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text}), '[a-z]+', 0)")
+        ).alias("w"),
+    )
+    per_doc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nt"))
+    first = toks.groupBy("w").agg(F.min(id_col).alias(id_col))
+    new_per_doc = first.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nv"))
+    base = (
+        per_doc.join(new_per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.lit(0).alias("_one"),
+            F.col("_nt"),
+            F.coalesce(F.col("_nv"), F.lit(0)).alias("_nv"),
+        )
+        .localCheckpoint(eager=True)  # feeds two cumsums + totals
+    )
+    cum_t = _exclusive_stratum_cumsum(base, "_one", id_col, "_nt", 20).select(
+        id_col, (F.col("_cum") + F.col("_t")).alias("_N")
+    )
+    cum_v = _exclusive_stratum_cumsum(base, "_one", id_col, "_nv", 20).select(
+        id_col, (F.col("_cum") + F.col("_t")).alias("_V")
+    )
+    pts = (
+        cum_t.join(cum_v, id_col)
+        .filter((F.col("_N") > 0) & (F.col("_V") > 0))
+        .select(
+            F.log(F.col("_N").cast("double")).alias("x"),
+            F.log(F.col("_V").cast("double")).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("beta"),
+        "n",
+        "sx",
+        "sy",
+    )
+    fit = s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round("beta", 6).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") - F.col("beta") * F.col("sx")) / F.col("n"), 6
+        ).alias("heaps_ln_k"),
+    )
+    totals = base.agg(
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum("_nv").cast("long").alias("n_types"),
+    )
+    return totals.crossJoin(F.broadcast(fit)).select(
+        "n_points", "n_tokens", "n_types", "heaps_beta", "heaps_ln_k"
+    )
+
+
+def heaps_oracle_sql(src: str = "documents", text: str = "text") -> str:
+    """DuckDB twin of :func:`heaps_stats` — identical checkpoint set,
+    running sums, and OLS formula (division structure matches before
+    the 6dp round)."""
+    return f"""
+ with toks as (
+   select doc_id, unnest(regexp_extract_all(lower({text}), '[a-z]+')) as w
+   from {src}),
+ per_doc as (select doc_id, count(*) as nt from toks group by 1),
+ first as (select w, min(doc_id) as doc_id from toks group by 1),
+ newpd as (select doc_id, count(*) as nv from first group by 1),
+ base as (
+   select p.doc_id, p.nt, coalesce(n.nv, 0) as nv
+   from per_doc p left join newpd n on p.doc_id = n.doc_id),
+ cums as (
+   select doc_id,
+     sum(nt) over (order by doc_id rows between unbounded preceding
+                   and current row) as N,
+     sum(nv) over (order by doc_id rows between unbounded preceding
+                   and current row) as V
+   from base),
+ pts as (select ln(N::double) as x, ln(V::double) as y
+         from cums where N > 0 and V > 0),
+ s as (select count(*)::double as n, sum(x) as sx, sum(y) as sy,
+              sum(x * y) as sxy, sum(x * x) as sxx from pts),
+ fit as (select (n * sxy - sx * sy) / (n * sxx - sx * sx) as beta,
+                n, sx, sy from s),
+ totals as (select sum(nt)::bigint as n_tokens,
+                   sum(nv)::bigint as n_types from base)
+ select fit.n::bigint as n_points, totals.n_tokens, totals.n_types,
+        round(beta, 6) as heaps_beta,
+        round((sy - beta * sx) / n, 6) as heaps_ln_k
+ from totals cross join fit"""
