@@ -1237,6 +1237,29 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(q, e, k=5).select("query_id", "rank", "neighbor_id")
 
 
+def q_crawl_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-constrained capacity planning over the clean URL
+    frontier: per-host serial time n*max(crawl_delay, 200ms) is
+    irreducible (Q2), so makespan LB(W) = max(slowest host,
+    ceil(total/W)) — evaluated at W=8 and W=32 with best-case
+    utilization. Delays synthesized like q2: host-number%3 * 100ms."""
+    from tspider_spark.operators.schedule import crawl_makespan
+
+    tasks = _clean(spark, sf_dir).select(
+        F.col("u.hostname").alias("hostname"), "url"
+    )
+    delays = (
+        tasks.select("hostname").distinct()
+        .select(
+            F.col("hostname").alias("host"),
+            ((_host_num(F.col("hostname")) % 3) * 100)
+            .cast("int")
+            .alias("crawl_delay_ms"),
+        )
+    )
+    return crawl_makespan(tasks, delays, workers=(8, 32), fetch_ms=200)
+
+
 def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary-growth fit: V(N) ~ K*N^beta over per-doc
     running (tokens, distinct words) checkpoints in doc order —
@@ -2908,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "longest_repeats": q_longest_repeats,
         "matryoshka_eval": q_matryoshka_eval,
         "heaps_fit": q_heaps_fit,
+        "crawl_makespan": q_crawl_makespan,
         # round-3 additions (new => inside the driver's 50-query window)
         "host_hits": q_host_hits,
         "host_opic": q_host_opic,
@@ -4625,6 +4649,31 @@ def oracle_sql() -> dict[str, str]:
             min_len=8,
             top_k=100,
         ),
+        "crawl_makespan": _CLEAN_SQL + """
+ , per_host as (
+   select hostname,
+     cast(regexp_extract(hostname, 'host([0-9]+)', 1) as int) as n,
+     count(*) as cnt
+   from clean group by 1, 2
+ ),
+ host_ms as (
+   select cnt, cnt * greatest((n % 3) * 100, 200) as hms from per_host
+ ),
+ tot as (
+   select count(*)::bigint as n_hosts, sum(cnt)::bigint as n_tasks,
+          max(hms)::bigint as max_host_ms, sum(hms)::bigint as total_ms
+   from host_ms
+ )
+ select cast(w as int) as n_workers, n_hosts, n_tasks, max_host_ms,
+   total_ms,
+   greatest(max_host_ms,
+            cast(ceil(total_ms / cast(w as double)) as bigint))
+     as makespan_lb_ms,
+   round(total_ms / (w * greatest(max_host_ms,
+            cast(ceil(total_ms / cast(w as double)) as bigint))), 6)
+     as utilization
+ from tot, unnest([8, 32]) as t(w)
+""",
         "sitemap_seed": _CLEAN_SQL + """
  , hosts as (
    select distinct hostname as host,

@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "lsh_eval",
     "zipf_fit",
     "heaps_fit",
+    "crawl_makespan",
     "classifier_calibration",
     "hyperball_diameter",
     "sched_fairness",

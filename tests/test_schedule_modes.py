@@ -114,3 +114,31 @@ def test_salted_crawl_matches_unsalted(spark, tmp_path):
         return order, scanned
 
     assert crawl(0) == crawl(8)
+
+
+def test_crawl_makespan_bounds(spark):
+    """LB(W) = max(slowest host, ceil(total/W)); a single hot host
+    dominates however many workers you add."""
+    from tspider_spark.operators.schedule import crawl_makespan
+
+    tasks = spark.createDataFrame(
+        [("hot", f"u{i}") for i in range(100)]
+        + [("a", "x"), ("b", "y"), ("c", "z")],
+        "hostname string, url string",
+    )
+    delays = spark.createDataFrame(
+        [("hot", 1000), ("a", 0)], "host string, crawl_delay_ms int"
+    )
+    out = {r["n_workers"]: r for r in
+           crawl_makespan(tasks, delays, workers=(2, 64),
+                          fetch_ms=200).collect()}
+    # hot host: 100 * 1000 ms = 100000; a/b/c: 200 each; total 100600
+    for w, r in out.items():
+        assert r["n_hosts"] == 4 and r["n_tasks"] == 103
+        assert r["max_host_ms"] == 100_000
+        assert r["total_ms"] == 100_600
+    assert out[2]["makespan_lb_ms"] == 100_000       # > ceil(100600/2)
+    assert out[64]["makespan_lb_ms"] == 100_000      # host-bound: W moot
+    assert out[2]["utilization"] == 0.503
+    # at 64 workers utilization collapses -> adding executors is waste
+    assert out[64]["utilization"] < 0.025

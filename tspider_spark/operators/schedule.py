@@ -330,3 +330,83 @@ def rank_hosts_by_score(
     return distributed_rank(q, ("_neg", "hostname"), out, start=-1).select(
         "hostname", out
     )
+
+
+def crawl_makespan(
+    tasks: DataFrame,
+    delays: DataFrame,
+    workers: tuple = (8, 32),
+    fetch_ms: int = 200,
+    host_col: str = "hostname",
+) -> DataFrame:
+    """Politeness-constrained capacity planner: how long must this
+    frontier take at W executors? Per-host fetches are serialized by
+    politeness (spacing = max(crawl_delay_ms, fetch_ms) — a host's
+    queue cannot be parallelized without violating Q2), so the
+    per-host serial time n_h x spacing_h is irreducible, and the
+    classic two-sided makespan lower bound applies per worker count:
+    LB(W) = max(max_h host_ms, ceil(total_ms / W)). The ratio
+    total/(W x LB) is the best-case utilization — the number that
+    says whether adding executors still buys wall-clock (the 10^10
+    planning question: past W* = total/max_host, the slowest HOST is
+    the bottleneck, not the cluster).
+
+    Scale shape: ONE host-keyed count agg (map-side combined) + a
+    broadcast join with the metadata-sized delay table + a 1-row
+    aggregate exploded per worker count. Integer arithmetic
+    throughout (utilization rounded at 6) — bit-exact oracle.
+
+    Returns one row per W: (n_workers, n_hosts, n_tasks, max_host_ms,
+    total_ms, makespan_lb_ms, utilization).
+    """
+    d = delays.select(
+        F.col(delays.columns[0]).alias("_h"),
+        F.col(delays.columns[1]).cast("long").alias("_delay"),
+    )
+    per_host = (
+        tasks.groupBy(F.col(host_col).alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(d), "_h", "left")
+        .select(
+            "_n",
+            (
+                F.col("_n")
+                * F.greatest(
+                    F.coalesce(F.col("_delay"), F.lit(0)),
+                    F.lit(int(fetch_ms)),
+                )
+            ).alias("_host_ms"),
+        )
+    )
+    totals = per_host.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("_n").cast("long").alias("n_tasks"),
+        F.max("_host_ms").cast("long").alias("max_host_ms"),
+        F.sum("_host_ms").cast("long").alias("total_ms"),
+    )
+    ws = F.array(*[F.lit(int(w)) for w in workers])
+    out = totals.select(
+        F.explode(ws).alias("n_workers"),
+        "n_hosts",
+        "n_tasks",
+        "max_host_ms",
+        "total_ms",
+    ).select(
+        "n_workers",
+        "n_hosts",
+        "n_tasks",
+        "max_host_ms",
+        "total_ms",
+        F.greatest(
+            F.col("max_host_ms"),
+            F.ceil(F.col("total_ms") / F.col("n_workers")).cast("long"),
+        ).alias("makespan_lb_ms"),
+    )
+    return out.select(
+        "*",
+        F.round(
+            F.col("total_ms")
+            / (F.col("n_workers") * F.col("makespan_lb_ms")),
+            6,
+        ).alias("utilization"),
+    )
