@@ -1873,6 +1873,25 @@ def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iters=10)
 
 
+def q_host_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA (Lempel & Moran 2000) over the same events-derived host
+    link graph — degree-normalized random-walk hubs/authorities, the
+    TKC-resistant counterpart of host_hits: a host HITS loves but
+    SALSA doesn't is a link-farm signal (10 L1-renormalized
+    iterations)."""
+    from tspider_spark.operators.graph import salsa
+
+    ev = _load(spark, sf_dir, "events")
+    src = F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string"))
+    dst = F.concat(
+        F.lit("h"), ((F.col("user_id") * 7 + F.col("event_id")) % 37).cast("string")
+    )
+    edges = ev.select(src.alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    return salsa(edges, iters=10)
+
+
 def q_host_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPIC online importance (Abiteboul et al. 2003) over the same
     events-derived host link graph as host_pagerank — the incremental
@@ -2932,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_eval": q_matryoshka_eval,
         "heaps_fit": q_heaps_fit,
         "crawl_makespan": q_crawl_makespan,
+        "host_salsa": q_host_salsa,
         # round-3 additions (new => inside the driver's 50-query window)
         "host_hits": q_host_hits,
         "host_opic": q_host_opic,
@@ -3251,6 +3271,7 @@ def _lsh_eval_cfg_sql(bands: int, rows: int, k: int = 32, tau: float = 0.9) -> s
 def oracle_sql() -> dict[str, str]:
     from tspider_spark.operators.graph import (
         hits_oracle_sql,
+        salsa_oracle_sql,
         hyperball_distances_oracle_sql,
         hyperball_oracle_sql,
         opic_oracle_sql,
@@ -4968,6 +4989,12 @@ def oracle_sql() -> dict[str, str]:
             radius=4, b=4,
         ),
         "host_pagerank": pagerank_oracle_sql(
+            "edges as (select 'h' || (user_id % 37) as src, "
+            "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
+            "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",
+            iters=10,
+        ),
+        "host_salsa": salsa_oracle_sql(
             "edges as (select 'h' || (user_id % 37) as src, "
             "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
             "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "containment_dups",
     "hashed_doc_vectors",
     "host_hits",
+    "host_salsa",
     "bigram_logprob",
     "kn_bigram_bits",
     "wordpiece_encode",

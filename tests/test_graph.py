@@ -269,3 +269,29 @@ def test_neighbor_jaccard_degree_cap(spark):
         ).collect()
     }
     assert got == {("a", "b", 1, 0.333333), ("b", "c", 1, 0.5)}
+
+
+def test_salsa_degree_normalization_kills_tkc(spark):
+    """On a graph where one hub links to everything, HITS
+    concentrates authority on the hub's targets while SALSA's
+    degree-normalized walk spreads it: the mega-hub's per-target
+    contribution is 1/outdeg. Invariants: scores sum to ~1 per side,
+    and a node endorsed by TWO selective hubs outranks one endorsed
+    only by the mega-hub."""
+    from tspider_spark.operators.graph import salsa
+
+    edges = []
+    # mega-hub m links to t0..t9 (shotgun)
+    edges += [("m", f"t{i}") for i in range(10)]
+    # two selective hubs each link ONLY to t0 (plus one filler each)
+    edges += [("s1", "t0"), ("s2", "t0"), ("s1", "f1"), ("s2", "f2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node"]: r for r in salsa(df, iters=12).collect()}
+    auth_sum = sum(r["salsa_authority"] for r in out.values())
+    hub_sum = sum(r["salsa_hub"] for r in out.values())
+    assert abs(auth_sum - 1.0) < 1e-4 and abs(hub_sum - 1.0) < 1e-4
+    # t0: 1/10 of m's mass + 1/2 of s1 + 1/2 of s2 >> t1: 1/10 of m
+    assert out["t0"]["salsa_authority"] > 3 * out["t1"]["salsa_authority"]
+    # the selective hubs beat nothing-hubs but the mega-hub still
+    # hubs hardest (it reaches the most authority mass)
+    assert out["m"]["salsa_hub"] > out["s1"]["salsa_hub"] > 0

@@ -230,6 +230,147 @@ def hits_oracle_sql(edges_cte: str, iters: int = 10) -> str:
     )
 
 
+def salsa(
+    edges: DataFrame,
+    iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """SALSA (Lempel & Moran 2000, "Stochastic Approach for
+    Link-Structure Analysis") — the random-walk variant of HITS that
+    TREC-era web search actually preferred: contributions are
+    DEGREE-NORMALIZED (each node splits its mass equally over its
+    links), so a single high-degree hub cannot dominate the way it
+    does under HITS's raw sums — the tightly-knit-community (TKC)
+    effect SALSA was designed to kill. The crawl-scheduler reading:
+    HITS finds the big directories, SALSA finds the *proportionally*
+    best-endorsed hosts; the pair disagreeing on a host is itself a
+    link-farm signal.
+
+    Iteration (L1-renormalized each half-step, pinned by the oracle):
+    a_{t+1}(v) = Σ_{u→v} h_t(u)/outdeg(u), renormalized to sum 1
+    (mass reaching dangling-free nodes; the renorm makes dangling
+    loss explicit and deterministic); h_{t+1}(u) = Σ_{u→v}
+    a_{t+1}(v)/indeg(v), renormalized. h_0 = 1/|V|.
+
+    Scale shape is :func:`hits`'s exactly: one node-keyed exchange
+    per half-step (the degree tables are node-sized and co-keyed with
+    the score join), normalizers are broadcast 1-row cross joins,
+    lineage cut per iteration, loop-invariant e/nodes/degree tables
+    materialized once. Returns (node, salsa_hub, salsa_authority),
+    rounded to 6.
+    """
+    if iters < 1:
+        raise ValueError("salsa needs iters >= 1")
+    e = edges.select(src, dst).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dout = e.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("_dout")
+    )
+    din = e.groupBy(F.col(dst).alias("node")).agg(F.count("*").alias("_din"))
+    n_row = nodes.agg(F.count("*").alias("_n"))
+    hub = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("hub")
+    )
+    auth = None
+    for i in range(iters):
+        a_raw = (
+            hub.join(dout, "node")
+            .join(e, F.col("node") == F.col(src))
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum(F.col("hub") / F.col("_dout")).alias("_a"))
+        )
+        a_sum = a_raw.agg(F.sum("_a").alias("_s"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_sum))
+            .select(
+                "node",
+                (F.coalesce(F.col("_a"), F.lit(0.0)) / F.col("_s")).alias(
+                    "auth"
+                ),
+            )
+        )
+        h_raw = (
+            auth.join(din, "node")
+            .join(e, F.col("node") == F.col(dst))
+            .groupBy(F.col(src).alias("node"))
+            .agg(F.sum(F.col("auth") / F.col("_din")).alias("_h"))
+        )
+        h_sum = h_raw.agg(F.sum("_h").alias("_s"))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_sum))
+            .select(
+                "node",
+                (F.coalesce(F.col("_h"), F.lit(0.0)) / F.col("_s")).alias(
+                    "hub"
+                ),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            hub = hub.localCheckpoint(eager=True)
+    return hub.join(auth, "node").select(
+        "node",
+        F.round("hub", 6).alias("salsa_hub"),
+        F.round("auth", 6).alias("salsa_authority"),
+    )
+
+
+def salsa_oracle_sql(edges_cte: str, iters: int = 10) -> str:
+    """Chained-CTE SQL twin of :func:`salsa` (the :func:`hits_oracle_sql`
+    shape with degree-normalized contributions)."""
+    parts = [
+        edges_cte,
+        "e as materialized (select distinct src, dst from edges)",
+        "nodes as (select src as node from e union select dst from e)",
+        "nn as (select count(*) as n from nodes)",
+        "dout as materialized "
+        "(select src as node, count(*) as d from e group by 1)",
+        "din as materialized "
+        "(select dst as node, count(*) as d from e group by 1)",
+        "h0 as materialized "
+        "(select node, cast(1.0 as double) / nn.n as hub from nodes, nn)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"ar{t} as materialized (select e.dst as node, "
+            f"sum(h.hub / dout.d) as a "
+            f"from h{t} h join dout on dout.node = h.node "
+            f"join e on e.src = h.node group by 1)"
+        )
+        parts.append(f"asum{t} as (select sum(a) as s from ar{t})")
+        parts.append(
+            f"a{t + 1} as materialized (select n.node, "
+            f"coalesce(ar{t}.a, cast(0 as double)) / asum{t}.s as auth "
+            f"from nodes n left join ar{t} on n.node = ar{t}.node, asum{t})"
+        )
+        parts.append(
+            f"hr{t} as materialized (select e.src as node, "
+            f"sum(a.auth / din.d) as h "
+            f"from a{t + 1} a join din on din.node = a.node "
+            f"join e on e.dst = a.node group by 1)"
+        )
+        parts.append(f"hsum{t} as (select sum(h) as s from hr{t})")
+        parts.append(
+            f"h{t + 1} as materialized (select n.node, "
+            f"coalesce(hr{t}.h, cast(0 as double)) / hsum{t}.s as hub "
+            f"from nodes n left join hr{t} on n.node = hr{t}.node, hsum{t})"
+        )
+    return (
+        "with " + ",\n ".join(parts)
+        + f"\n select h.node, round(h.hub, 6) as salsa_hub,"
+        f" round(a.auth, 6) as salsa_authority"
+        f" from h{iters} h join a{iters} a on h.node = a.node"
+    )
+
+
 def pagerank_oracle_sql(
     edges_cte: str, iters: int = 10, damping: float = 0.85
 ) -> str:
