@@ -1760,6 +1760,34 @@ def q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash_dups(alld, max_hamming=8).select("ia", "ib")
 
 
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free container sniffing over real payload magic bytes
+    (pure JVM substring on the binary column — scan-speed at 100 TB):
+    mixed-extension ref universe (ext by n%7), payloads from the real
+    generators, sniffed format vs declared kind. Oracle = the closed-
+    form generator rule (collision-checked: no md5-opaque payload
+    starts with a known magic)."""
+    from tspider_spark.operators.multimodal import (
+        attach_media_payload,
+        sniff_media_format,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 211).cast("int")
+    exts = F.array(
+        *[F.lit(x) for x in ("png", "bmp", "jpg", "wav", "mp3", "mp4", "bin")]
+    )
+    refs = d.select(
+        F.concat(
+            F.lit("http://m.site/"),
+            n.cast("string"),
+            F.lit("."),
+            F.element_at(exts, (n % 7) + 1),
+        ).alias("media_ref")
+    ).distinct()
+    return sniff_media_format(attach_media_payload(refs))
+
+
 def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact media dedupe by payload sha256: every ref unioned with a
     byte-identical #copy must collapse to one group with the original
@@ -2952,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         "crawl_makespan": q_crawl_makespan,
         "host_salsa": q_host_salsa,
+        "media_sniff": q_media_sniff,
         # round-3 additions (new => inside the driver's 50-query window)
         "host_hits": q_host_hits,
         "host_opic": q_host_opic,
@@ -4907,6 +4936,27 @@ def oracle_sql() -> dict[str, str]:
 """,
         "image_dhash_dups": "with" + _IMAGE_REFS_SQL + """
  select media_ref as ia, media_ref || '#v' as ib from refs
+""",
+        "media_sniff": """
+ with n0 as (
+   select distinct cast(doc_id % 211 as int) as n from documents
+ ),
+ r as (
+   select n,
+     case n % 7 when 0 then 'png' when 1 then 'bmp' when 2 then 'jpg'
+       when 3 then 'wav' when 4 then 'mp3' when 5 then 'mp4'
+       else 'bin' end as ext
+   from n0
+ )
+ select 'http://m.site/' || n || '.' || ext as media_ref,
+   case when ext in ('png', 'jpg', 'bmp') then 'image'
+        when ext in ('wav', 'mp3') then 'audio'
+        when ext = 'mp4' then 'video' else 'other' end as kind,
+   case when ext = 'bmp' then 'bmp'
+        when ext in ('png', 'jpg') then 'netpbm'
+        when ext in ('wav', 'mp3') then 'wav'
+        else 'opaque' end as sniffed_format
+ from r
 """,
         "media_dedup_exact": "with" + _IMAGE_REFS_SQL + """
  select media_ref as keeper, cast(2 as bigint) as n_copies from refs

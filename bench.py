@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "url_trap_hosts",
     "url_keyword_filter",
     "media_df_filter",
+    "media_sniff",
     "boilerplate_spans",
     "url_strip_tracking",
     "ann_sq_topk",

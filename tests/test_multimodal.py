@@ -418,3 +418,31 @@ def test_image_dhash_dups_recovers_variants(spark):
     alld = dec.unionByName(decode_media(perturb_images(dec)))
     got = {(r["ia"], r["ib"]) for r in image_dhash_dups(alld, 8).collect()}
     assert got == {(r[0], r[0] + "#v") for r in refs}
+
+
+def test_sniff_media_format_catches_extension_lies(spark):
+    """A .png ref served BMP bytes sniffs as bmp; an .mp3 ref served
+    WAV sniffs as wav; opaque bytes sniff as opaque — the magic wins
+    over the extension every time."""
+    import numpy as np
+
+    from tspider_spark.operators.multimodal import (
+        encode_bmp, encode_ppm, encode_wav, sniff_media_format,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    wav = encode_wav(rng.randint(-100, 100, (64, 1), dtype=np.int16))
+    rows = [
+        ("a.png", "image", bytearray(encode_bmp(img))),   # lie: bmp as png
+        ("b.png", "image", bytearray(encode_ppm(img))),
+        ("c.mp3", "audio", bytearray(wav)),
+        ("d.mp4", "video", bytearray(b"\x00\x01garbage")),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_ref string, kind string, payload binary"
+    )
+    got = {r["media_ref"]: r["sniffed_format"]
+           for r in sniff_media_format(df).collect()}
+    assert got == {"a.png": "bmp", "b.png": "netpbm",
+                   "c.mp3": "wav", "d.mp4": "opaque"}

@@ -736,3 +736,35 @@ def perturb_audio(
     return decoded.select("media_ref", "kind", "payload").mapInPandas(
         pert, "media_ref string, kind string, payload binary"
     )
+
+
+def sniff_media_format(
+    decoded: DataFrame, ref_col: str = "media_ref"
+) -> DataFrame:
+    """Decode-free container sniffing over the payload's MAGIC BYTES —
+    the crawl-side data-quality gate that catches extension lies
+    (.png serving HTML, .jpg serving an executable) without ever
+    decoding: pure JVM ``substring`` over the binary column, so at
+    100 TB it runs at scan speed with zero Python and zero codec
+    work. The sniffed container vs the ref-declared kind is the
+    mismatch signal downstream filters act on.
+
+    Recognized magics (the repo's real codecs): ``BM`` -> bmp,
+    ``P6``/``P5`` -> netpbm, ``RIFF`` -> wav; everything else ->
+    opaque. Binary-to-string casts are UTF-8; all magic literals are
+    ASCII, and invalid-UTF-8 prefixes simply compare unequal.
+
+    Returns (ref_col, kind, sniffed_format) — kind is the
+    ref-extension declaration carried by the decode stage.
+    """
+    h2 = F.expr("cast(substring(payload, 1, 2) as string)")
+    h4 = F.expr("cast(substring(payload, 1, 4) as string)")
+    sniff = (
+        F.when(h2 == "BM", "bmp")
+        .when(h2.isin("P6", "P5"), "netpbm")
+        .when(h4 == "RIFF", "wav")
+        .otherwise("opaque")
+    )
+    return decoded.select(
+        F.col(ref_col), F.col("kind"), sniff.alias("sniffed_format")
+    )
