@@ -32,8 +32,11 @@ the three-level ``distributed_rank`` (no single-partition window
 anywhere — schedule.py:204). Lineage is cut per round with eager
 ``localCheckpoint`` (the rank table is self-referencing, the
 PageRank 308s->10s lesson). Doc base offsets come from the
-two-level ``_exclusive_stratum_cumsum`` engine shared with
-``pack_shards`` — no global window there either.
+three-level ``_exclusive_stratum_cumsum`` engine shared with
+``pack_shards`` — range-partition buckets + super-bucket window +
+triangular-join offsets, so no single-partition window exists there
+even under this module's constant stratum (pinned by
+``tests/test_plan_pins.py::test_suffix_array_has_no_empty_partition_window``).
 """
 
 from __future__ import annotations
@@ -250,7 +253,15 @@ def suffix_array_oracle_sql(
     ``string_agg`` concatenation in id order, per-position
     ``substring`` of the global string capped at ``prefix_len``,
     sorted with position tie-break. ``docs_cte`` must define
-    ``docs(doc_id, text)``."""
+    ``docs(doc_id, text)``.
+
+    The sort key is the CODEPOINT ARRAY of the capped prefix, not the
+    raw varchar: integer-list comparison is collation-free, so no
+    DuckDB build/locale can reorder the suffixes relative to Spark's
+    integer-code doubling ranks (r3's one red driver row was exactly
+    such an environment-collation divergence; shorter-prefix-first
+    list semantics match the "missing positions rank below every
+    character" rule since all codes are >= 1)."""
     return f"""{docs_cte}
  , cleaned as (
    select doc_id,
@@ -270,7 +281,11 @@ def suffix_array_oracle_sql(
    from base d, unnest(range(1, length(d.s) + 1)) as t(i)
  )
  select cast(row_number() over (
-          order by substring(b.g, cast(p.gpos + 1 as int), {prefix_len}),
+          order by list_transform(
+                     string_split(
+                       substring(b.g, cast(p.gpos + 1 as int),
+                                 {prefix_len}), ''),
+                     x -> ascii(x)),
                    p.gpos) as bigint) as sa_rank,
         p.gpos, p.doc_id, p.off
  from pos p, big b
@@ -310,7 +325,11 @@ def longest_repeats_oracle_sql(
    select p.doc_id, p.gpos, p.off,
           substring(b.g, cast(p.gpos + 1 as int), {prefix_len}) as s,
           row_number() over (
-            order by substring(b.g, cast(p.gpos + 1 as int), {prefix_len}),
+            order by list_transform(
+                       string_split(
+                         substring(b.g, cast(p.gpos + 1 as int),
+                                   {prefix_len}), ''),
+                       x -> ascii(x)),
                      p.gpos) as r
    from pos p, big b
  ),
