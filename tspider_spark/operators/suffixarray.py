@@ -99,17 +99,21 @@ def corpus_positions(
     )
 
 
-def suffix_array_ranks(
-    pos: DataFrame, prefix_len: int = 64
-) -> DataFrame:
-    """Full suffix ranking of a materialized position table (from
-    :func:`corpus_positions`): returns (gpos, sa_rank) for EVERY
-    position — the prefix-doubling core shared by :func:`suffix_array`
-    (which keeps the head) and :func:`longest_repeats` (which walks
-    adjacent ranks)."""
+def _doubling_tables(
+    pos: DataFrame, prefix_len: int
+) -> dict[int, DataFrame]:
+    """Prefix-doubling rank tables: ``{k: (gpos, rank)}`` where
+    ``rank`` orders suffixes by their first ``k`` characters, for
+    every power of two k <= ``prefix_len``. Each round is ONE
+    self-equi-join on the shifted gpos + one distinct-pair rank
+    (:func:`distributed_rank` — never a single-partition window),
+    lineage cut with eager ``localCheckpoint``. The intermediate
+    tables are kept because :func:`longest_repeats` reuses them for
+    O(log prefix_len) binary-lifting LCP probes."""
     if prefix_len < 2 or prefix_len & (prefix_len - 1):
         raise ValueError("prefix_len must be a power of two >= 2")
     r = pos.select("gpos", F.col("code").cast("long").alias("rank"))
+    tables = {1: r}
     k = 1
     while k < prefix_len:
         shifted = r.select(
@@ -137,6 +141,19 @@ def suffix_array_ranks(
             .localCheckpoint(eager=True)
         )
         k *= 2
+        tables[k] = r
+    return tables
+
+
+def suffix_array_ranks(
+    pos: DataFrame, prefix_len: int = 64
+) -> DataFrame:
+    """Full suffix ranking of a materialized position table (from
+    :func:`corpus_positions`): returns (gpos, sa_rank) for EVERY
+    position — the prefix-doubling core shared by :func:`suffix_array`
+    (which keeps the head) and :func:`longest_repeats` (which walks
+    adjacent ranks)."""
+    r = _doubling_tables(pos, prefix_len)[prefix_len]
     sa = distributed_rank(r, ("rank", "gpos"), out="sa_rank")
     return sa.select("gpos", F.col("sa_rank").cast("long").alias("sa_rank"))
 
@@ -177,11 +194,21 @@ def longest_repeats(
     array doing ExactSubstr's actual job (Lee et al. 2022 §3: every
     repeated substring is a common prefix of two lexicographically
     ADJACENT suffixes, so scanning adjacent pairs finds all maximal
-    repeats). LCP is computed per adjacent pair by probing the
-    character table at gpos+i for i < prefix_len — two hash joins on
-    gpos, no strings shuffled — and STOPS AT SENTINELS (a "repeat"
-    crossing a document boundary is an artifact, so the \\x01 column
-    never matches itself).
+    repeats).
+
+    LCP per adjacent pair is BINARY LIFTING over the prefix-doubling
+    rank tables :func:`_doubling_tables` already materializes (the
+    classic sparse-table LCP): rank_k(a) == rank_k(b) iff the first k
+    characters agree, so descend k = prefix_len/2, ..., 1 advancing a
+    cursor — O(log prefix_len) probe rounds of two hash joins each
+    over the N adjacent pairs, instead of the 64xN-row character
+    explode this replaced (the r3 verdict's finding #3: at 10^12
+    characters the explode dominated the whole job). Repeats STOP AT
+    SENTINELS (a "repeat" crossing a document boundary is an
+    artifact): the rank-derived LCP is capped by each side's distance
+    to its document's ``\\x01`` — equivalent to the old charwise
+    sentinel-mismatch rule because sentinels only ever rank-match
+    sentinels at the same relative offset.
 
     Returns pairs with LCP >= ``min_len``, longest first (total order
     lcp desc, gpos_a asc), capped at ``top_k``:
@@ -190,54 +217,84 @@ def longest_repeats(
     pos = corpus_positions(docs, id_col, text, max_doc_chars).localCheckpoint(
         eager=True
     )
-    sa = suffix_array_ranks(pos, prefix_len).localCheckpoint(eager=True)
-    a = sa.select(F.col("sa_rank").alias("_r"), F.col("gpos").alias("_ga"))
-    b = sa.select(
-        (F.col("sa_rank") - 1).alias("_r"), F.col("gpos").alias("_gb")
+    tables = _doubling_tables(pos, prefix_len)
+    sa = distributed_rank(
+        tables[prefix_len], ("rank", "gpos"), out="sa_rank"
+    ).localCheckpoint(eager=True)
+    a = sa.select(
+        F.col("sa_rank").alias("_r"),
+        F.col("gpos").alias("_ga"),
+        F.col("rank").alias("_rka"),
     )
-    adj = a.join(b, "_r")
-    probes = adj.select(
+    b = sa.select(
+        (F.col("sa_rank") - 1).alias("_r"),
+        F.col("gpos").alias("_gb"),
+        F.col("rank").alias("_rkb"),
+    )
+    # full-table ranks equal => first prefix_len chars agree (the cap)
+    adj = a.join(b, "_r").select(
         "_ga",
         "_gb",
-        F.explode(F.expr(f"sequence(0, {prefix_len - 1})")).alias("_i"),
-    )
-    ca = pos.select(F.col("gpos").alias("_pa"), F.col("code").alias("_ca"))
-    cb = pos.select(F.col("gpos").alias("_pb"), F.col("code").alias("_cb"))
-    cmp = (
-        probes.join(ca, probes["_ga"] + probes["_i"] == ca["_pa"], "left")
-        .join(cb, probes["_gb"] + probes["_i"] == cb["_pb"], "left")
-        .select(
-            "_ga",
-            "_gb",
-            "_i",
-            # mismatch at i: either side past corpus end, sentinel
-            # (code 1 never matches, bounding repeats to one doc's
-            # text), or plain inequality
-            (
-                F.col("_ca").isNull()
-                | F.col("_cb").isNull()
-                | (F.col("_ca") == 1)
-                | (F.col("_ca") != F.col("_cb"))
-            ).alias("_neq"),
-        )
-    )
-    lcp = cmp.groupBy("_ga", "_gb").agg(
-        F.coalesce(
-            F.min(F.when(F.col("_neq"), F.col("_i"))), F.lit(prefix_len)
-        )
+        F.when(F.col("_rka") == F.col("_rkb"), F.lit(prefix_len))
+        .otherwise(F.lit(0))
         .cast("int")
-        .alias("lcp")
+        .alias("lcp"),
     )
-    info = pos.select("gpos", F.col(id_col), F.col("off"))
+    k = prefix_len // 2
+    while k >= 1:
+        rk = tables[k]
+        ra = rk.select(F.col("gpos").alias("_pa"), F.col("rank").alias("_ra"))
+        rb = rk.select(F.col("gpos").alias("_pb"), F.col("rank").alias("_rb"))
+        adj = (
+            adj.join(ra, adj["_ga"] + adj["lcp"] == ra["_pa"], "left")
+            .join(rb, adj["_gb"] + adj["lcp"] == rb["_pb"], "left")
+            .select(
+                "_ga",
+                "_gb",
+                # null-guarded: a missing (past-corpus-end) position
+                # never matches; lcp + k can't exceed prefix_len (the
+                # only pairs at prefix_len start there and k descends
+                # from prefix_len/2, summing to at most prefix_len-1)
+                F.when(
+                    F.col("_ra").isNotNull()
+                    & (F.col("_ra") == F.col("_rb")),
+                    F.col("lcp") + F.lit(k),
+                )
+                .otherwise(F.col("lcp"))
+                .cast("int")
+                .alias("lcp"),
+            )
+        )
+        # no per-round checkpoint: the probe tables are already
+        # materialized, so adj's lineage is a fixed log2(prefix_len)-
+        # deep join chain — bounded, not self-referencing
+        k //= 2
+    # sentinel cap: distance from gpos to its doc's trailing \x01
+    # (= max off within the doc minus own off)
+    doc_end = pos.groupBy(id_col).agg(F.max("off").alias("_mx"))
+    info = pos.join(doc_end, id_col).select(
+        "gpos",
+        F.col(id_col),
+        F.col("off"),
+        (F.col("_mx") - F.col("off")).cast("int").alias("_sd"),
+    )
     out = (
-        lcp.filter(F.col("lcp") >= min_len)
-        .join(info.withColumnRenamed("gpos", "_ga"), "_ga")
-        .withColumnsRenamed({id_col: "doc_a", "off": "off_a"})
+        adj.join(info.withColumnRenamed("gpos", "_ga"), "_ga")
+        .withColumnsRenamed({id_col: "doc_a", "off": "off_a", "_sd": "_sda"})
         .join(info.withColumnRenamed("gpos", "_gb"), "_gb")
-        .withColumnsRenamed({id_col: "doc_b", "off": "off_b"})
+        .withColumnsRenamed({id_col: "doc_b", "off": "off_b", "_sd": "_sdb"})
+        .select(
+            F.least("lcp", "_sda", "_sdb").cast("int").alias("lcp"),
+            "doc_a",
+            "off_a",
+            "doc_b",
+            "off_b",
+            "_ga",
+        )
     )
     return (
-        out.orderBy(F.col("lcp").desc(), F.col("_ga").asc())
+        out.filter(F.col("lcp") >= min_len)
+        .orderBy(F.col("lcp").desc(), F.col("_ga").asc())
         .limit(top_k)
         .select("lcp", "doc_a", "off_a", "doc_b", "off_b")
     )
