@@ -568,6 +568,22 @@ def main():
     ).write.mode("overwrite").format("noop").save()
     seen_rows["seen10m_cuckoo_wave"] = round(time.time() - t0, 3)
     assert n_ck == n_exact, (n_ck, n_exact)
+
+    # Cuckoo COPART probe (r4): same wave, but the persisted shard
+    # table is cogrouped with the candidates — the filter never
+    # touches the driver (the broadcast row above re-collects all
+    # shards every wave: ~26 GB of collect at the config's 10^10-key
+    # target). filt_df stays a DataFrame end to end.
+    filt_pinned = filt_small.localCheckpoint(eager=True)
+    t0 = time.time()
+    n_cp = anti_join_seen_cuckoo(
+        cands10, seen10, "scan_key", None, 32, shard_df=filt_pinned
+    ).count()
+    apply_cuckoo_delta(
+        filt_pinned, delta, "scan_key", 32, ck_cap, op="add"
+    ).write.mode("overwrite").format("noop").save()
+    seen_rows["seen10m_cuckoo_copart"] = round(time.time() - t0, 3)
+    assert n_cp == n_exact, (n_cp, n_exact)
     for df in (seen10, cands10, seen20):
         df.unpersist()
     print(f"# seen-set probes ({n_seen} keys): {seen_rows}", file=sys.stderr)

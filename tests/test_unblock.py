@@ -177,6 +177,45 @@ def test_cuckoo_path_matches_exact_and_forgets(spark, tmp_path, readmit):
     assert all(shard_contains(ck, k) for k in final_keys)
 
 
+def test_cuckoo_copart_probe_matches_exact(spark, tmp_path):
+    """cuckoo_probe='copart' (r3 verdict finding #4): the shard table
+    is probed via the co-partitioned cogroup — the filter never leaves
+    the executors during the wave loop — and the crawl is identical to
+    the exact path through a full block/unblock/readmit cycle."""
+    ex = _engine(spark, tmp_path / "exact")
+    cp = _engine(
+        spark, tmp_path / "copart", cuckoo_filter=True,
+        cuckoo_capacity=1 << 12, cuckoo_probe="copart",
+    )
+    for eng in (ex, cp):
+        eng.seed(["http://www.a.com/"])
+        eng.wave()
+        eng.add_blocklist("b.a.com")
+        eng.wave()
+        eng.remove_blocklist("b.a.com")
+        eng.run()
+    assert _urls_fetched(ex) == _urls_fetched(cp)
+    assert (
+        ex.results().drop("save_order").collect()
+        == cp.results().drop("save_order").collect()
+    )
+    # the maintained shards mirror the exact seen table at the end
+    # (collect here is test-side verification, not an engine path)
+    rows = cp.store.read("seen_filter").collect()
+    filters = {
+        int(r["shard"]): CuckooFilter.from_bytes(
+            bytes(r["tbl"]), int(r["n_buckets"])
+        )
+        for r in rows
+    }
+    final_keys = {
+        r["scan_key"] for r in cp.store.read("seen_scanned").collect()
+    }
+    assert final_keys
+    for k in final_keys:
+        assert k in filters[zlib.crc32(k.encode()) % cp.cfg.bloom_shards]
+
+
 def test_unblock_domain_tool(spark, tmp_path):
     import sys
     from pathlib import Path

@@ -78,6 +78,13 @@ class CrawlConfig:
     # (~2.6 bytes/key of table); shard count is bloom_shards. At
     # 10^10 keys: ~26 GB total -> 256+ shards with the copart probe.
     cuckoo_capacity: int = 1 << 22
+    # "broadcast": the persisted shards are collected + replicated to
+    # executors each wave (fine while the whole filter fits driver
+    # memory); "copart": shards stay a DataFrame and candidates probe
+    # them via a co-partitioned cogroup — NOTHING is ever collected to
+    # the driver, the 10^10-key / ~26 GB-filter regime (r3 verdict
+    # finding #4).
+    cuckoo_probe: str = "broadcast"
     # eagerly localCheckpoint the wave's candidate set instead of
     # caching it: truncates the fetch->extract->url-derivation lineage
     # so the ~200 downstream DataFrame ops analyze against a leaf

@@ -533,18 +533,70 @@ def apply_cuckoo_delta(
     )
 
 
+def _flag_maybe_cuckoo_copart(
+    cands: DataFrame, shard_df: DataFrame, key_col: str, shards: int
+) -> DataFrame:
+    """_maybe column via a co-partitioned cuckoo shard join (cogrouped
+    applyInPandas) — the cuckoo twin of :func:`_flag_maybe_copart`:
+    candidates hash to their shard, each task deserializes ONE shard's
+    table, so per-executor memory stays one-shard-sized no matter how
+    big the persisted filter grows (~26 GB at 10^10 keys — the regime
+    where the broadcast probe's per-wave driver collect is the
+    scale-killer). Probe is numpy-batched; candidate rows ride one
+    Arrow round-trip."""
+    cands2 = cands.withColumn("_shard", _shard_col(key_col, shards))
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in cands2.schema.fields
+    )
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return left.assign(_maybe=pd.Series([], dtype=bool))
+        if not len(right):
+            return left.assign(_maybe=False)
+        cf = CuckooFilter.from_bytes(
+            bytes(right["tbl"].iloc[0]), int(right["n_buckets"].iloc[0])
+        )
+        return left.assign(
+            _maybe=cf.contains_batch(left[key_col].to_numpy(dtype=object))
+        )
+
+    return (
+        cands2.groupBy("_shard")
+        .cogroup(shard_df.groupBy("shard"))
+        .applyInPandas(probe, f"{out_fields}, _maybe boolean")
+        .drop("_shard")
+    )
+
+
 def anti_join_seen_cuckoo(
     cands: DataFrame,
     seen: DataFrame,
     key_col: str,
-    filt_rows: list,
+    filt_rows: list | None,
     shards: int,
+    shard_df: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of ``cands`` not in ``seen``, prefiltered by the persistent
-    cuckoo shard table (``filt_rows``: collected seen_filter rows).
-    Broadcast-probe regime, mirroring _flag_maybe_broadcast; at
-    10^10 keys the same split runs as a co-partitioned shard join
-    (the _flag_maybe_copart shape) with no driver collect."""
+    cuckoo shard table. Two probe regimes, same maybe/definite-new
+    split (false positives fall through to the exact anti-join; false
+    negatives can't happen for inserted keys, so the bypass is exact):
+
+    - ``shard_df`` given: co-partitioned cogroup probe
+      (:func:`_flag_maybe_cuckoo_copart`) — the filter NEVER leaves
+      the executors; the 10^10-key regime.
+    - else ``filt_rows`` (collected seen_filter rows): broadcast
+      probe, mirroring _flag_maybe_broadcast — fine while the whole
+      filter fits driver/executor memory.
+    """
+    if shard_df is not None:
+        flagged = _flag_maybe_cuckoo_copart(cands, shard_df, key_col, shards)
+        definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+        maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
+        checked = maybe.join(
+            seen.select(key_col).distinct(), key_col, "left_anti"
+        )
+        return definite_new.unionByName(checked)
     if not filt_rows:
         return cands.join(seen.select(key_col).distinct(), key_col, "left_anti")
     spark = cands.sparkSession

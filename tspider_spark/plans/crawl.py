@@ -248,16 +248,43 @@ class CrawlEngine:
     def _cuckoo_cap_per_shard(self) -> int:
         return max(1024, self.cfg.cuckoo_capacity // self.cfg.bloom_shards)
 
-    def _seen_filter(self) -> tuple[DataFrame, list]:
+    def _seen_filter(self) -> tuple[DataFrame, list | None]:
         """(shard table df, collected rows) for the persistent cuckoo
         filter. Bootstraps from the full seen_scanned table when the
         filter doesn't exist yet (resume of a pre-cuckoo store, or the
         flag toggled on mid-crawl) — one-time cost; afterwards every
-        wave merges only its admitted delta. The df handle is rebuilt
-        from the collected rows so downstream delta merges don't
+        wave merges only its admitted delta.
+
+        ``cuckoo_probe="copart"``: rows is None and the filter NEVER
+        touches the driver — the df reads the persisted shards
+        straight from the store (a bootstrap is localCheckpoint-pinned
+        so delta merges don't rescan seen_scanned). At the config's
+        own 10^10-key target the filter is ~26 GB, so the broadcast
+        mode's per-wave collect is the scale-killer this avoids (r3
+        verdict finding #4).
+
+        ``cuckoo_probe="broadcast"``: collected rows, memoized on the
+        manifest's seen_filter entry — an unchanged filter (no commit
+        touched it) is NOT re-collected wave over wave. The df handle
+        is rebuilt from the rows so downstream delta merges don't
         recompute the bootstrap plan."""
-        if self.store.manifest()["tables"].get("seen_filter"):
+        entry = self.store.manifest()["tables"].get("seen_filter")
+        if self.cfg.cuckoo_probe == "copart":
+            if entry:
+                df = self.store.read("seen_filter")
+            else:
+                df = build_cuckoo_shard_df(
+                    self.store.read("seen_scanned"), "scan_key",
+                    self.cfg.bloom_shards, self._cuckoo_cap_per_shard,
+                ).localCheckpoint(eager=True)
+            return df, None
+        memo_key = repr(entry) if entry else None
+        memo = getattr(self, "_seen_filter_memo", None)
+        if memo is not None and memo_key is not None and memo[0] == memo_key:
+            rows = memo[1]
+        elif entry:
             rows = self.store.read("seen_filter").collect()
+            self._seen_filter_memo = (memo_key, rows)
         else:
             rows = build_cuckoo_shard_df(
                 self.store.read("seen_scanned"), "scan_key",
@@ -718,10 +745,14 @@ class CrawlEngine:
             # (O(delta) maintenance below — no per-wave full-seen
             # rebuild), exact anti-join for the maybes; admission
             # re-establishes host partitioning like the bloom path.
+            # copart probe: the shards stay distributed end to end.
             filt_df, filt_rows = self._seen_filter()
             stream = anti_join_seen_cuckoo(
                 stream, self.store.read("seen_scanned"), "scan_key",
                 filt_rows, self.cfg.bloom_shards,
+                shard_df=(
+                    filt_df if self.cfg.cuckoo_probe == "copart" else None
+                ),
             )
             admitted = admit_wave(
                 stream, host_budget, self.cfg.max_per_host,
