@@ -84,6 +84,17 @@ def test_modes_agree_and_match_oracle(spark, seed):
             (r["hostname"], r["scan_key"], r["url"]) for r in out.collect()
         ) == expected
 
+    # dictionary-coded host keys (code = xxhash64(hostname), hostname
+    # kept as a tie key): pure physical choice, identical admissions
+    coded = cands.withColumn("_hc", F.xxhash64("hostname")).repartition(
+        5, "_hc"
+    )
+    out = admit_wave(coded, bdf, cap, reduce_first=False, code_col="_hc")
+    assert "_hc" not in out.columns
+    assert sorted(
+        (r["hostname"], r["scan_key"], r["url"]) for r in out.collect()
+    ) == expected
+
 
 def test_salted_crawl_matches_unsalted(spark, tmp_path):
     """Full engine parity: salting is a pure physical choice — crawl

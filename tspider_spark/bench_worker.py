@@ -235,6 +235,16 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
             fold_in, seen, "scan_key", "hostname", n_part, salt_buckets=salt)
         admitted = admit_wave_salted(
             fold_in, budget, 100, salt, n_part, bucket_col="_salt_b")
+    elif os.environ.get("TSPIDER_BENCH_HOSTCODES", "0") != "0":
+        # dictionary-coded host exchange (r3 verdict item 7 A/B): the
+        # anti-join + every fold window key on xxhash64(hostname)
+        # first (hostname kept as a tie key — exact), so the window
+        # sorts compare an 8-byte long instead of the host string.
+        fold_in = anti_join_seen_copart(
+            fold_in, seen, "scan_key", "hostname", n_part, code_col="_hc")
+        admitted = admit_wave(
+            fold_in, budget, max_per_host=100, reduce_first=False,
+            code_col="_hc")
     else:
         fold_in = anti_join_seen_copart(
             fold_in, seen, "scan_key", "hostname", n_part)

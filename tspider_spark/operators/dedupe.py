@@ -296,6 +296,7 @@ def anti_join_seen_copart(
     partitions: int,
     salt_buckets: int | None = None,
     bucket_out: str = "_salt_b",
+    code_col: str | None = None,
 ) -> DataFrame:
     """Host-co-partitioned exact anti-join: both sides are hash
     exchanged on ``host_col`` and joined on ``(host_col, key_col)``.
@@ -316,7 +317,27 @@ def anti_join_seen_copart(
 
     ``seen`` must carry ``host_col`` too (persisted alongside the key —
     see sources/state.py seen_scanned schema).
+
+    ``code_col``: dictionary-code the exchange — both sides gain
+    code = xxhash64(host) and are partitioned on the 8-byte code
+    instead of the host string; the join adds the code as a leading
+    equi-key (host stays a key too, so a 64-bit collision can never
+    merge two hosts). Downstream windows keyed (code, host) then sort
+    by the long first and touch the string only on ties — the point:
+    window-sort comparisons in the fold are string-heavy at 10^7
+    hosts. The kept code column lets admit_wave reuse the exchange.
     """
+    if code_col:
+        code = F.xxhash64(F.col(host_col))
+        c = cands.withColumn(code_col, code).repartition(partitions, code_col)
+        s = (
+            seen.select(host_col, key_col)
+            .withColumn(code_col, code)
+            .repartition(partitions, code_col)
+        )
+        return c.join(
+            s.hint("shuffle_hash"), [code_col, host_col, key_col], "left_anti"
+        )
     if salt_buckets:
         b = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
         c = cands.withColumn(bucket_out, b).repartition(

@@ -56,6 +56,7 @@ def admit_wave(
     max_per_host: int,
     reduce_first: bool = True,
     partitions: int | None = None,
+    code_col: str | None = None,
 ) -> DataFrame:
     """Admission fold over one wave of candidates.
 
@@ -82,9 +83,21 @@ def admit_wave(
       as a SortAggregate (struct agg buffers are not hash-aggregable),
       so at width this is slower than the window path — kept for exact
       parity testing of the fold's algebra.
+
+    ``code_col``: name of a precomputed xxhash64(hostname) column
+    (e.g. from anti_join_seen_copart's code regime). Every window is
+    then keyed (code, hostname) — semantically identical partitioning
+    (code is a pure function of the host, and the host stays a key so
+    collisions can't merge hosts) but the window sorts compare the
+    8-byte long first and the string only on ties. Exact
+    (tests/test_schedule_modes.py). The code column is dropped from
+    the output.
     """
+    hostkeys = ([code_col] if code_col else []) + ["hostname"]
     if partitions is not None:
-        cands = cands.repartition(partitions, "hostname")
+        cands = cands.repartition(partitions, *hostkeys[:1])
+        reduce_first = False
+    if code_col:
         reduce_first = False
     if reduce_first:
         # map-side-combinable pre-reduction: only the earliest
@@ -106,10 +119,10 @@ def admit_wave(
     # AQE picks broadcast vs shuffle for the budget join by size
     df = cands.join(host_budget, "hostname", "left")
 
-    w_host = Window.partitionBy("hostname").orderBy(
+    w_host = Window.partitionBy(*hostkeys).orderBy(
         *[F.col(c) for c in ORDER_COLS]
     )
-    w_key = Window.partitionBy("hostname", "scan_key").orderBy(
+    w_key = Window.partitionBy(*hostkeys, "scan_key").orderBy(
         *[F.col(c) for c in ORDER_COLS]
     )
     w_run = w_host.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -134,7 +147,10 @@ def admit_wave(
     admitted = df.filter(
         F.col("_row0") | (F.col("_survivor") & (F.col("_sidx") <= cap))
     )
-    return admitted.drop("_rn", "_dup_rn", "_row0", "_survivor", "_sidx", "reqcount")
+    admitted = admitted.drop(
+        "_rn", "_dup_rn", "_row0", "_survivor", "_sidx", "reqcount"
+    )
+    return admitted.drop(code_col) if code_col else admitted
 
 
 def admit_wave_salted(
