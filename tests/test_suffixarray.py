@@ -100,3 +100,19 @@ def test_longest_repeats_never_crosses_doc_sentinels(spark):
     )
     rows = longest_repeats(df, min_len=8, top_k=10).collect()
     assert rows and max(r["lcp"] for r in rows) == len(t)
+
+
+def test_longest_repeats_caps_at_prefix_len(spark):
+    from tspider_spark.operators.suffixarray import longest_repeats
+
+    # a repeat LONGER than the bounded context must report exactly
+    # prefix_len, never more (regression: the binary-lifting descent
+    # kept adding past a full-rank match — pairs that start at
+    # prefix_len still rank-match at deeper probes when the repeat
+    # extends, reaching up to 2*prefix_len-1 before the cap)
+    phrase = "zq ".join(str(i) for i in range(12))  # ~40 chars, no ties
+    docs = [(1, f"AA {phrase} BB"), (2, f"CC {phrase} DD")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = longest_repeats(df, prefix_len=16, min_len=8, top_k=50).collect()
+    assert rows
+    assert max(r["lcp"] for r in rows) == 16

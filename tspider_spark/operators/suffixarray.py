@@ -252,9 +252,12 @@ def longest_repeats(
                 "_ga",
                 "_gb",
                 # null-guarded: a missing (past-corpus-end) position
-                # never matches; lcp + k can't exceed prefix_len (the
-                # only pairs at prefix_len start there and k descends
-                # from prefix_len/2, summing to at most prefix_len-1)
+                # never matches. Pairs that started at prefix_len
+                # (full-rank equal) DO keep matching here when the
+                # repeat extends past prefix_len chars — they descend
+                # to up to 2*prefix_len-1; the bounded-context cap is
+                # re-applied in the final least() (sf0.1 caught this:
+                # >64-char repeats exist there but not at sf0.01).
                 F.when(
                     F.col("_ra").isNotNull()
                     & (F.col("_ra") == F.col("_rb")),
@@ -284,7 +287,11 @@ def longest_repeats(
         .join(info.withColumnRenamed("gpos", "_gb"), "_gb")
         .withColumnsRenamed({id_col: "doc_b", "off": "off_b", "_sd": "_sdb"})
         .select(
-            F.least("lcp", "_sda", "_sdb").cast("int").alias("lcp"),
+            # bounded-context cap (prefix_len) + sentinel caps: both
+            # are part of the LCP definition, not post-hoc trims
+            F.least("lcp", F.lit(prefix_len), "_sda", "_sdb")
+            .cast("int")
+            .alias("lcp"),
             "doc_a",
             "off_a",
             "doc_b",
