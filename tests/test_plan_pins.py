@@ -85,6 +85,24 @@ def test_stratum_cumsum_no_empty_partition_window_any_stratum(spark):
     assert not re.findall(r"Window \[[^\]]*\], \[\]", plan), plan
 
 
+def test_no_empty_partition_window_across_contract_surface(spark):
+    # Repo-wide version of the suffix-array pin: NO query in the
+    # whole 147-query contract surface may plan a Window node with an
+    # empty partition spec (the single-partition WindowExec that
+    # cannot scale past one executor). Plans only — nothing executes.
+    import re
+
+    import __spark_entry__ as entry
+
+    flagged = {}
+    for name, fn in entry.queries().items():
+        plan = _opt_plan(fn(spark, "/root/testdata/sf0.001"))
+        n = len(re.findall(r"Window \[[^\]]*\], \[\]", plan))
+        if n:
+            flagged[name] = n
+    assert not flagged, flagged
+
+
 def test_wordpiece_vocab_join_is_broadcast(spark):
     from tspider_spark.operators.wordpiece import (
         corpus_words,
