@@ -1667,6 +1667,24 @@ def q_hyperball_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball_distances(edges, radius=4, b=4)
 
 
+def q_hyperball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-vs-sketch harness for HyperBall harmonic centrality (the
+    lsh_eval / bloom_fpr pattern): bounded-radius exact closure beside
+    the HLL estimate, per node — run on a subgraph you can afford;
+    the sketch is what ships at 10^10 edges."""
+    from tspider_spark.operators.graph import hyperball_eval
+
+    ev = _load(spark, sf_dir, "events")
+    src = F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string"))
+    dst = F.concat(
+        F.lit("h"), ((F.col("user_id") * 7 + F.col("event_id")) % 37).cast("string")
+    )
+    edges = ev.select(src.alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    return hyperball_eval(edges, radius=4, b=4)
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing a 4-gram with the
     held-out 'eval' slice (doc_id % 97 == 0). 4-grams because the
@@ -3141,6 +3159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_kcore": q_host_kcore,
         "hll_host_counts": q_hll_host_counts,
         "cms_top_urls": q_cms_top_urls,
+        # round-4 addition (past the driver window; local-oracle-checked)
+        "hyperball_eval": q_hyperball_eval,
         "winnow_fingerprints": q_winnow_fingerprints,
         "sample_stratified": q_sample_stratified,
         "user_sessions": q_user_sessions,
@@ -3370,6 +3390,7 @@ def oracle_sql() -> dict[str, str]:
         hits_oracle_sql,
         salsa_oracle_sql,
         hyperball_distances_oracle_sql,
+        hyperball_eval_oracle_sql,
         hyperball_oracle_sql,
         opic_oracle_sql,
         pagerank_oracle_sql,
@@ -5082,6 +5103,12 @@ def oracle_sql() -> dict[str, str]:
             "select * from (" + _lsh_eval_cfg_sql(4, 8) + ")"
         ),
         "hyperball_diameter": hyperball_distances_oracle_sql(
+            "edges as (select 'h' || (user_id % 37) as src, "
+            "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
+            "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",
+            radius=4, b=4,
+        ),
+        "hyperball_eval": hyperball_eval_oracle_sql(
             "edges as (select 'h' || (user_id % 37) as src, "
             "'h' || ((user_id * 7 + event_id) % 37) as dst from events "
             "where (user_id % 37) <> ((user_id * 7 + event_id) % 37))",

@@ -108,3 +108,31 @@ def test_distances_oracle_parity(spark, tmp_path):
         radius=5, b=4,
     )
     assert got == sorted(con.execute(sql).fetchall())
+
+
+def test_hyperball_eval_exact_side_on_path_graph(spark):
+    # a -> b -> c -> d: bounded-radius EXACT harmonic is
+    # a: 1 + 1/2 + 1/3, b: 1 + 1/2, c: 1, d: 0 — the closure side
+    # must be exact regardless of sketch noise, and abs_err must be
+    # |est - exact| of the hyperball estimate for the same b
+    from tspider_spark.operators.graph import hyperball, hyperball_eval
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+    out = {
+        r["node"]: r
+        for r in hyperball_eval(
+            _edges(spark, pairs), radius=3, b=6
+        ).collect()
+    }
+    assert out["a"]["harmonic_exact"] == round(1 + 1 / 2 + 1 / 3, 6)
+    assert out["b"]["harmonic_exact"] == 1.5
+    assert out["c"]["harmonic_exact"] == 1.0
+    assert out["d"]["harmonic_exact"] == 0.0
+    est = {
+        r["node"]: r["harmonic"]
+        for r in hyperball(_edges(spark, pairs), radius=3, b=6).collect()
+    }
+    for n, row in out.items():
+        assert row["abs_err"] == round(
+            abs(est[n] - row["harmonic_exact"]), 6
+        )

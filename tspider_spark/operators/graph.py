@@ -1522,6 +1522,135 @@ def hyperball_oracle_sql(edges_cte: str, radius: int = 4, b: int = 4) -> str:
     )
 
 
+def hyperball_eval(
+    edges: DataFrame,
+    radius: int = 4,
+    b: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact-vs-sketch harness for :func:`hyperball` — the
+    "measure, don't guess" companion the LSH (``lsh_eval``) and bloom
+    (``bloom_fpr``) prefilters already have: compute the EXACT
+    bounded-radius harmonic centrality by materializing the distinct
+    reachable-pair set per hop (pairs_t = pairs_{t-1} ∪ pairs_{t-1}⋈e
+    — O(n·m) and memory-heavy, which is exactly WHY HyperBall exists;
+    run it on a subgraph you can afford, never the full crawl graph)
+    and report it beside the HLL estimate per node.
+
+    Per hop: one hash join + distinct with a lineage cut. The
+    harmonic sums use the same fixed-order expression as
+    :func:`hyperball` so cross-engine float equality holds.
+
+    Returns (node, harmonic_exact[6dp], harmonic_est[6dp],
+    abs_err[6dp]).
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    pairs = nodes.select("node", F.col("node").alias("_w"))
+    bts = []  # per-t ball-size tables (node, b{t})
+    for t in range(1, radius + 1):
+        ext = pairs.join(e, pairs["_w"] == e["_s"]).select(
+            "node", F.col("_d").alias("_w")
+        )
+        pairs = (
+            pairs.unionByName(ext).distinct().localCheckpoint(eager=True)
+        )
+        bts.append(
+            pairs.groupBy("node").agg(
+                F.count(F.lit(1)).cast("double").alias(f"_b{t}")
+            )
+        )
+    exact = nodes
+    for bt in bts:
+        exact = exact.join(bt, "node")
+    harm = F.lit(0.0)
+    prev = F.lit(1.0)  # |B(v,0)| = 1 exactly
+    for t in range(1, radius + 1):
+        harm = harm + (F.col(f"_b{t}") - prev) * F.lit(1.0 / t)
+        prev = F.col(f"_b{t}")
+    exact = exact.select(
+        "node", F.round(harm, 6).alias("harmonic_exact")
+    )
+    est = hyperball(edges, radius, b, src, dst).select(
+        "node", F.col("harmonic").alias("harmonic_est")
+    )
+    return exact.join(est, "node").select(
+        "node",
+        "harmonic_exact",
+        "harmonic_est",
+        F.round(
+            F.abs(F.col("harmonic_est") - F.col("harmonic_exact")), 6
+        ).alias("abs_err"),
+    )
+
+
+def hyperball_eval_oracle_sql(
+    edges_cte: str, radius: int = 4, b: int = 4
+) -> str:
+    """DuckDB twin of :func:`hyperball_eval`: reuses the register/
+    estimate CTE chain of :func:`hyperball_oracle_sql` for the sketch
+    side and a bounded distinct-closure chain for the exact side."""
+    base = hyperball_oracle_sql(edges_cte, radius, b)
+    head, _, _ = base.rpartition(",\n allest as (")
+    parts = ["p0 as (select node, node as w from nodes)"]
+    for t in range(1, radius + 1):
+        parts.append(
+            f"""p{t} as materialized (
+   select distinct node, w from (
+     select node, w from p{t - 1}
+     union all
+     select p.node, e.dst as w from p{t - 1} p join e on e.src = p.w
+   ))"""
+        )
+        parts.append(
+            f"b{t} as (select node, cast(count(*) as double) as b{t} "
+            f"from p{t} group by 1)"
+        )
+    joins = " ".join(
+        f"join b{t} using (node)" for t in range(1, radius + 1)
+    )
+    harm_terms = []
+    prev = "cast(1.0 as double)"
+    for t in range(1, radius + 1):
+        harm_terms.append(f"(b{t} - {prev}) * {1.0 / t!r}")
+        prev = f"b{t}"
+    harm = " + ".join(harm_terms)
+    union = " union all ".join(
+        f"select * from est{t}" for t in range(radius + 1)
+    )
+    pivots = ", ".join(
+        f"max(case when t = {t} then est end) as e{t}"
+        for t in range(radius + 1)
+    )
+    est_harm = " + ".join(
+        f"(e{t} - e{t - 1}) * {1.0 / t!r}" for t in range(1, radius + 1)
+    )
+    closure = ",\n ".join(parts)
+    return (
+        head
+        + f""",
+ allest as ({union}),
+ piv as (select node, {pivots} from allest group by 1),
+ esth as (select node, round({est_harm}, 6) as harmonic_est from piv),
+ {closure},
+ exact as (select node, round({harm}, 6) as harmonic_exact
+           from nodes {joins})
+ select x.node, x.harmonic_exact, s.harmonic_est,
+        round(abs(s.harmonic_est - x.harmonic_exact), 6) as abs_err
+ from exact x join esth s using (node)"""
+    )
+
+
 def hyperball_distances(
     edges: DataFrame,
     radius: int = 6,
