@@ -23,15 +23,22 @@ ZIP="$(mktemp -d)/tspider_spark.zip"
 CORPUS="$(mktemp -d)/docs"
 
 run_level() {
-    local cores=$1
+    # driver memory must be set at submit time (the JVM is already up
+    # before any session conf applies) — the 1g spark-submit default
+    # OOMs on the 4M-doc corpus build
+    local cores=$1 log
+    log="$(mktemp)"
     TSPIDER_BENCH_DIGEST=1 TSPIDER_BENCH_DOCS="$NDOCS" \
     /opt/spark/bin/spark-submit \
         --master "local[$cores]" \
+        --driver-memory "${TSPIDER_DRIVER_MEM:-8g}" \
         --conf spark.ui.enabled=false \
         --py-files "$ZIP" \
         "$REPO/tspider_spark/bench_worker.py" \
         --cores "$cores" --corpus-path "$CORPUS" \
-        2>/dev/null | grep '^BENCH_RESULT ' | sed 's/^BENCH_RESULT //'
+        2>"$log" | grep '^BENCH_RESULT ' | sed 's/^BENCH_RESULT //' \
+        || { echo "worker at $cores cores emitted no BENCH_RESULT;" \
+                  "last stderr:" >&2; tail -5 "$log" >&2; return 1; }
 }
 
 LO_JSON="$(run_level "$LO")"
