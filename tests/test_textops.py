@@ -307,3 +307,57 @@ def test_heaps_fit_on_synthetic_growth(spark):
     assert abs(rn["heaps_beta"] - 1.0) < 1e-6
     assert abs(rn["heaps_ln_k"]) < 1e-6
     assert math.isfinite(rf["heaps_ln_k"])
+
+
+def test_stratum_cumsum_matches_brute_force_on_skewed_string_ids(spark):
+    """The three-level cumsum (range-partition buckets + super-bucket
+    window + triangular join) must equal the sequential exclusive
+    cumsum for ANY stratum shape — including the constant stratum the
+    suffix-array corpus builder uses — on string ids that share long
+    prefixes (one mega-host + tail, the shape that broke the old
+    24-char-prefix bucketing)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tspider_spark.operators.curate import _exclusive_stratum_cumsum
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(2000):
+        host = (
+            "http://mega.example.com/path/deep/"
+            if i % 5
+            else f"http://h{i % 37}.net/"
+        )
+        rows.append(
+            (f"{host}{i:07d}", rng.choice(["en", "de", "fr"]),
+             rng.randrange(0, 50))
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id string, lang string, n_tokens int"
+    )
+    expected = {}
+    for lang in ("en", "de", "fr"):
+        c = 0
+        for did, lg, t in sorted(rows):
+            if lg == lang:
+                expected[did] = c
+                c += t
+    out = _exclusive_stratum_cumsum(
+        df, "lang", "doc_id", "n_tokens", 4, range_partitions=8
+    )
+    got = {r["doc_id"]: r["_cum"] for r in out.collect()}
+    assert got == expected
+
+    # constant stratum (the suffix-array shape)
+    df2 = df.select("doc_id", F.lit(0).alias("_one"), "n_tokens")
+    exp2, c = {}, 0
+    for did, lg, t in sorted(rows):
+        exp2[did] = c
+        c += t
+    out2 = _exclusive_stratum_cumsum(
+        df2, "_one", "doc_id", "n_tokens", 4, range_partitions=8
+    )
+    got2 = {r["doc_id"]: r["_cum"] for r in out2.collect()}
+    assert got2 == exp2
