@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "crawl_makespan",
     "classifier_calibration",
     "hyperball_diameter",
+    "hyperball_eval",
     "sched_fairness",
     "vocab_overlap",
     "aimd_politeness",
