@@ -265,3 +265,37 @@ def test_winnow_shared_substring_guarantee(spark):
     assert sets[1] & sets[2]
     # and the unrelated doc shares nothing with either
     assert not (sets[3] & sets[1]) and not (sets[3] & sets[2])
+
+
+def test_copart_anti_join_code_regime_matches_plain(spark):
+    """anti_join_seen_copart(code_col=...): partitioning/joining on
+    the xxhash64(host) surrogate (host kept as an equi-key) must be a
+    pure physical choice — identical surviving rows, plus the code
+    column retained for exchange reuse downstream."""
+    from pyspark.sql import functions as F
+
+    from tspider_spark.operators.dedupe import anti_join_seen_copart
+
+    cands = spark.createDataFrame(
+        [(f"h{i % 5}.com", f"h{i % 5}.com//p/{i % 40}", i)
+         for i in range(200)],
+        "hostname string, scan_key string, task_rank long",
+    )
+    seen = spark.createDataFrame(
+        [(f"h{i % 5}.com", f"h{i % 5}.com//p/{i}") for i in range(0, 40, 3)],
+        "hostname string, scan_key string",
+    )
+    plain = anti_join_seen_copart(cands, seen, "scan_key", "hostname", 4)
+    coded = anti_join_seen_copart(
+        cands, seen, "scan_key", "hostname", 4, code_col="_hc"
+    )
+    assert "_hc" in coded.columns
+    key = lambda r: (r["hostname"], r["scan_key"], r["task_rank"])
+    assert sorted(map(key, plain.collect())) == sorted(
+        map(key, coded.collect())
+    )
+    # the kept code is exactly xxhash64(hostname)
+    chk = coded.filter(
+        F.col("_hc") != F.xxhash64("hostname")
+    ).count()
+    assert chk == 0
