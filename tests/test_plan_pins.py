@@ -103,6 +103,75 @@ def test_no_empty_partition_window_across_contract_surface(spark):
     assert not flagged, flagged
 
 
+def test_copart_anti_join_adds_no_stacked_exchange(spark):
+    # r4 plan audit: the old shape pre-repartitioned both sides on
+    # host and hinted shuffle_hash; Spark 4.1 shuffled joins refuse
+    # subset co-partitioning, so the join re-exchanged both sides on
+    # (host, key) ON TOP of the user host exchange — measured +45%
+    # shuffled bytes per wave (2764 vs 1907 MB at 24M candidates).
+    # New shape leaves exchanges to the planner; this pin asserts no
+    # user REPARTITION exchange is ever stacked under the join in
+    # either regime.
+    import re
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from tspider_spark.operators.dedupe import anti_join_seen_copart
+    from tspider_spark.operators.schedule import admit_wave
+    from tspider_spark.sources.state import empty_df
+
+    cands = spark.createDataFrame(
+        [(f"h{i % 5}", f"h{i % 5}//p/{i}", f"u{i}", i, 0, 1)
+         for i in range(50)],
+        "hostname string, scan_key string, url string, "
+        "task_rank long, seq int, synth_rank int",
+    )
+    seen = spark.createDataFrame(
+        [(f"h{i % 5}", f"h{i % 5}//p/{i * 3}") for i in range(10)],
+        "hostname string, scan_key string",
+    )
+    budget = empty_df(spark, StructType([
+        StructField("hostname", StringType()),
+        StructField("reqcount", LongType()),
+    ]))
+
+    def exchanges():
+        adm = admit_wave(
+            anti_join_seen_copart(cands, seen, "scan_key", "hostname", 4),
+            budget, 100, reduce_first=False,
+        )
+        adm.collect()  # materialize THIS dataset so AQE finalizes its plan
+        plan = adm._jdf.queryExecution().executedPlan().toString()
+        # an AdaptiveSparkPlan prints Final AND Initial sections —
+        # pin only what actually ran
+        final = plan.split("Initial Plan")[0]
+        return re.findall(
+            r"Exchange hashpartitioning\(([^)]*)\), (\w+)", final
+        ), final
+
+    # the core invariant in any regime: no user REPARTITION exchange
+    # is stacked under the join's own requirement — every exchange is
+    # planner-placed (ENSURE_REQUIREMENTS), and the candidate stream
+    # is never exchanged on (host, key) more than once
+    exs, final = exchanges()
+    kinds = [k for _, k in exs]
+    assert kinds.count("REPARTITION_BY_NUM") == 0, exs
+    assert sum("scan_key" in c for c, _ in exs) <= 2, exs
+
+    # big-seen regime (broadcast disabled): sort-merge join with one
+    # (host, key) exchange per side, still zero stacked repartitions
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        exs, final = exchanges()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in final and "LeftAnti" in final, final
+    kinds = [k for _, k in exs]
+    assert kinds.count("REPARTITION_BY_NUM") == 0, exs
+    assert sum("scan_key" in c for c, _ in exs) == 2, exs
+
+
 def test_wordpiece_vocab_join_is_broadcast(spark):
     from tspider_spark.operators.wordpiece import (
         corpus_words,

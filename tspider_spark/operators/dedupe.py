@@ -298,65 +298,70 @@ def anti_join_seen_copart(
     bucket_out: str = "_salt_b",
     code_col: str | None = None,
 ) -> DataFrame:
-    """Host-co-partitioned exact anti-join: both sides are hash
-    exchanged on ``host_col`` and joined on ``(host_col, key_col)``.
+    """Exact seen anti-join on ``(host_col, key_col)``, leaving every
+    exchange decision to the planner.
 
-    Because the host determines the join partition, the join inserts no
-    further exchange — and neither does anything downstream keyed by
-    host (the admission fold's groupBy/windows). One shuffle of the
-    candidate stream covers seen-dedupe + budget + politeness.
+    REWRITTEN round 4 after a measured plan audit. The old shape
+    pre-repartitioned both sides on ``host_col`` and hinted
+    shuffle_hash, on the theory that the join and the downstream
+    admission fold would share the one host exchange. Spark (4.1)
+    does not accept subset co-partitioning for shuffled joins — the
+    join ALWAYS re-exchanges both sides on the full (host, key) —
+    so the pre-repartitions only STACKED a wasted full-stream shuffle
+    on top: measured 2764 MB shuffled per 24M-candidate wave vs
+    1907 MB without (+45%). The right shape is no explicit exchange
+    at all:
+
+    - small seen (most waves early in a crawl, and every prefilter
+      verify): the planner broadcasts the seen side — the candidate
+      stream is not exchanged here at all, and the admission fold's
+      windows insert the single host exchange where it is needed;
+    - big seen (10^10 regime): EnsureRequirements inserts exactly one
+      (host, key) exchange per side for the sort-merge join, and the
+      fold re-exchanges the (budget-bounded survivors of the) stream
+      on host — two candidate exchanges, the Spark-4.1 minimum for an
+      exact big-seen anti-join followed by a host-keyed fold. A
+      seen-side stored layout BUCKETED BY (host, key) removes the
+      seen exchange entirely — no parameter needed, the bucketed
+      scan's partitioning satisfies the join through
+      EnsureRequirements (TSPIDER_BENCH_SEEN_BUCKETED demonstrates).
+
+    Plan shape pinned by tests/test_plan_pins.py::
+    test_copart_anti_join_adds_no_stacked_exchange.
+
+    ``partitions`` is kept for signature stability; the fold's own
+    ``partitions=N`` (or the window's ENSURE exchange) sets the width.
 
     ``salt_buckets``: the skew path (north_rule: host-bucket salting
     for hot domains). Both sides gain bucket = xxhash64(key) % S and
-    are partitioned AND joined on (host, bucket, key) — still no extra
-    exchange (the bucket is a pure function of the key, so the join is
-    unchanged semantically), but a hot host's rows spread over S
-    partitions. The bucket column is kept on the output (``bucket_out``)
-    so the salted admission fold reuses the partitioning exchange-free;
-    the caller drops it after.
+    the join keys become (host, bucket, key): a hot host's rows
+    spread over S partitions in the join exchange and in the salted
+    fold (whose windows key on (host, bucket) and insert their own
+    exchange). The bucket column is kept on the output
+    (``bucket_out``); the caller drops it after.
 
     ``seen`` must carry ``host_col`` too (persisted alongside the key —
     see sources/state.py seen_scanned schema).
 
-    ``code_col``: dictionary-code the exchange — both sides gain
-    code = xxhash64(host) and are partitioned on the 8-byte code
-    instead of the host string; the join adds the code as a leading
-    equi-key (host stays a key too, so a 64-bit collision can never
-    merge two hosts). Downstream windows keyed (code, host) then sort
-    by the long first and touch the string only on ties — the point:
-    window-sort comparisons in the fold are string-heavy at 10^7
-    hosts. The kept code column lets admit_wave reuse the exchange.
+    ``code_col``: dictionary-code the fold — both sides gain
+    code = xxhash64(host) as a leading join key (host stays a key
+    too, so a 64-bit collision can never merge two hosts), and
+    downstream windows keyed (code, host) sort by the long first,
+    touching the string only on ties. The kept code column lets
+    admit_wave reuse it.
     """
     if code_col:
         code = F.xxhash64(F.col(host_col))
-        c = cands.withColumn(code_col, code).repartition(partitions, code_col)
-        s = (
-            seen.select(host_col, key_col)
-            .withColumn(code_col, code)
-            .repartition(partitions, code_col)
-        )
-        return c.join(
-            s.hint("shuffle_hash"), [code_col, host_col, key_col], "left_anti"
-        )
+        c = cands.withColumn(code_col, code)
+        s = seen.select(host_col, key_col).withColumn(code_col, code)
+        return c.join(s, [code_col, host_col, key_col], "left_anti")
     if salt_buckets:
         b = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
-        c = cands.withColumn(bucket_out, b).repartition(
-            partitions, host_col, bucket_out
-        )
-        s = (
-            seen.select(host_col, key_col)
-            .withColumn(bucket_out, b)
-            .repartition(partitions, host_col, bucket_out)
-        )
-        return c.join(
-            s.hint("shuffle_hash"), [host_col, bucket_out, key_col], "left_anti"
-        )
-    c = cands.repartition(partitions, host_col)
-    s = seen.select(host_col, key_col).repartition(partitions, host_col)
-    # shuffle-hash hint: the per-partition seen slice is the build side —
-    # avoids a sort-merge join sorting the candidate stream on a key
-    # order the downstream windows can't reuse
-    return c.join(s.hint("shuffle_hash"), [host_col, key_col], "left_anti")
+        c = cands.withColumn(bucket_out, b)
+        s = seen.select(host_col, key_col).withColumn(bucket_out, b)
+        return c.join(s, [host_col, bucket_out, key_col], "left_anti")
+    s = seen.select(host_col, key_col)
+    return cands.join(s, [host_col, key_col], "left_anti")
 
 
 def _flag_maybe_broadcast(

@@ -777,9 +777,10 @@ class CrawlEngine:
             )
         elif self.cfg.salt_buckets:
             # skew path (north_rule): hot-host candidates salted into
-            # S buckets; the (host, bucket) exchange is shared by the
-            # anti-join and the salted fold's wide phase, the exact
-            # merge fold then runs on ≤ S×(cap+2) rows per host.
+            # S buckets; the anti-join keys on (host, bucket, key) and
+            # the salted fold's wide phase on (host, bucket), so a hot
+            # host spreads over S partitions at every exchange; the
+            # exact merge fold then runs on ≤ S×(cap+2) rows per host.
             stream = anti_join_seen_copart(
                 stream, self.store.read("seen_scanned"),
                 "scan_key", "hostname", n_part,
@@ -790,9 +791,12 @@ class CrawlEngine:
                 self.cfg.salt_buckets, n_part, bucket_col="_salt_b",
             )
         else:
-            # scale path: ONE hash exchange on hostname covers the F8
-            # anti-join AND the whole admission fold (the seen table
-            # persists hostname precisely for this co-partitioning).
+            # scale path: the exact F8 anti-join leaves exchange
+            # placement to the planner (broadcast while the seen set
+            # is small; one (host, key) exchange per side against a
+            # big seen — see anti_join_seen_copart's r4 plan audit);
+            # the admission fold's windows then establish the host
+            # partitioning they need.
             stream = anti_join_seen_copart(
                 stream, self.store.read("seen_scanned"),
                 "scan_key", "hostname", n_part,
