@@ -385,7 +385,10 @@ def q_union_emission_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = ev.select("user_id", "event_id", sec.alias("section"))
     w = Window.partitionBy("user_id").orderBy("section", "event_id")
     return tagged.withColumn("emit_rank", F.row_number().over(w)).select(
-        "user_id", "emit_rank", "event_id", "section"
+        "user_id",
+        F.col("emit_rank").cast("long").alias("emit_rank"),
+        "event_id",
+        "section",
     )
 
 
@@ -453,7 +456,10 @@ def q_q2_politeness_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return apply_crawl_delay(tasks, robots).select(
-        "hostname", "slot", "url", "planned_offset_ms"
+        "hostname",
+        F.col("slot").cast("long").alias("slot"),
+        "url",
+        "planned_offset_ms",
     )
 
 
@@ -1450,7 +1456,12 @@ def q_e1_e8_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans.alias("spans"),
     )
     return extract_candidates(fetched).select(
-        "task_url", "seq", "method", "url", "postdata", "type"
+        "task_url",
+        F.col("seq").cast("long").alias("seq"),
+        "method",
+        "url",
+        "postdata",
+        "type",
     )
 
 

@@ -11,9 +11,19 @@ if str(REPO_ROOT) not in sys.path:
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from tspider_spark.session import get_spark
 
-    spark = get_spark("tspider-tests", master="local[4]", shuffle_partitions=4)
+    # per-session tmp warehouse: a stale ./spark-warehouse/<table> dir
+    # left by a killed run otherwise fails every saveAsTable with
+    # LOCATION_ALREADY_EXISTS (r4 verdict "what's wrong" #3) — the
+    # suite must be green on a dirty workspace
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    spark = get_spark(
+        "tspider-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield spark
     spark.stop()

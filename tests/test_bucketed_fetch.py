@@ -26,6 +26,7 @@ TABLE = "tspider_test_docs_bucketed"
 
 @pytest.fixture()
 def bucketed_docs(spark):
+    spark.sql(f"drop table if exists {TABLE}")  # rerun-safety
     docs, seeds = generate_corpus(
         CorpusSpec(seed=7, n_domains=3, hosts_per_domain=2, hot_host_pages=20)
     )

@@ -40,14 +40,13 @@ def dtype_tag(s: pd.Series) -> str:
     return t
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-
+def sweep(spark, sf_dir: str, only: set | None = None) -> list:
+    """Run the full both-sides dtype sweep; returns the list of
+    mismatched query names (empty = clean). Importable so the pytest
+    gate (tests/test_dtype_parity.py, TSPIDER_FULL_SWEEP=1) and the
+    CLI share one implementation."""
     import __spark_entry__ as entry
-    from tspider_spark.session import get_spark
 
-    spark = get_spark("dtype-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
@@ -94,6 +93,17 @@ def main():
 
     print("=" * 60)
     print("DTYPE MISMATCHES:", bad if bad else "none")
+    return bad
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from tspider_spark.session import get_spark
+
+    spark = get_spark("dtype-check", master="local[8]", shuffle_partitions=8)
+    bad = sweep(spark, sf_dir, only)
     spark.stop()
     sys.exit(1 if bad else 0)
 

@@ -83,8 +83,18 @@ class CrawlConfig:
     # memory); "copart": shards stay a DataFrame and candidates probe
     # them via a co-partitioned cogroup — NOTHING is ever collected to
     # the driver, the 10^10-key / ~26 GB-filter regime (r3 verdict
-    # finding #4).
-    cuckoo_probe: str = "broadcast"
+    # finding #4); "auto" (default, r5): resolve by the provisioned
+    # filter size — copart once ~2.6 B/key x cuckoo_capacity exceeds
+    # cuckoo_broadcast_max_bytes, broadcast below it. Copart is both
+    # the measured winner at 10M keys (3.1 s vs 5.4 s broadcast,
+    # BENCH_r04) and the only regime that survives 10^10, so the
+    # scale-safe mode is now what a default-config engine runs;
+    # broadcast stays an explicit opt-in for tiny crawls.
+    cuckoo_probe: str = "auto"
+    # "auto" threshold: above this many provisioned filter bytes the
+    # probe goes copart (default 8 MB ~ 3.2M keys of capacity — well
+    # below the 10M-key point where copart already wins outright)
+    cuckoo_broadcast_max_bytes: int = 8 << 20
     # eagerly localCheckpoint the wave's candidate set instead of
     # caching it: truncates the fetch->extract->url-derivation lineage
     # so the ~200 downstream DataFrame ops analyze against a leaf
@@ -132,6 +142,20 @@ class CrawlConfig:
     shuffle_partitions: int = 32
     max_waves: int | None = None
 
+    def resolved_cuckoo_probe(self) -> str:
+        """The effective probe regime: "auto" picks copart when the
+        provisioned filter (~2.6 bytes per key of cuckoo_capacity)
+        would exceed cuckoo_broadcast_max_bytes, else broadcast.
+        Explicit "broadcast"/"copart" are honored as-is."""
+        if self.cuckoo_probe != "auto":
+            return self.cuckoo_probe
+        approx_bytes = int(self.cuckoo_capacity * 2.6)
+        return (
+            "copart"
+            if approx_bytes > self.cuckoo_broadcast_max_bytes
+            else "broadcast"
+        )
+
     def to_meta(self) -> dict:
         return {
             "tld": self.tld,
@@ -145,6 +169,11 @@ class CrawlConfig:
             "url_block_keywords": list(self.url_block_keywords),
             "url_keyword_threshold": self.url_keyword_threshold,
             "strip_tracking": self.strip_tracking,
+            # persisted so a resume can detect a shard-layout change:
+            # keys hash to shards modulo bloom_shards, so probing a
+            # filter persisted under a different count yields false
+            # negatives that BYPASS the exact anti-join (ADVICE r4)
+            "bloom_shards": self.bloom_shards,
         }
 
     @staticmethod
@@ -166,4 +195,5 @@ class CrawlConfig:
             url_block_keywords=tuple(meta.get("url_block_keywords", ())),
             url_keyword_threshold=int(meta.get("url_keyword_threshold", 2)),
             strip_tracking=bool(meta.get("strip_tracking", False)),
+            bloom_shards=int(meta.get("bloom_shards", 8)),
         )

@@ -212,6 +212,14 @@ def _exclusive_stratum_cumsum(
             )
             .repartitionByRange(range_partitions, F.col(id_col))
             .withColumn("_bk", F.spark_partition_id().cast("long"))
+            # The RangePartitioner samples, so this subtree is
+            # nondeterministic, and it feeds THREE branches (w_local,
+            # totals, the final join). Correctness of _cum requires all
+            # branches to see the SAME bucket assignment; exchange
+            # reuse usually dedups the range exchange, but that is an
+            # optimization, not a guarantee (spark.sql.exchange.reuse
+            # can be off). Pin the assignment once, eagerly.
+            .localCheckpoint(eager=True)
         )
     w_local = (
         Window.partitionBy(stratum_col, "_bk")

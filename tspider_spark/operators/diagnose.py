@@ -120,7 +120,7 @@ def skew_summary(
             F.ceil(
                 F.col("max_key_rows")
                 / (F.col("total_rows") / F.lit(float(width)))
-            ).cast("int"),
+            ).cast("long"),
         ).alias("recommended_salt"),
     )
 

@@ -155,8 +155,9 @@ def c4_line_filter(
     return df.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("clean_text"),
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept"),
+        # long: oracle-side len() is BIGINT (contract-surface rule)
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
     )
 
 
@@ -684,7 +685,10 @@ def pii_redact(
     cur = F.col(text)
     counts = []
     for name, pat, tok in PII_PATTERNS:
-        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        # long: oracle-side len() is BIGINT (contract-surface rule)
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
         cur = F.regexp_replace(cur, pat, tok)
     return docs.select(
         F.col(id_col), cur.alias("clean_text"), *counts

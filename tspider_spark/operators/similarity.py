@@ -66,7 +66,12 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
     )
 
 
@@ -241,7 +246,10 @@ def sq_topk(
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim")
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
         )
     )
 
@@ -738,7 +746,9 @@ def pq_topk(
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "rank", "neighbor_id",
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
             F.round("cos_sim", 6).alias("cos_sim"),
         )
     )
@@ -800,7 +810,12 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
     )
 
 

@@ -341,7 +341,8 @@ def suffix_array_oracle_sql(
  ),
  big as (select string_agg(s, '' order by doc_id) as g from cleaned),
  pos as (
-   select d.doc_id, d.base + i - 1 as gpos, cast(i - 1 as int) as off
+   select d.doc_id, cast(d.base + i - 1 as bigint) as gpos,
+          cast(i - 1 as int) as off
    from base d, unnest(range(1, length(d.s) + 1)) as t(i)
  )
  select cast(row_number() over (

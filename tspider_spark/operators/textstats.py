@@ -117,12 +117,17 @@ def script_stats(
     dominant) with known_ratio rounded to 6; empty docs get
     known_ratio 0 and dominant 'none'.
     """
+    # counts cast to long: DuckDB len()/length() are BIGINT, and the
+    # contract-surface rule (r4 verdict #2/#7) is that cross-engine
+    # integer columns ship as int64 on both sides
     counts = {
-        name: F.regexp_count(F.col(text), F.lit(pat)).alias(name)
+        name: F.regexp_count(F.col(text), F.lit(pat)).cast("long").alias(name)
         for name, pat in SCRIPT_CLASSES.items()
     }
     d = df.select(
-        F.col(id_col), F.length(F.col(text)).alias("n_chars"), *counts.values()
+        F.col(id_col),
+        F.length(F.col(text)).cast("long").alias("n_chars"),
+        *counts.values(),
     )
     known = sum((F.col(n) for n in SCRIPT_CLASSES), F.lit(0))
     best = F.greatest(*[F.col(n) for n in SCRIPT_CLASSES])

@@ -17,6 +17,7 @@ def get_spark(
     app_name: str = "tspider-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -51,6 +52,8 @@ def get_spark(
 
         for k, v in json.loads(extra).items():
             builder = builder.config(k, str(v))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, str(v))
     return builder.getOrCreate()
 
 
