@@ -238,6 +238,91 @@ def main():
     lo_cores = max(CPUS // 4, 1)
     lo_heap = f"{max(8 * lo_cores // CPUS, 2)}g"
 
+    # Second pair at half scale (4 -> 16 on a 32-core box): the hi
+    # level does NOT saturate the socket, so this pair is the closer
+    # sandbox analog of real N -> 4N executor scaling (a cluster
+    # multiplies sockets/memory channels with cores; the 8 -> 32 pair
+    # instead measures this one box's saturation — see BASELINE.md
+    # round-2 decomposition: per-thread CPU inflates 1.83x at 32
+    # threads with ~equal utilization and zero fetch-wait). Both
+    # levels pinned, same per-core heap, identical input.
+    #
+    # Runs FIRST in the bench (r4 verdict item 5): every watt the
+    # 8->32 trials, the parity runs, and the 129-query sweep dump
+    # into the package lowers the turbo headroom the lo level needs,
+    # so measuring the half pair on a cold box is the fair window.
+    # (The first lo trial also pays the one-time corpus build,
+    # untimed inside the worker.)
+    scaling2 = None
+    if CPUS >= 16:
+        lo2_cores, hi2_cores = CPUS // 8, CPUS // 2
+        # FIXED trial budget (r4 ADVICE): the old loop retried until
+        # best-of crossed the 0.8 target, which biases the reported
+        # statistic toward the gate on a genuinely sub-0.8 machine.
+        # Now every run takes the same number of interleaved lo/hi
+        # pairs — chosen up front, independent of any target — and
+        # reports best-of over that fixed sample (shared-VM noise is
+        # one-sided: neighbors only ever slow a trial down, so best-of
+        # estimates the machine's clean value without gate-peeking).
+        # The per-round hw/membw ceiling probes are kept and reported
+        # so a reader can judge the window's cleanliness.
+        pair2_trials = int(os.environ.get("TSPIDER_BENCH_PAIR2_TRIALS", "5"))
+
+        def probe_ceilings():
+            c_lo = cpu_calibration(lo2_cores)
+            c_hi = cpu_calibration(hi2_cores)
+            m_lo = cpu_calibration(lo2_cores, _burn_mem)
+            m_hi = cpu_calibration(hi2_cores, _burn_mem)
+            return (
+                (c_hi / c_lo) / (hi2_cores / lo2_cores),
+                (m_hi / m_lo) / (hi2_cores / lo2_cores),
+                c_lo,
+                c_hi,
+            )
+
+        hw2, memc2, cal2_lo, cal2_hi = probe_ceilings()
+        hw_probes = [round(hw2, 3)]
+        lo2_trials, hi2_trials = [], []
+        for i in range(pair2_trials):
+            if i:
+                # re-probe each round; keep the CLEANEST (highest)
+                # ceiling — a depressed probe means the probe itself
+                # hit a noisy neighbor, not that the hardware changed
+                nhw, nmem, ncl, nch = probe_ceilings()
+                hw_probes.append(round(nhw, 3))
+                if nhw > hw2:
+                    hw2, memc2, cal2_lo, cal2_hi = nhw, nmem, ncl, nch
+            lo2_trials.append(run_worker(lo2_cores, corpus_path, "2g", pin=True))
+            hi2_trials.append(run_worker(hi2_cores, corpus_path, "8g", pin=True))
+        lo2 = max(lo2_trials, key=lambda r: r["urls_per_sec"])
+        hi2 = max(hi2_trials, key=lambda r: r["urls_per_sec"])
+        eff2 = (hi2["urls_per_sec"] / lo2["urls_per_sec"]) / (
+            hi2_cores / lo2_cores
+        )
+        scaling2 = {
+            "cores_lo": lo2_cores,
+            "cores_hi": hi2_cores,
+            "lo_urls_per_sec": lo2["urls_per_sec"],
+            "hi_urls_per_sec": hi2["urls_per_sec"],
+            "lo_trials": [r["urls_per_sec"] for r in lo2_trials],
+            "hi_trials": [r["urls_per_sec"] for r in hi2_trials],
+            "fixed_trials": pair2_trials,
+            "efficiency": round(eff2, 3),
+            "hw_ceiling_same_pair": round(hw2, 3),
+            "hw_ceiling_probes": hw_probes,
+            "hw_mem_ceiling_same_pair": round(memc2, 3),
+            # a probe ratio > 1 is physically impossible in a clean
+            # window (fewer active cores turbo HIGHER per core) — it
+            # means the lo probe itself was depressed by a neighbor,
+            # so clamp the normalizer at 1.0 rather than letting a
+            # noisy probe LOWER the normalized efficiency
+            "efficiency_vs_hw_ceiling": round(eff2 / min(hw2, 1.0), 3),
+            "cal_lo_ops_per_s": round(cal2_lo, 0),
+            "cal_hi_ops_per_s": round(cal2_hi, 0),
+        }
+        print(f"# scaling pair2 {lo2_cores}->{hi2_cores}: {scaling2}",
+              file=sys.stderr)
+
     # hardware ceilings at the same pair of core counts: compute-bound
     # and memory-bandwidth-bound (a scan/shuffle engine sits between)
     cal_lo = cpu_calibration(lo_cores)
@@ -281,95 +366,6 @@ def main():
             f"PARITY FAILURE between {lo_cores} and {CPUS} cores: "
             f"lo={par_lo} hi={par_hi}"
         )
-
-    # Second pair at half scale (4 -> 16 on a 32-core box): the hi
-    # level does NOT saturate the socket, so this pair is the closer
-    # sandbox analog of real N -> 4N executor scaling (a cluster
-    # multiplies sockets/memory channels with cores; the 8 -> 32 pair
-    # instead measures this one box's saturation — see BASELINE.md
-    # round-2 decomposition: per-thread CPU inflates 1.83x at 32
-    # threads with ~equal utilization and zero fetch-wait). Both
-    # levels pinned, same per-core heap, identical input.
-    scaling2 = None
-    if CPUS >= 16:
-        lo2_cores, hi2_cores = CPUS // 8, CPUS // 2
-        pair2_trials = int(os.environ.get("TSPIDER_BENCH_PAIR2_TRIALS", "2"))
-        # Adaptive retry (r3 verdict item 5): shared-VM noise is
-        # ONE-SIDED — neighbors can only slow a trial down, never
-        # speed it up — so best-of over more interleaved lo/hi pairs
-        # converges on the machine's clean value. When the raw
-        # efficiency of the initial trials lands under the north
-        # rule's 0.8, keep adding pairs (re-probing the hw ceiling
-        # each round and keeping the cleanest probe) up to the cap,
-        # so the >=0.8 evidence lands in the driver's own BENCH file
-        # rather than only in clean-window reruns.
-        pair2_max = int(os.environ.get("TSPIDER_BENCH_PAIR2_MAX_TRIALS", "6"))
-        target_eff = float(os.environ.get("TSPIDER_BENCH_PAIR2_TARGET", "0.8"))
-
-        def probe_ceilings():
-            c_lo = cpu_calibration(lo2_cores)
-            c_hi = cpu_calibration(hi2_cores)
-            m_lo = cpu_calibration(lo2_cores, _burn_mem)
-            m_hi = cpu_calibration(hi2_cores, _burn_mem)
-            return (
-                (c_hi / c_lo) / (hi2_cores / lo2_cores),
-                (m_hi / m_lo) / (hi2_cores / lo2_cores),
-                c_lo,
-                c_hi,
-            )
-
-        hw2, memc2, cal2_lo, cal2_hi = probe_ceilings()
-        hw_probes = [round(hw2, 3)]
-        lo2_trials, hi2_trials = [], []
-
-        def eff_now():
-            lo_best = max(r["urls_per_sec"] for r in lo2_trials)
-            hi_best = max(r["urls_per_sec"] for r in hi2_trials)
-            return (hi_best / lo_best) / (hi2_cores / lo2_cores)
-
-        for _ in range(pair2_trials):
-            lo2_trials.append(run_worker(lo2_cores, corpus_path, "2g", pin=True))
-            hi2_trials.append(run_worker(hi2_cores, corpus_path, "8g", pin=True))
-        retries = 0
-        while eff_now() < target_eff and len(lo2_trials) < pair2_max:
-            retries += 1
-            print(
-                f"# pair2 raw efficiency {eff_now():.3f} < {target_eff} "
-                f"after {len(lo2_trials)} trials — noisy window, retrying",
-                file=sys.stderr,
-            )
-            nhw, nmem, ncl, nch = probe_ceilings()
-            hw_probes.append(round(nhw, 3))
-            if nhw > hw2:
-                hw2, memc2, cal2_lo, cal2_hi = nhw, nmem, ncl, nch
-            lo2_trials.append(run_worker(lo2_cores, corpus_path, "2g", pin=True))
-            hi2_trials.append(run_worker(hi2_cores, corpus_path, "8g", pin=True))
-        eff2 = eff_now()
-        lo2 = max(lo2_trials, key=lambda r: r["urls_per_sec"])
-        hi2 = max(hi2_trials, key=lambda r: r["urls_per_sec"])
-        scaling2 = {
-            "cores_lo": lo2_cores,
-            "cores_hi": hi2_cores,
-            "lo_urls_per_sec": lo2["urls_per_sec"],
-            "hi_urls_per_sec": hi2["urls_per_sec"],
-            "lo_trials": [r["urls_per_sec"] for r in lo2_trials],
-            "hi_trials": [r["urls_per_sec"] for r in hi2_trials],
-            "noisy_window_retries": retries,
-            "efficiency": round(eff2, 3),
-            "hw_ceiling_same_pair": round(hw2, 3),
-            "hw_ceiling_probes": hw_probes,
-            "hw_mem_ceiling_same_pair": round(memc2, 3),
-            # a probe ratio > 1 is physically impossible in a clean
-            # window (fewer active cores turbo HIGHER per core) — it
-            # means the lo probe itself was depressed by a neighbor,
-            # so clamp the normalizer at 1.0 rather than letting a
-            # noisy probe LOWER the normalized efficiency
-            "efficiency_vs_hw_ceiling": round(eff2 / min(hw2, 1.0), 3),
-            "cal_lo_ops_per_s": round(cal2_lo, 0),
-            "cal_hi_ops_per_s": round(cal2_hi, 0),
-        }
-        print(f"# scaling pair2 {lo2_cores}->{hi2_cores}: {scaling2}",
-              file=sys.stderr)
 
     # per-query timings at the target sf
     import __spark_entry__ as entry
@@ -632,7 +628,63 @@ def main():
     ).write.mode("overwrite").format("noop").save()
     seen_rows["seen10m_cuckoo_copart"] = round(time.time() - t0, 3)
     assert n_cp == n_exact, (n_cp, n_exact)
-    for df in (seen10, cands10, seen20):
+
+    # BUCKETED accumulated-state verify (r5, the shipped engine
+    # default after a compaction): the persisted seen snapshot is
+    # CLUSTERED+SORTED BY (hostname, scan_key) — the verify anti-join
+    # keys — so the exact-verify never exchanges (or sorts) the
+    # accumulated table; only the wave's maybes move. The one-time
+    # bucketed write is compaction cost, paid every compact_every
+    # waves, untimed here. Two rows at 1x and 2x accumulated keys,
+    # identical candidate side: the per-wave cost should be ~flat in
+    # accumulated state (the residual growth is the sequential
+    # bucketed scan, not an exchange).
+    host_of = lambda c: SF.concat(  # noqa: E731 — hostname as a pure
+        # function of the key, derived identically on both sides
+        SF.lit("bh"),
+        SF.pmod(SF.xxhash64(c), SF.lit(37)).cast("string"),
+        SF.lit(".com"),
+    )
+    bdir = tempfile.mkdtemp(prefix="tspider_bench_seen_bkt_")
+    cands10h = cands10.select(
+        host_of(SF.col("scan_key")).alias("hostname"), "scan_key"
+    ).cache()
+    cands10h.count()
+    ck_cap20 = int((2 * n_seen + delta_n) * 1.6) // 64
+    filt20_df = build_cuckoo_shard_df(seen20, "scan_key", 64, ck_cap20)
+    filt20_pinned = spark.createDataFrame(
+        filt20_df.collect(), filt20_df.schema
+    ).localCheckpoint(eager=True)
+    for tag, sdf, fdf, shards, cap in (
+        ("seen10m_cuckoo_bucketed", seen10, filt_pinned, 32, ck_cap),
+        ("seen20m_cuckoo_bucketed", seen20, filt20_pinned, 64, ck_cap20),
+    ):
+        tbl = f"bench_seen_bkt_{tag}"
+        spark.sql(f"drop table if exists {tbl}")
+        (
+            sdf.select(
+                host_of(SF.col("scan_key")).alias("hostname"), "scan_key"
+            )
+            .repartition(256, "hostname", "scan_key")
+            .write.bucketBy(256, "hostname", "scan_key")
+            .sortBy("hostname", "scan_key")
+            .option("path", f"{bdir}/{tag}")
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        t0 = time.time()
+        n_b = anti_join_seen_cuckoo(
+            cands10h, spark.table(tbl), "scan_key", None, shards,
+            shard_df=fdf, host_col="hostname",
+        ).count()
+        apply_cuckoo_delta(
+            fdf, delta, "scan_key", shards, cap, op="add"
+        ).write.mode("overwrite").format("noop").save()
+        seen_rows[tag] = round(time.time() - t0, 3)
+        expect = n_exact if sdf is seen10 else n20_exact
+        assert n_b == expect, (tag, n_b, expect)
+    for df in (seen10, cands10, seen20, cands10h):
         df.unpersist()
     print(f"# seen-set probes ({n_seen} keys): {seen_rows}", file=sys.stderr)
     timings.update(seen_rows)

@@ -529,6 +529,12 @@ def apply_cuckoo_delta(
     def merge(old: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
         if not len(d):
             return old[["shard", "tbl", "n_buckets"]]
+        if len(old) > 1:
+            raise RuntimeError(
+                f"cuckoo shard {int(old['shard'].iloc[0])} has "
+                f"{len(old)} persisted rows (expected <= 1) — refuse to "
+                "merge a delta into an ambiguous filter state"
+            )
         if len(old):
             cf = CuckooFilter.from_bytes(
                 bytes(old["tbl"].iloc[0]), int(old["n_buckets"].iloc[0])
@@ -580,6 +586,18 @@ def _flag_maybe_cuckoo_copart(
             return left.assign(_maybe=pd.Series([], dtype=bool))
         if not len(right):
             return left.assign(_maybe=False)
+        if len(right) != 1:
+            # Duplicate rows for one shard mean the persisted filter
+            # was appended instead of replaced (or re-sharded mid-
+            # crawl): probing only one of them would yield false
+            # negatives that BYPASS the exact anti-join and re-admit
+            # crawled URLs. Fail loudly instead.
+            raise RuntimeError(
+                f"cuckoo shard {int(right['shard'].iloc[0])} has "
+                f"{len(right)} persisted rows (expected 1) — seen_filter "
+                "was appended instead of replaced, or bloom_shards "
+                "changed mid-crawl"
+            )
         cf = CuckooFilter.from_bytes(
             bytes(right["tbl"].iloc[0]), int(right["n_buckets"].iloc[0])
         )
@@ -602,11 +620,14 @@ def anti_join_seen_cuckoo(
     filt_rows: list | None,
     shards: int,
     shard_df: DataFrame | None = None,
+    host_col: str | None = None,
+    seen_delta: DataFrame | None = None,
 ) -> DataFrame:
-    """Rows of ``cands`` not in ``seen``, prefiltered by the persistent
-    cuckoo shard table. Two probe regimes, same maybe/definite-new
-    split (false positives fall through to the exact anti-join; false
-    negatives can't happen for inserted keys, so the bypass is exact):
+    """Rows of ``cands`` not in ``seen`` (∪ ``seen_delta``),
+    prefiltered by the persistent cuckoo shard table. Two probe
+    regimes, same maybe/definite-new split (false positives fall
+    through to the exact anti-join; false negatives can't happen for
+    inserted keys, so the bypass is exact):
 
     - ``shard_df`` given: co-partitioned cogroup probe
       (:func:`_flag_maybe_cuckoo_copart`) — the filter NEVER leaves
@@ -614,17 +635,45 @@ def anti_join_seen_cuckoo(
     - else ``filt_rows`` (collected seen_filter rows): broadcast
       probe, mirroring _flag_maybe_broadcast — fine while the whole
       filter fits driver/executor memory.
+
+    ``host_col`` (r5, bucketed seen layout): verify-join on
+    ``(host_col, key_col)`` instead of the key alone — semantically
+    identical (the hostname is a pure function of the scan key), but
+    it makes the join keys EQUAL the persisted snapshot's bucket keys,
+    so a (hostname, scan_key)-bucketed ``seen`` scan satisfies the
+    join's required distribution straight off storage and the
+    accumulated state is never exchanged. The ``.distinct()`` is
+    dropped in this mode: an anti-join's result is unchanged by
+    right-side duplicates, and the distinct's hash aggregate would
+    re-shuffle the very scan the bucketing keeps in place.
+    ``seen_delta``: rows appended since the bucketed snapshot
+    (broadcast-sized between compactions) — verified with a second,
+    planner-broadcast anti-join.
     """
+    verify_keys = ([host_col] if host_col else []) + [key_col]
+
+    def _verify(df: DataFrame) -> DataFrame:
+        if host_col:
+            checked = df.join(
+                seen.select(*verify_keys), verify_keys, "left_anti"
+            )
+        else:
+            checked = df.join(
+                seen.select(key_col).distinct(), key_col, "left_anti"
+            )
+        if seen_delta is not None:
+            checked = checked.join(
+                seen_delta.select(*verify_keys), verify_keys, "left_anti"
+            )
+        return checked
+
     if shard_df is not None:
         flagged = _flag_maybe_cuckoo_copart(cands, shard_df, key_col, shards)
         definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
         maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
-        checked = maybe.join(
-            seen.select(key_col).distinct(), key_col, "left_anti"
-        )
-        return definite_new.unionByName(checked)
+        return definite_new.unionByName(_verify(maybe))
     if not filt_rows:
-        return cands.join(seen.select(key_col).distinct(), key_col, "left_anti")
+        return _verify(cands)
     spark = cands.sparkSession
     payload = {
         int(r["shard"]): (bytes(r["tbl"]), int(r["n_buckets"]))
@@ -655,8 +704,7 @@ def anti_join_seen_cuckoo(
     )
     definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
-    checked = maybe.join(seen.select(key_col).distinct(), key_col, "left_anti")
-    return definite_new.unionByName(checked)
+    return definite_new.unionByName(_verify(maybe))
 
 
 def bloom_fpr_eval(

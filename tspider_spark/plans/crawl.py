@@ -269,7 +269,20 @@ class CrawlEngine:
         is rebuilt from the rows so downstream delta merges don't
         recompute the bootstrap plan."""
         entry = self.store.manifest()["tables"].get("seen_filter")
-        if self.cfg.cuckoo_probe == "copart":
+        if entry:
+            # shard-layout guard (ADVICE r4): keys hash to shards
+            # modulo bloom_shards, so probing a filter persisted under
+            # a DIFFERENT shard count gives false negatives that
+            # bypass the exact anti-join and re-admit crawled URLs.
+            stored = self.store.meta().get("config", {}).get("bloom_shards")
+            if stored is not None and int(stored) != self.cfg.bloom_shards:
+                raise RuntimeError(
+                    f"bloom_shards={self.cfg.bloom_shards} does not match "
+                    f"the persisted seen_filter layout ({stored} shards) — "
+                    "resume with the original shard count, or rebuild the "
+                    "filter (tools/rebuild_seen_cache.py)"
+                )
+        if self.cfg.resolved_cuckoo_probe() == "copart":
             if entry:
                 df = self.store.read("seen_filter")
             else:
@@ -739,6 +752,14 @@ class CrawlEngine:
                 self.cfg.blocklist.extend(trap_hosts)
 
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # bucketed accumulated-state split (r5): after a compaction
+        # the seen_scanned base snapshot is CLUSTERED BY (hostname,
+        # scan_key) — the anti-join below then reads it exchange-free
+        # and only the (broadcast-sized) post-compaction delta and the
+        # wave's own candidates move. seen_base is None until the
+        # first compaction (or after an unblock replace): identical
+        # plan to before.
+        seen_base, seen_delta = self.store.read_split("seen_scanned")
         filt_df = None
         if self.cfg.cuckoo_filter:
             # persistent cuckoo prefilter: probe the stored shards
@@ -747,13 +768,22 @@ class CrawlEngine:
             # re-establishes host partitioning like the bloom path.
             # copart probe: the shards stay distributed end to end.
             filt_df, filt_rows = self._seen_filter()
-            stream = anti_join_seen_cuckoo(
-                stream, self.store.read("seen_scanned"), "scan_key",
-                filt_rows, self.cfg.bloom_shards,
-                shard_df=(
-                    filt_df if self.cfg.cuckoo_probe == "copart" else None
-                ),
+            shard_df = (
+                filt_df
+                if self.cfg.resolved_cuckoo_probe() == "copart"
+                else None
             )
+            if seen_base is not None:
+                stream = anti_join_seen_cuckoo(
+                    stream, seen_base, "scan_key",
+                    filt_rows, self.cfg.bloom_shards, shard_df=shard_df,
+                    host_col="hostname", seen_delta=seen_delta,
+                )
+            else:
+                stream = anti_join_seen_cuckoo(
+                    stream, seen_delta, "scan_key",
+                    filt_rows, self.cfg.bloom_shards, shard_df=shard_df,
+                )
             admitted = admit_wave(
                 stream, host_budget, self.cfg.max_per_host,
                 reduce_first=False, partitions=n_part,
@@ -796,11 +826,23 @@ class CrawlEngine:
             # is small; one (host, key) exchange per side against a
             # big seen — see anti_join_seen_copart's r4 plan audit);
             # the admission fold's windows then establish the host
-            # partitioning they need.
-            stream = anti_join_seen_copart(
-                stream, self.store.read("seen_scanned"),
-                "scan_key", "hostname", n_part,
-            )
+            # partitioning they need. With a bucketed base snapshot
+            # the base anti-join's seen side is satisfied off storage
+            # (no exchange over accumulated state) and the delta
+            # anti-join broadcasts; chaining two anti-joins equals one
+            # anti-join against the union.
+            if seen_base is not None:
+                stream = anti_join_seen_copart(
+                    stream, seen_base, "scan_key", "hostname", n_part,
+                )
+                if seen_delta is not None:
+                    stream = anti_join_seen_copart(
+                        stream, seen_delta, "scan_key", "hostname", n_part,
+                    )
+            else:
+                stream = anti_join_seen_copart(
+                    stream, seen_delta, "scan_key", "hostname", n_part,
+                )
             admitted = admit_wave(
                 stream, host_budget, self.cfg.max_per_host, reduce_first=False
             )

@@ -295,6 +295,7 @@ class StateStore:
         m = self.manifest()
         v = m["version"] + 1
         tables = {k: list(vv) for k, vv in m["tables"].items()}
+        bucketed = dict(m.get("bucketed", {}))
         writes = []
         for table, df in (appends or {}).items():
             rel = os.path.join(table, f"v{v:06d}")
@@ -304,6 +305,8 @@ class StateStore:
             rel = os.path.join(table, f"v{v:06d}")
             writes.append((df, rel))
             tables[table] = [rel]
+            # a replace supersedes any bucketed snapshot of the table
+            bucketed.pop(table, None)
         if len(writes) > 1:
             # overlap the per-table write jobs (Spark schedules jobs
             # from concurrent driver threads FIFO across the pool):
@@ -340,6 +343,7 @@ class StateStore:
             )
         m["version"] = v
         m["tables"] = tables
+        m["bucketed"] = bucketed
         if meta:
             m["meta"].update(meta)
         self._write_manifest(m)
@@ -357,30 +361,131 @@ class StateStore:
         "seen_saved": ("saved_key",),
     }
 
-    def compact(self, tables: list | None = None, partitions: int = 32) -> list:
+    # tables whose compaction rewrite is BUCKETED on its join keys
+    # (r4 verdict item 3 / BASELINE handoff #5): seen_scanned's
+    # snapshot is written CLUSTERED+SORTED BY (hostname, scan_key) —
+    # the exact keys of the F8 anti-join — so the post-compaction
+    # wave plan reads a scan whose partitioning already satisfies the
+    # join and the ACCUMULATED seen table is never exchanged again;
+    # only the wave's candidates and the (small) post-compaction
+    # append delta move. This was the one remaining O(accumulated-
+    # state) exchange per wave (seen20m rows doubled where the cuckoo
+    # probe stayed flat). On a real deployment this is the Iceberg
+    # table's bucket(N, ...) partition transform applied at
+    # rewrite_data_files time (storage-partitioned join).
+    BUCKET_LAYOUT = {
+        "seen_scanned": ("hostname", "scan_key"),
+    }
+
+    def _bucket_table_name(self, rel: str) -> str:
+        import hashlib
+
+        h = hashlib.md5(
+            os.path.abspath(os.path.join(self.root, rel)).encode()
+        ).hexdigest()[:12]
+        return f"tspider_state_b{h}"
+
+    def _register_bucketed(self, table: str, rec: dict) -> DataFrame:
+        """Catalog-register (idempotently) an existing bucketed
+        snapshot dir and return its bucketed scan. The files are
+        immutable (written once at compaction), so CREATE ... IF NOT
+        EXISTS over the LOCATION is safe across sessions/engines."""
+        name = self._bucket_table_name(rec["dir"])
+        ddl_cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in SCHEMAS[table].fields
+        )
+        keys = ", ".join(rec["keys"])
+        self.spark.sql(
+            f"create table if not exists {name} ({ddl_cols}) "
+            f"using parquet clustered by ({keys}) sorted by ({keys}) "
+            f"into {rec['buckets']} buckets "
+            f"location '{os.path.join(self.root, rec['dir'])}'"
+        )
+        return self.spark.table(name)
+
+    def read_split(self, table: str):
+        """(bucketed_base, delta) view of an append-only table:
+        ``base`` is the bucketed compaction snapshot's scan (None if
+        the table has never been bucket-compacted, or a replace
+        superseded it), ``delta`` the union of the version dirs
+        appended since (None when empty). ``base ∪ delta`` equals
+        ``read(table)`` row-for-row; the split exists so the wave's
+        anti-join can run exchange-free against the accumulated state
+        and the planner can broadcast the small delta."""
+        m = self.manifest()
+        rec = m.get("bucketed", {}).get(table)
+        dirs = m["tables"].get(table, [])
+        if not rec or not dirs or dirs[0] != rec["dir"]:
+            return None, self.read(table)
+        base = self._register_bucketed(table, rec)
+        rest = dirs[1:]
+        if not rest:
+            return base, None
+        delta = self.spark.read.schema(SCHEMAS[table]).parquet(
+            *[os.path.join(self.root, d) for d in rest]
+        )
+        return base, delta
+
+    def compact(
+        self,
+        tables: list | None = None,
+        partitions: int = 32,
+        bucket: bool = True,
+    ) -> list:
         """Rewrite each append-only table's accumulated version dirs
         into ONE new snapshot dir, then atomically repoint the
         manifest. A 1000-wave crawl otherwise reads 1000 parquet dirs
         per seen_scanned scan; after compaction it reads one. Contents
         are bit-identical (tests pin this); old dirs are removed after
         the manifest swap (crash between swap and cleanup leaves only
-        orphan files, never a broken table)."""
+        orphan files, never a broken table).
+
+        ``bucket`` (default): tables in BUCKET_LAYOUT are rewritten
+        CLUSTERED+SORTED BY their join keys into ``partitions``
+        buckets and recorded in the manifest, so read_split() can hand
+        the wave an exchange-free base scan."""
         m = self.manifest()
         todo = [
             t
             for t in (tables or APPEND_TABLES)
             if len(m["tables"].get(t, [])) > 1
         ]
+        bucketed = dict(m.get("bucketed", {}))
         compacted = []
         v = m["version"] + 1
         old_dirs = []
         for table in todo:
             df = self.read(table)
-            keys = self.COMPACT_LAYOUT.get(table)
-            if keys:
-                df = df.repartition(partitions, *keys)
             rel = os.path.join(table, f"v{v:06d}c")
-            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+            bkeys = self.BUCKET_LAYOUT.get(table) if bucket else None
+            if bkeys:
+                # one file per bucket: cluster rows into their bucket
+                # before the bucketed write
+                name = self._bucket_table_name(rel)
+                self.spark.sql(f"drop table if exists {name}")
+                (
+                    df.repartition(partitions, *bkeys)
+                    .write.bucketBy(partitions, *bkeys)
+                    .sortBy(*bkeys)
+                    .option("path", os.path.join(self.root, rel))
+                    .format("parquet")
+                    .mode("overwrite")
+                    .saveAsTable(name)
+                )
+                bucketed[table] = {
+                    "dir": rel,
+                    "buckets": partitions,
+                    "keys": list(bkeys),
+                }
+            else:
+                keys = self.COMPACT_LAYOUT.get(table)
+                if keys:
+                    df = df.repartition(partitions, *keys)
+                df.write.mode("overwrite").parquet(
+                    os.path.join(self.root, rel)
+                )
+                bucketed.pop(table, None)
             old_dirs.extend(m["tables"][table])
             m["tables"][table] = [rel]
             compacted.append(table)
@@ -396,8 +501,14 @@ class StateStore:
                 f"(built against v{v - 1}); re-read state and retry"
             )
         m["version"] = v
+        m["bucketed"] = bucketed
         self._write_manifest(m)
         for rel in old_dirs:
+            # a superseded bucketed snapshot may be catalog-registered
+            # under its dir-derived name; unregister before deleting
+            self.spark.sql(
+                f"drop table if exists {self._bucket_table_name(rel)}"
+            )
             shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
         return compacted
 
