@@ -107,8 +107,14 @@ class CrawlConfig:
     # rewrite append-only state tables into one compact, key-laid-out
     # snapshot every N waves (0 = off) — bounds the per-wave read fan
     # of seen_scanned/frontier at long crawl horizons (the Iceberg
-    # analog is rewrite_data_files maintenance)
-    compact_every: int = 0
+    # analog is rewrite_data_files maintenance). Default ON every 8
+    # waves (r5): the rewrite is also what BUCKETS seen_scanned on the
+    # anti-join keys, making the accumulated-state exchange disappear
+    # from every subsequent wave plan (sources/state.py BUCKET_LAYOUT)
+    # — the scale-safe layout should be what a default-config engine
+    # converges to, not an opt-in. Crawls shorter than 8 waves never
+    # pay the rewrite.
+    compact_every: int = 8
     # skew path: salt each host's candidates into N buckets for the
     # seen anti-join + admission fold (0 = off). Exact either way
     # (tests/test_schedule_modes.py, test_crawl_golden.py).
