@@ -132,6 +132,60 @@ def test_bucketed_base_anti_join_never_exchanges_seen(spark, tmp_path):
             spark.conf.set(k, v)
 
 
+def test_bucketed_saved_anti_join_never_exchanges_saved(spark, tmp_path):
+    """The saved-set dedupe (F12) gets the same storage-partitioned
+    shape: seen_saved bucket-compacts on saved_key, and the wave's
+    left-anti join reads it exchange-free."""
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        store = StateStore(spark, str(tmp_path / "st"))
+        sv = spark.range(300).select(
+            F.concat(F.lit("GET-p"), F.col("id").cast("string")).alias(
+                "saved_key"
+            )
+        )
+        store.commit(appends={"seen_saved": sv})
+        store.commit(
+            appends={
+                "seen_saved": sv.select(
+                    F.concat(F.col("saved_key"), F.lit("x")).alias(
+                        "saved_key"
+                    )
+                )
+            }
+        )
+        store.compact(partitions=4)
+        base, delta = store.read_split("seen_saved")
+        assert base is not None and delta is None
+        cands = spark.range(900).select(
+            F.concat(F.lit("GET-p"), (F.col("id") * 2).cast("string")).alias(
+                "saved_key"
+            ),
+            F.col("id").alias("task_rank"),
+        )
+        j = cands.join(base, "saved_key", "left_anti")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert plan.rindex("Exchange") < plan.index("tspider_state_b"), plan
+        exp = cands.join(
+            store.read("seen_saved"), "saved_key", "left_anti"
+        ).count()
+        assert j.count() == exp
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 @pytest.mark.parametrize(
     "cfg_kwargs",
     [

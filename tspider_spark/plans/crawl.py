@@ -585,13 +585,22 @@ class CrawlEngine:
         from pyspark.sql import Window
 
         w_saved = Window.partitionBy("saved_key").orderBy("task_rank", "seq")
+        # saved-set dedupe against (bucketed base, appended delta) —
+        # same split as the seen anti-join: after a compaction the
+        # accumulated saved keys are never exchanged (the bucketed
+        # scan satisfies the join, whose candidate-side saved_key
+        # hash partitioning is exactly what w_saved needs anyway);
+        # the between-compactions delta broadcasts.
+        saved_base, saved_delta = self.store.read_split("seen_saved")
+        marked = cands_t.withColumn("saved_key", saved_key)
+        if saved_base is not None:
+            marked = marked.join(saved_base, "saved_key", "left_anti")
+            if saved_delta is not None:
+                marked = marked.join(saved_delta, "saved_key", "left_anti")
+        else:
+            marked = marked.join(saved_delta, "saved_key", "left_anti")
         new_saved = (
-            cands_t.withColumn("saved_key", saved_key)
-            .join(
-                self.store.read("seen_saved"),
-                "saved_key",
-                "left_anti",
-            )
+            marked
             .withColumn("_rn", F.row_number().over(w_saved))
             .filter(F.col("_rn") == 1)
             .drop("_rn")

@@ -373,8 +373,15 @@ class StateStore:
     # probe stayed flat). On a real deployment this is the Iceberg
     # table's bucket(N, ...) partition transform applied at
     # rewrite_data_files time (storage-partitioned join).
+    # seen_saved gets the same treatment: the wave's saved-set dedupe
+    # (F12) left-anti-joins every candidate against the accumulated
+    # saved keys — the other per-wave O(state) exchange. Bucketed on
+    # saved_key (the join AND window key, at shuffle width), the join
+    # is satisfied off storage and its candidate-side exchange is the
+    # same hash partitioning the keep-first window needs.
     BUCKET_LAYOUT = {
         "seen_scanned": ("hostname", "scan_key"),
+        "seen_saved": ("saved_key",),
     }
 
     def _bucket_table_name(self, rel: str) -> str:
