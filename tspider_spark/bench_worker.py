@@ -171,19 +171,28 @@ def run(cores: int, n_docs: int, n_hosts: int, links: int, wave_frac: float,
             _letters((F.col("id") * 29) % (n_docs * 4 // 3)),
         ).alias("scan_key"),
     ).distinct()
-    # Bucketed SEEN layout (TSPIDER_BENCH_SEEN_BUCKETED=1): persist
-    # the seen set bucketed by (hostname, scan_key) — the exact join
-    # keys of the anti-join — with bucket count == shuffle width: the
-    # documents fetch-join trick applied to accumulated state, so in
-    # the big-seen (sort-merge) regime the seen scan satisfies the
-    # join's required distribution off storage and only the wave's
-    # candidates exchange. One-time write outside the timed section
-    # (a real deployment pays it at state-compaction time); shared
-    # across workers via re-registration, like the documents table.
-    seen_bucketed = os.environ.get("TSPIDER_BENCH_SEEN_BUCKETED", "0") != "0"
+    # Bucketed SEEN layout (DEFAULT since r5, the engine's own
+    # steady state — StateStore.compact rewrites seen_scanned this
+    # way every compact_every waves; TSPIDER_BENCH_SEEN_BUCKETED=0
+    # for the plain layout): persist the seen set bucketed by
+    # (hostname, scan_key) — the exact join keys of the anti-join —
+    # with bucket count == shuffle width: the documents fetch-join
+    # trick applied to accumulated state, so in the big-seen
+    # (sort-merge) regime the seen scan satisfies the join's required
+    # distribution off storage and only the wave's candidates
+    # exchange (event-log A/B at 4M keys: Σ task CPU −18%, seen
+    # exchange+sort gone; see BASELINE.md round 5). One-time write
+    # outside the timed section (a real deployment pays it at
+    # state-compaction time); shared across workers via
+    # re-registration, like the documents table.
+    seen_bucketed = os.environ.get("TSPIDER_BENCH_SEEN_BUCKETED", "1") != "0"
     if seen_bucketed:
-        stbl = f"bench_seen_b{n_part}"
-        spath = f"{corpus_path}_seen_bucketed{n_part}"
+        # the seen-set size is baked into the shared dir/table name so
+        # a corpus dir reused under a different --seen-frac can never
+        # silently re-register a stale persisted seen set
+        n_seen_keys = int(n_docs * seen_frac)
+        stbl = f"bench_seen_b{n_part}_{n_seen_keys}"
+        spath = f"{corpus_path}_seen{n_seen_keys}_bucketed{n_part}"
         spark.sql(f"drop table if exists {stbl}")
         if os.path.exists(spath + "/_SUCCESS"):
             spark.sql(
